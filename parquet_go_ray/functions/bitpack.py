@@ -1,0 +1,93 @@
+"""Vectorized LSB-first bit packing, Parquet style.
+
+Semantics match the reference's generated pack8/unpack8 tables
+(/root/reference/encoding/bitpacking32.go, bitpacking64.go): values are
+packed in groups of 8, each value occupying ``width`` consecutive bits of
+a little-endian bit stream (bit ``k`` of byte ``b`` is ``(b >> k) & 1``).
+
+Instead of 4.7k lines of generated unrolled Go, we vectorize with
+``np.packbits``/``np.unpackbits`` over an (n, width) bit matrix — one
+fused numpy pipeline regardless of width (0..64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "pack",
+    "unpack",
+    "bit_width_required",
+    "bit_width_required64",
+    "bit_length_array",
+]
+
+
+def bit_length_array(x: np.ndarray) -> np.ndarray:
+    """Exact per-element bit length of a non-negative integer array.
+
+    Branchless binary search — 6 vectorized passes, no float rounding at
+    2^53+ and no shift-by-64 UB.
+    """
+    x = x.astype(np.uint64, copy=True)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        s = np.uint64(shift)
+        mask = x >= (np.uint64(1) << s)
+        out[mask] += shift
+        x[mask] >>= s
+    out += (x > 0).astype(np.int64)
+    return out
+
+
+def bit_width_required(values: np.ndarray) -> int:
+    """Minimum bit width to represent max(values) (values must be >= 0)."""
+    if len(values) == 0:
+        return 0
+    m = int(values.max())
+    return int(m).bit_length()
+
+
+bit_width_required64 = bit_width_required
+
+
+def pack(values: np.ndarray, width: int) -> bytes:
+    """Bit-pack non-negative ints at ``width`` bits each, LSB-first.
+
+    ``len(values)`` need not be a multiple of 8; the final byte is
+    zero-padded. The caller must remember the value count to unpack.
+    """
+    if width < 0 or width > 64:
+        raise ValueError(f"bit width {width} out of range [0, 64]")
+    n = len(values)
+    if n == 0 or width == 0:
+        return b""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    # (n, width) bit matrix: bits[i, j] = (v[i] >> j) & 1 — LSB first so a
+    # flat row-major read-out is exactly the little-endian bit stream.
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((v[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+    flat = bits.reshape(-1)
+    return np.packbits(flat, bitorder="little").tobytes()
+
+
+def unpack(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
+    """Inverse of :func:`pack`; returns ``count`` uint64 values."""
+    if width < 0 or width > 64:
+        raise ValueError(f"bit width {width} out of range [0, 64]")
+    if count == 0:
+        return np.empty(0, dtype=np.uint64)
+    if width == 0:
+        return np.zeros(count, dtype=np.uint64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    nbits = count * width
+    nbytes = (nbits + 7) // 8
+    if len(buf) < nbytes:
+        raise ValueError(
+            f"bitpack underflow: need {nbytes} bytes for {count} values "
+            f"at width {width}, have {len(buf)}"
+        )
+    bits = np.unpackbits(buf[:nbytes], bitorder="little", count=nbits)
+    bits = bits.reshape(count, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    return np.bitwise_or.reduce(bits << shifts[None, :], axis=1)

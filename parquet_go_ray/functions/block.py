@@ -1,0 +1,50 @@
+"""Block compression over encoded column segments.
+
+Mirrors the reference's BlockCompressor registry
+(/root/reference/compression/compressor.go:3-6, registry at
+file-reader.go:316-325; codecs compression/{snappy,gzip,brotli,lz4,zstd}.go)
+using pyarrow's C++ codecs — same algorithms, no extra dependencies.
+LZO stays unimplemented exactly as in the reference (enum only,
+parquet/parquet.go:449).
+
+Compressed segments record their uncompressed size in the blob manifest
+(pyarrow decompression requires it, and the reference's page reader
+validates it the same way at layout/block.go:17-47).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+__all__ = ["compress", "decompress", "available_codecs", "NONE"]
+
+NONE = "none"
+_NAMES = ("zstd", "snappy", "gzip", "brotli", "lz4")
+
+
+def available_codecs() -> list[str]:
+    out = [NONE]
+    for name in _NAMES:
+        try:
+            if pa.Codec.is_available(name):
+                out.append(name)
+        except Exception:
+            pass
+    return out
+
+
+def compress(data: bytes, codec: str) -> bytes:
+    if codec == NONE:
+        return data
+    return pa.Codec(codec).compress(data, asbytes=True)
+
+
+def decompress(data: bytes, codec: str, uncompressed_size: int) -> bytes:
+    if codec == NONE:
+        return data
+    out = pa.Codec(codec).decompress(data, uncompressed_size, asbytes=True)
+    if len(out) != uncompressed_size:
+        raise ValueError(
+            f"decompressed size mismatch: {len(out)} != {uncompressed_size}"
+        )
+    return out

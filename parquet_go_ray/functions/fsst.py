@@ -1,0 +1,356 @@
+"""FSST string compression (Boncz, Neumann, Leis — VLDB 2020), engine-new.
+
+Not present in the reference (SURVEY.md §2.7); required by the north rule
+for long text turns. A 255-entry table of 1–8-byte symbols replaces each
+longest-matching symbol occurrence with a 1-byte code; bytes with no match
+are emitted as ``ESC literal`` (2 bytes). Decode is random-access per value.
+
+This implementation is fully vectorized numpy — no per-byte Python loops:
+
+- *matching*: rolling big-endian uint64 keys give every length-L window in
+  one shift-or pass; ``searchsorted`` against the per-length sorted symbol
+  keys yields the longest match at every position simultaneously.
+- *greedy scan*: the left-to-right "jump by matched length" recurrence is
+  resolved with pointer doubling (``f = f[f]``) in O(log n) vectorized
+  passes, enumerating exactly the positions the sequential greedy encoder
+  would visit.
+- *table build*: the paper's iterative scheme — encode a sample with the
+  current table, count symbol and adjacent-pair frequencies, keep the top
+  255 candidates by gain = freq × length, repeat.
+- *decode*: one pass classifying escape runs by parity, then two ragged
+  scatters (symbol bytes, literals).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .delta import delta_decode, delta_encode
+from .varint import uvarint_decode, uvarint_encode
+
+__all__ = ["build_symbol_table", "fsst_encode", "fsst_decode"]
+
+ESC = 255
+MAX_SYMBOLS = 255  # codes 0..254; 255 is the escape byte
+MAX_SYM_LEN = 8
+_SAMPLE_CAP = 1 << 16
+_BUILD_ROUNDS = 4
+
+
+def _window_keys(data: np.ndarray) -> np.ndarray:
+    """w8[i] = the 8 bytes at data[i:i+8] as a big-endian uint64 (input is
+    zero-padded at the end). One zero-copy sliding-window view + one
+    byteswap pass; length-L keys are then ``w8 >> (8*(8-L))``."""
+    n = len(data)
+    padded = np.concatenate([data, np.zeros(7, dtype=np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n]
+    return win.view(">u8").ravel().astype(np.uint64)
+
+
+def _keys_for_len(w8: np.ndarray, L: int) -> np.ndarray:
+    return w8 >> np.uint64(8 * (8 - L))
+
+
+def _sym_key(sym: bytes) -> int:
+    return int.from_bytes(sym, "big")
+
+
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
+_TABLE_BITS = 11  # 2048 slots for ≤255 keys → load 0.125, ~1 probe
+
+
+class _LenTable:
+    """Open-addressing hash table of same-length symbol keys, with a fully
+    vectorized batch lookup (the hot inner op of the encoder)."""
+
+    def __init__(self, keys: np.ndarray, codes: np.ndarray):
+        size = 1 << _TABLE_BITS
+        self.mask = np.uint64(size - 1)
+        self.slot_key = np.zeros(size, dtype=np.uint64)
+        self.slot_code = np.full(size, -1, dtype=np.int64)
+        max_probe = 1
+        for k, c in zip(keys, codes):
+            h = ((int(k) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (
+                64 - _TABLE_BITS
+            )
+            probes = 1
+            while self.slot_code[h] >= 0:
+                h = (h + 1) & int(self.mask)
+                probes += 1
+            self.slot_key[h] = k
+            self.slot_code[h] = c
+            max_probe = max(max_probe, probes)
+        self.max_probe = max_probe
+
+    def lookup(self, wins: np.ndarray) -> np.ndarray:
+        h = (wins * _HASH_MULT) >> np.uint64(64 - _TABLE_BITS)
+        code = np.full(len(wins), -1, dtype=np.int64)
+        live = None
+        for p in range(self.max_probe):
+            slot = (h + np.uint64(p)) & self.mask
+            sk = self.slot_key[slot]
+            sc = self.slot_code[slot]
+            hit = (sc >= 0) & (sk == wins)
+            if live is not None:
+                hit &= live
+            code[hit] = sc[hit]
+            if p + 1 < self.max_probe:
+                # Keep probing only where the slot was occupied by another key.
+                miss = (sc >= 0) & ~hit
+                live = miss if live is None else (live & miss)
+                if not live.any():
+                    break
+        return code
+
+
+class _Matcher:
+    """Per-length hash tables for vectorized longest-match."""
+
+    def __init__(self, symbols: list[bytes]):
+        self.symbols = symbols
+        self.by_len: dict[int, _LenTable] = {}
+        for L in range(1, MAX_SYM_LEN + 1):
+            entries = [
+                (_sym_key(s), code) for code, s in enumerate(symbols) if len(s) == L
+            ]
+            if entries:
+                keys = np.array([k for k, _ in entries], dtype=np.uint64)
+                codes = np.array([c for _, c in entries], dtype=np.int64)
+                self.by_len[L] = _LenTable(keys, codes)
+
+    def match(self, data: np.ndarray, boundary_end: np.ndarray):
+        """Longest valid match at every position.
+
+        boundary_end[i] = exclusive end of the value containing position i
+        (matches must not cross value boundaries).
+        Returns (matched_len, matched_code), arrays of len(data).
+        """
+        n = len(data)
+        matched_len = np.zeros(n, dtype=np.int64)
+        matched_code = np.zeros(n, dtype=np.int64)
+        if n == 0 or not self.by_len:
+            return matched_len, matched_code
+        w8 = _window_keys(data)
+        # room[i] = bytes left in the value at position i; a length-L match
+        # needs room >= L (also kills matches on the end-of-buffer padding).
+        room = boundary_end - np.arange(n, dtype=np.int64)
+        for L in sorted(self.by_len):  # ascending: longer matches overwrite
+            if L > n:
+                break
+            win = _keys_for_len(w8, L)
+            code = self.by_len[L].lookup(win)
+            hit = (code >= 0) & (room >= L)
+            matched_len[hit] = L
+            matched_code[hit] = code[hit]
+        return matched_len, matched_code
+
+
+def _greedy_positions(jump: np.ndarray) -> np.ndarray:
+    """Positions visited by `i = 0; while i < n: i += jump[i]` —
+    computed with pointer doubling in O(log n) vectorized rounds."""
+    n = len(jump)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    f = np.empty(n + 1, dtype=np.int64)
+    np.minimum(np.arange(n, dtype=np.int64) + jump, n, out=f[:n])
+    f[n] = n
+    visited = [np.zeros(1, dtype=np.int64)]
+    frontier = np.zeros(1, dtype=np.int64)
+    fk = f
+    while True:
+        nxt = fk[frontier]
+        nxt = nxt[nxt < n]
+        if len(nxt) == 0:
+            break
+        visited.append(nxt)
+        frontier = np.concatenate([frontier, nxt])
+        fk = fk[fk]
+    out = np.concatenate(visited)
+    out.sort()
+    return out
+
+
+def _encode_tokens(
+    data: np.ndarray, value_offsets: np.ndarray, matcher: _Matcher
+):
+    """Greedy-tokenize the concatenated buffer.
+
+    Returns (positions, lens, codes): per visited position its matched
+    length (0 = escaped literal) and code.
+    """
+    n = len(data)
+    boundary_end = np.repeat(value_offsets[1:], np.diff(value_offsets))
+    matched_len, matched_code = matcher.match(data, boundary_end)
+    jump = np.maximum(matched_len, 1)
+    pos = _greedy_positions(jump)
+    return pos, matched_len[pos], matched_code[pos]
+
+
+def build_symbol_table(
+    lengths: np.ndarray, data: np.ndarray, rounds: int = _BUILD_ROUNDS
+) -> list[bytes]:
+    """Iteratively learn up to 255 symbols from a sample of the input."""
+    total = int(lengths.sum())
+    if total == 0:
+        return []
+    # Deterministic sample: whole values from the head up to the cap.
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    n_values = int(np.searchsorted(offsets, _SAMPLE_CAP, side="left"))
+    n_values = max(1, min(n_values, len(lengths)))
+    cut = int(offsets[n_values])
+    sample = data[:cut]
+    sample_off = offsets[: n_values + 1]
+
+    symbols: list[bytes] = []
+    for _ in range(rounds):
+        matcher = _Matcher(symbols)
+        pos, lens, codes = _encode_tokens(sample, sample_off, matcher)
+        # Token byte-strings as (key, len) pairs.
+        tok_len = np.maximum(lens, 1)
+        w8 = _window_keys(sample)
+        tok_key = w8[pos] >> (
+            (np.uint64(8) - tok_len.astype(np.uint64)) * np.uint64(8)
+        )
+        # Candidates: tokens themselves + adjacent-pair concatenations that
+        # stay within one value and within 8 bytes.
+        boundary_end = np.repeat(sample_off[1:], np.diff(sample_off))
+        cand_keys = [tok_key]
+        cand_lens = [tok_len]
+        if len(pos) > 1:
+            a_len, b_len = tok_len[:-1], tok_len[1:]
+            merged_len = a_len + b_len
+            ok = (merged_len <= MAX_SYM_LEN) & (
+                pos[:-1] + merged_len <= boundary_end[pos[:-1]]
+            )
+            if ok.any():
+                ml = merged_len[ok]
+                mp = pos[:-1][ok]
+                mk = w8[mp] >> (
+                    (np.uint64(8) - ml.astype(np.uint64)) * np.uint64(8)
+                )
+                cand_keys.append(mk)
+                cand_lens.append(ml)
+        keys = np.concatenate(cand_keys)
+        lens_all = np.concatenate(cand_lens).astype(np.uint64)
+        # Count per (len, key) pair; an 8-byte key uses all 64 bits so the
+        # pair cannot be packed into one word — unique over both columns.
+        pairs = np.stack([lens_all, keys], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        u_len = uniq[:, 0].astype(np.int64)
+        u_key = uniq[:, 1]
+        gain = counts * u_len
+        order = np.argsort(-gain, kind="stable")[:MAX_SYMBOLS]
+        symbols = [
+            int(u_key[i]).to_bytes(int(u_len[i]), "big") for i in order
+        ]
+    return symbols
+
+
+def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
+    """Encode null-free (lengths, data) string parts. Self-contained stream:
+
+    [uvarint n_symbols][n_symbols length bytes][symbol bytes]
+    [delta-BP int32 encoded-lengths per value][encoded buffer]
+    """
+    lengths = lengths.astype(np.int64)
+    symbols = build_symbol_table(lengths, data)
+    matcher = _Matcher(symbols)
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    pos, lens, codes = _encode_tokens(data, offsets, matcher)
+
+    out_sizes = np.where(lens > 0, 1, 2)  # code byte vs ESC+literal
+    out_off = np.concatenate(([0], np.cumsum(out_sizes)))
+    total_out = int(out_off[-1])
+    out = np.empty(total_out, dtype=np.uint8)
+    is_code = lens > 0
+    out[out_off[:-1][is_code]] = codes[is_code].astype(np.uint8)
+    lit = ~is_code
+    out[out_off[:-1][lit]] = ESC
+    out[out_off[:-1][lit] + 1] = data[pos[lit]]
+
+    # Encoded length of each value = output offset delta at value starts.
+    # Every value start is a visited position (greedy jumps never cross a
+    # boundary), so searchsorted finds them exactly.
+    starts_idx = np.searchsorted(pos, offsets[:-1])
+    enc_starts = np.concatenate([out_off[starts_idx], [total_out]])
+    # Empty trailing values: searchsorted may point past pos; clamp via out_off.
+    enc_value_lens = np.diff(enc_starts)
+
+    header = bytearray()
+    header += uvarint_encode(len(symbols))
+    header += bytes(len(s) for s in symbols)
+    header += b"".join(symbols)
+    header += delta_encode(enc_value_lens.astype(np.int32), dtype=np.int32)
+    return bytes(header) + out.tobytes()
+
+
+def fsst_decode(data, count: int, pos: int = 0):
+    """Returns (lengths, out_data, new_pos)."""
+    n_sym, pos = uvarint_decode(data, pos)
+    sym_lens = np.frombuffer(bytes(data[pos : pos + n_sym]), dtype=np.uint8).astype(
+        np.int64
+    )
+    pos += n_sym
+    sym_total = int(sym_lens.sum())
+    sym_data = np.frombuffer(bytes(data[pos : pos + sym_total]), dtype=np.uint8)
+    pos += sym_total
+    sym_off = np.concatenate(([0], np.cumsum(sym_lens)))
+    enc_lens_arr, pos = delta_decode(data, pos, dtype=np.int32)
+    if len(enc_lens_arr) != count:
+        raise ValueError("fsst value count mismatch")
+    enc_lens = enc_lens_arr.astype(np.int64)
+    total_enc = int(enc_lens.sum())
+    buf = np.frombuffer(data, dtype=np.uint8, count=total_enc, offset=pos)
+    pos += total_enc
+
+    n = len(buf)
+    if n == 0:
+        return enc_lens, np.empty(0, dtype=np.uint8), pos
+
+    # Classify escape runs by parity: inside each maximal run of ESC bytes,
+    # even offsets are control escapes, odd offsets are escaped literals.
+    is_esc = buf == ESC
+    run_start = is_esc & ~np.concatenate(([False], is_esc[:-1]))
+    run_id_pos = np.cumsum(run_start)
+    starts = np.flatnonzero(run_start)
+    control = np.zeros(n, dtype=bool)
+    if len(starts):
+        esc_pos = np.flatnonzero(is_esc)
+        run_of = run_id_pos[esc_pos] - 1
+        offset_in_run = esc_pos - starts[run_of]
+        control[esc_pos[offset_in_run % 2 == 0]] = True
+    consumed = np.zeros(n, dtype=bool)
+    consumed[1:] = control[:-1]
+
+    code_mask = ~control & ~consumed
+    codes = buf[code_mask].astype(np.int64)
+    if len(codes) and codes.max() >= n_sym:
+        raise ValueError("fsst code out of range")
+
+    out_sizes = np.zeros(n, dtype=np.int64)
+    out_sizes[code_mask] = sym_lens[codes]
+    out_sizes[consumed] = 1
+    out_off = np.concatenate(([0], np.cumsum(out_sizes)))
+    out = np.empty(int(out_off[-1]), dtype=np.uint8)
+
+    # Scatter literals.
+    lit_pos = np.flatnonzero(consumed)
+    out[out_off[lit_pos]] = buf[lit_pos]
+    # Ragged scatter of symbol bytes.
+    code_pos = np.flatnonzero(code_mask)
+    if len(code_pos):
+        cl = sym_lens[codes]
+        tgt_start = out_off[code_pos]
+        src_start = sym_off[codes]
+        total = int(cl.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(cl)))[:-1], cl
+        )
+        out[np.repeat(tgt_start, cl) + intra] = sym_data[
+            np.repeat(src_start, cl) + intra
+        ]
+
+    # Per-value output lengths from encoded-length boundaries.
+    enc_off = np.concatenate(([0], np.cumsum(enc_lens)))
+    out_lens = np.diff(out_off[enc_off])
+    return out_lens, out, pos

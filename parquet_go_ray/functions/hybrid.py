@@ -1,0 +1,142 @@
+"""RLE / bit-packed hybrid integer streams (Parquet RLE spec).
+
+Wire format matches the reference encoder/decoder pair
+(/root/reference/encoding/hybrid-encoder.go:88-237,
+ /root/reference/encoding/hybrid-decoder.go:31-170):
+
+- RLE run:        ``uvarint(count << 1)`` + value in ``ceil(width/8)`` LE bytes
+- bit-packed run: ``uvarint((groups << 1) | 1)`` + ``groups`` × 8 values
+  packed LSB-first; at most 63 groups (504 values) per run
+  (ref encoding/hybrid-encoder.go:36-41)
+- bit width 0 decodes as an endless stream of zeros — the reference's
+  ConstDecoder case (ref encoding/const.go:7-19, layout/chunk.go:111-124)
+
+The encoder is vectorized: run boundaries come from one ``np.diff``, only
+runs ≥ 8 long are visited in Python, and everything between them is packed
+in bulk. Mid-stream bit-packed spans always hold a multiple of 8 *real*
+values (padding only at end of stream) so decode positions never shift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import pack, unpack
+from .varint import uvarint_decode, uvarint_encode
+
+__all__ = [
+    "hybrid_encode",
+    "hybrid_decode",
+    "hybrid_encode_sized",
+    "hybrid_decode_sized",
+]
+
+_MAX_GROUPS = 63  # 504 values per bit-packed run
+
+
+def _emit_bitpack(out: bytearray, values: np.ndarray, width: int) -> None:
+    """Emit values (len % 8 == 0) as bit-packed runs of ≤ 63 groups."""
+    n = len(values)
+    for off in range(0, n, _MAX_GROUPS * 8):
+        chunk = values[off : off + _MAX_GROUPS * 8]
+        groups = len(chunk) // 8
+        out += uvarint_encode((groups << 1) | 1)
+        out += pack(chunk, width)
+
+
+def _emit_bitpack_final(out: bytearray, values: np.ndarray, width: int) -> None:
+    """Like _emit_bitpack but pads the last partial group with zeros."""
+    n = len(values)
+    if n == 0:
+        return
+    pad = (-n) % 8
+    if pad:
+        values = np.concatenate([values, np.zeros(pad, dtype=values.dtype)])
+    _emit_bitpack(out, values, width)
+
+
+def _emit_rle(out: bytearray, value: int, count: int, width: int) -> None:
+    out += uvarint_encode(count << 1)
+    out += int(value).to_bytes((width + 7) // 8, "little")
+
+
+def hybrid_encode(values: np.ndarray, width: int) -> bytes:
+    """Encode non-negative ints (all < 2**width) as a hybrid stream."""
+    n = len(values)
+    out = bytearray()
+    if n == 0 or width == 0:
+        return bytes(out)
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    boundaries = np.flatnonzero(np.diff(v) != 0) + 1
+    starts = np.concatenate(([0], boundaries))
+    ends = np.concatenate((boundaries, [len(v)]))
+    lengths = ends - starts
+    long_runs = np.flatnonzero(lengths >= 8)
+    pend = 0  # start of the not-yet-emitted region
+    for i in long_runs:
+        s, length = int(starts[i]), int(lengths[i])
+        # Bit-packed spans must carry a multiple of 8 real values, so borrow
+        # k values from the run head to align the preceding span.
+        k = (-(s - pend)) % 8
+        rle_len = length - k
+        if rle_len < 8:
+            continue  # too short once aligned; fold whole run into bitpack
+        _emit_bitpack(out, v[pend : s + k], width)
+        _emit_rle(out, int(v[s]), rle_len, width)
+        pend = int(ends[i])
+    _emit_bitpack_final(out, v[pend:], width)
+    return bytes(out)
+
+
+def hybrid_decode(
+    data, width: int, count: int, pos: int = 0
+) -> tuple[np.ndarray, int]:
+    """Decode ``count`` values; returns (uint64 array, new_pos).
+
+    Bit width 0 yields zeros without consuming bytes (ConstDecoder case).
+    """
+    out = np.zeros(count, dtype=np.uint64)
+    if width == 0 or count == 0:
+        return out, pos
+    vbytes = (width + 7) // 8
+    filled = 0
+    while filled < count:
+        header, pos = uvarint_decode(data, pos)
+        if header & 1:  # bit-packed run
+            groups = header >> 1
+            nbytes = groups * width  # groups * 8 values * width / 8 bits
+            chunk = unpack(data[pos : pos + nbytes], width, groups * 8)
+            pos += nbytes
+            take = min(groups * 8, count - filled)
+            out[filled : filled + take] = chunk[:take]
+            filled += take
+        else:  # RLE run
+            run = header >> 1
+            if run == 0:
+                raise ValueError("zero-length RLE run")
+            raw = bytes(data[pos : pos + vbytes])
+            if len(raw) < vbytes:
+                raise ValueError("truncated RLE value")
+            value = int.from_bytes(raw, "little")
+            pos += vbytes
+            take = min(run, count - filled)
+            out[filled : filled + take] = value
+            filled += take
+    return out, pos
+
+
+def hybrid_encode_sized(values: np.ndarray, width: int) -> bytes:
+    """Hybrid stream with a leading 4-byte LE byte-length — the v1 level
+    stream form the reference reads via InitSize
+    (ref encoding/hybrid-decoder.go:59-77, layout/page-v1.go:69-77)."""
+    payload = hybrid_encode(values, width)
+    return len(payload).to_bytes(4, "little") + payload
+
+
+def hybrid_decode_sized(
+    data, width: int, count: int, pos: int = 0
+) -> tuple[np.ndarray, int]:
+    size = int.from_bytes(bytes(data[pos : pos + 4]), "little")
+    pos += 4
+    out, _ = hybrid_decode(data[pos : pos + size], width, count)
+    return out, pos + size

@@ -1,0 +1,61 @@
+"""PLAIN encodings for fixed-width types and booleans, plus boolean RLE.
+
+Matches the reference's plain codecs (SURVEY.md E10/E13):
+- little-endian raw buffers for int32/int64/float/double
+  (/root/reference/types/{int32,int64,float,double}.go)
+- LSB-first bit-packed booleans (/root/reference/types/boolean.go:13-127)
+- boolean RLE = bit-width-1 hybrid stream with 4-byte size prefix
+  (/root/reference/types/boolean.go:133-196)
+
+Arrow buffers already ARE plain little-endian, so numeric encode/decode is
+a zero-copy ``tobytes`` / ``frombuffer``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hybrid import hybrid_decode_sized, hybrid_encode_sized
+
+__all__ = [
+    "plain_encode_numeric",
+    "plain_decode_numeric",
+    "plain_encode_bool",
+    "plain_decode_bool",
+    "rle_encode_bool",
+    "rle_decode_bool",
+]
+
+
+def plain_encode_numeric(values: np.ndarray) -> bytes:
+    return np.ascontiguousarray(values).tobytes()
+
+
+def plain_decode_numeric(data, dtype, count: int) -> np.ndarray:
+    dtype = np.dtype(dtype)
+    buf = np.frombuffer(data, dtype=dtype, count=count)
+    return buf
+
+
+def plain_encode_bool(values: np.ndarray) -> bytes:
+    return np.packbits(
+        np.ascontiguousarray(values, dtype=np.uint8), bitorder="little"
+    ).tobytes()
+
+
+def plain_decode_bool(data, count: int) -> np.ndarray:
+    bits = np.unpackbits(
+        np.frombuffer(data, dtype=np.uint8), bitorder="little", count=count
+    )
+    return bits.astype(np.bool_)
+
+
+def rle_encode_bool(values: np.ndarray) -> bytes:
+    return hybrid_encode_sized(
+        np.ascontiguousarray(values, dtype=np.uint8), 1
+    )
+
+
+def rle_decode_bool(data, count: int, pos: int = 0) -> tuple[np.ndarray, int]:
+    out, pos = hybrid_decode_sized(data, 1, count, pos)
+    return out.astype(np.bool_), pos

@@ -1,0 +1,37 @@
+"""Shared fixtures. Ray is initialised ONCE per pytest session."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=4,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(42)
+
+
+def make_string_parts(strings):
+    """(lengths, data) numpy parts from a list of str/bytes."""
+    bs = [s.encode() if isinstance(s, str) else s for s in strings]
+    lengths = np.array([len(b) for b in bs], dtype=np.int64)
+    data = (
+        np.frombuffer(b"".join(bs), dtype=np.uint8)
+        if bs
+        else np.empty(0, dtype=np.uint8)
+    )
+    return lengths, data
