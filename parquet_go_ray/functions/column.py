@@ -1,0 +1,274 @@
+"""Column-level encode/decode: logical type ↔ physical codec dispatch,
+null handling via RLE'd definition levels, per-column stats.
+
+The engine analogue of the reference's ColumnStore write/read paths
+(/root/reference/datastore/column.go:42-177): nulls are *not* stored in
+the value stream — a definition level 0 marks a null and only advances
+levels (ref datastore/column.go:136-142, datastore/dict.go:55-59). Our
+flat transcript schema needs def levels ≡ the Arrow validity bitmap,
+RLE-encoded at bit width 1 with the v1 4-byte size prefix; all-valid
+columns store nothing (the reference's ConstDecoder case, SURVEY §1.4).
+
+Min/max/null-count stats mirror datastore/{int32,byte-array}.go typed
+stat stores; booleans carry no min/max, exactly like the reference
+(datastore/boolean.go:35-45).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bytearray import (
+    arrow_strings_to_parts,
+    delta_length_decode,
+    delta_length_encode,
+    delta_prefix_decode,
+    delta_prefix_encode,
+    parts_to_arrow_strings,
+    plain_decode_bytes,
+    plain_encode_bytes,
+)
+from .delta import delta_decode, delta_encode
+from .dictionary import dict_decode, dict_encode
+from .for_bitpack import for_decode, for_encode
+from .fsst import fsst_decode, fsst_encode
+from .hybrid import hybrid_decode_sized, hybrid_encode_sized
+from .plain import (
+    plain_decode_bool,
+    plain_decode_numeric,
+    plain_encode_bool,
+    plain_encode_numeric,
+    rle_decode_bool,
+    rle_encode_bool,
+)
+
+__all__ = [
+    "encode_values",
+    "decode_values",
+    "encode_column",
+    "decode_column",
+]
+
+
+def _physical(typ: pa.DataType) -> str:
+    """Physical families: 'int32' 'int64' 'float32' 'float64' 'bool' 'bytes'."""
+    if pa.types.is_boolean(typ):
+        return "bool"
+    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(typ):
+        return "int64"
+    if pa.types.is_date32(typ) or pa.types.is_time32(typ):
+        return "int32"
+    if pa.types.is_integer(typ):
+        return "int64" if typ.bit_width > 32 else "int32"
+    if pa.types.is_float32(typ):
+        return "float32"
+    if pa.types.is_floating(typ):
+        return "float64"
+    if (
+        pa.types.is_string(typ)
+        or pa.types.is_large_string(typ)
+        or pa.types.is_binary(typ)
+        or pa.types.is_large_binary(typ)
+    ):
+        return "bytes"
+    raise TypeError(f"unsupported column type: {typ}")
+
+
+_PHYS_NP = {
+    "int32": np.int32,
+    "int64": np.int64,
+    "float32": np.float32,
+    "float64": np.float64,
+}
+
+
+def _to_physical_numpy(values: pa.Array, phys: str) -> np.ndarray:
+    typ = values.type
+    if phys in ("int32", "int64") and not pa.types.is_integer(typ):
+        values = values.cast(pa.int64() if phys == "int64" else pa.int32())
+    elif pa.types.is_integer(typ) and typ.bit_width <= 32 and phys == "int32":
+        values = values.cast(pa.int32())
+    return values.to_numpy(zero_copy_only=False).astype(_PHYS_NP[phys], copy=False)
+
+
+def encode_values(values: pa.Array, codec: str) -> tuple[bytes, dict]:
+    """Encode a null-free value array with the given codec id.
+
+    Returns (payload, meta). meta may carry symtab_hash / dict sizes.
+    """
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    phys = _physical(values.type)
+    meta: dict = {}
+    if codec == "dict":
+        return dict_encode(values)
+    if phys == "bool":
+        np_vals = values.to_numpy(zero_copy_only=False)
+        if codec == "plain":
+            return plain_encode_bool(np_vals), meta
+        if codec == "rle":
+            return rle_encode_bool(np_vals), meta
+    elif phys == "bytes":
+        lens, data = arrow_strings_to_parts(values)
+        if codec == "plain":
+            return plain_encode_bytes(lens, data), meta
+        if codec == "delta_length":
+            return delta_length_encode(lens, data), meta
+        if codec == "delta_prefix":
+            return delta_prefix_encode(lens, data), meta
+        if codec == "fsst":
+            return fsst_encode(lens, data), meta
+    elif phys in ("float32", "float64"):
+        np_vals = values.to_numpy(zero_copy_only=False)
+        if codec == "plain":
+            return plain_encode_numeric(np_vals), meta
+    else:  # int32 / int64
+        np_vals = _to_physical_numpy(values, phys)
+        dtype = _PHYS_NP[phys]
+        if codec == "plain":
+            return plain_encode_numeric(np_vals), meta
+        if codec == "delta":
+            return delta_encode(np_vals, dtype=dtype), meta
+        if codec == "for":
+            return for_encode(np_vals, dtype=dtype), meta
+    raise ValueError(f"codec {codec!r} is not legal for physical type {phys}")
+
+
+def decode_values(payload, codec: str, typ: pa.DataType, count: int) -> pa.Array:
+    """Decode ``count`` null-free values and cast back to the logical type."""
+    phys = _physical(typ)
+    if codec == "dict":
+        arr, _ = dict_decode(payload, count)
+        return _cast_logical(arr, typ)
+    if phys == "bool":
+        if codec == "plain":
+            return pa.array(plain_decode_bool(payload, count))
+        if codec == "rle":
+            vals, _ = rle_decode_bool(payload, count)
+            return pa.array(vals)
+    elif phys == "bytes":
+        binary = pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+        if codec == "plain":
+            lens, data = plain_decode_bytes(payload, count)
+        elif codec == "delta_length":
+            lens, data, _ = delta_length_decode(payload, count)
+        elif codec == "delta_prefix":
+            lens, data, _ = delta_prefix_decode(payload, count)
+        elif codec == "fsst":
+            lens, data, _ = fsst_decode(payload, count)
+        else:
+            raise ValueError(f"bad codec {codec} for bytes")
+        return _cast_logical(parts_to_arrow_strings(lens, data, binary=binary), typ)
+    elif phys in ("float32", "float64"):
+        if codec == "plain":
+            return pa.array(plain_decode_numeric(payload, _PHYS_NP[phys], count))
+    else:
+        dtype = _PHYS_NP[phys]
+        if codec == "plain":
+            vals = plain_decode_numeric(payload, dtype, count)
+        elif codec == "delta":
+            vals, _ = delta_decode(payload, dtype=dtype)
+        elif codec == "for":
+            vals, _ = for_decode(payload, dtype=dtype)
+        else:
+            raise ValueError(f"bad codec {codec} for ints")
+        if len(vals) != count:
+            raise ValueError("value count mismatch")
+        return _cast_logical(pa.array(vals), typ)
+    raise ValueError(f"codec {codec!r} is not legal for physical type {phys}")
+
+
+def _cast_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
+    if arr.type.equals(typ):
+        return arr
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(arr.type.value_type)
+    return arr.cast(typ)
+
+
+def _stats(values: pa.Array, typ: pa.DataType) -> dict:
+    # Booleans carry no min/max, like the reference (datastore/boolean.go:35-45).
+    if pa.types.is_boolean(typ) or len(values) == 0:
+        return {}
+    mm = pc.min_max(values)
+    mn, mx = mm["min"].as_py(), mm["max"].as_py()
+    # Cap giant string stats so the manifest stays small.
+    if isinstance(mn, str):
+        mn, mx = mn[:64], mx[:64]
+    elif isinstance(mn, bytes):
+        mn, mx = mn[:64].hex(), mx[:64].hex()
+    else:
+        mn, mx = _json_safe(mn), _json_safe(mx)
+    return {"min": mn, "max": mx}
+
+
+def _json_safe(v):
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
+        return repr(v)
+    return v
+
+
+def encode_column(
+    arr: pa.Array | pa.ChunkedArray,
+    codec: str,
+    compression: str = "none",
+) -> tuple[bytes, bytes, dict]:
+    """Full column encode. Returns (validity_seg, value_seg, colmeta).
+
+    value_seg is block-compressed with ``compression``; validity_seg is the
+    RLE'd definition-level stream (empty when the column has no nulls).
+    """
+    from .block import compress
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    null_count = arr.null_count
+    if null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False).astype(np.uint8)
+        validity_seg = hybrid_encode_sized(valid, 1)
+        values = arr.drop_null()
+    else:
+        validity_seg = b""
+        values = arr
+    payload, enc_meta = encode_values(values, codec)
+    raw_len = len(payload)
+    value_seg = compress(payload, compression)
+    colmeta = {
+        "codec": codec,
+        "compression": compression,
+        "rows": n,
+        "null_count": null_count,
+        "raw_len": raw_len,
+        "stats": _stats(values, arr.type),
+        **enc_meta,
+    }
+    return validity_seg, value_seg, colmeta
+
+
+def decode_column(
+    validity_seg: bytes,
+    value_seg: bytes,
+    colmeta: dict,
+    typ: pa.DataType,
+) -> pa.Array:
+    from .block import decompress
+
+    n = colmeta["rows"]
+    null_count = colmeta["null_count"]
+    payload = decompress(value_seg, colmeta["compression"], colmeta["raw_len"])
+    values = decode_values(payload, colmeta["codec"], typ, n - null_count)
+    if not null_count:
+        return values
+    valid_np, _ = hybrid_decode_sized(validity_seg, 1, n)
+    valid = valid_np.astype(bool)
+    # Nulls re-enter via a take with null indices (vectorized scatter).
+    idx = np.cumsum(valid, dtype=np.int64) - 1
+    indices = pa.array(idx, mask=~valid)
+    return values.take(indices)

@@ -1,0 +1,190 @@
+"""Per-column codec auto-selection from sampled statistics.
+
+The reference only plumbs an ``allowDict`` flag and leaves the heuristic
+unimplemented ("depending on its heuristics", comment at
+/root/reference/datastore/column.go:37-41); its legality matrix lives in
+the per-type encoding lists (datastore/int32.go:24-32,
+datastore/byte-array.go:18-26, datastore/float.go:24,
+datastore/boolean.go:14-21). This module supplies the real selector the
+north rule demands (SURVEY.md §2.7):
+
+1. compute sampled stats — distinct ratio, mean run length, sortedness,
+   mean string length — on a deterministic head sample;
+2. stats prune the legal candidate list (e.g. dictionary only when the
+   distinct ratio is low, front coding only when sorted);
+3. the surviving candidates are *trial-encoded on the sample* and the
+   smallest wins. Deterministic given the input partition, so Ray task
+   retries reproduce identical blobs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SAMPLE_ROWS = 4096
+
+# Legality matrix (codec ids are engine-wide; see functions/column.py).
+_INT_CODECS = ("plain", "dict", "delta", "for")
+_FLOAT_CODECS = ("plain", "dict")
+_STRING_CODECS = ("plain", "dict", "delta_length", "delta_prefix", "fsst")
+_BOOL_CODECS = ("plain", "rle")
+
+
+def legal_codecs(typ: pa.DataType) -> tuple[str, ...]:
+    if pa.types.is_boolean(typ):
+        return _BOOL_CODECS
+    if pa.types.is_floating(typ):
+        return _FLOAT_CODECS
+    if (
+        pa.types.is_integer(typ)
+        or pa.types.is_timestamp(typ)
+        or pa.types.is_date(typ)
+    ):
+        return _INT_CODECS
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(
+        typ
+    ) or pa.types.is_large_binary(typ):
+        return _STRING_CODECS
+    return ("plain",)
+
+
+def column_stats(values: pa.Array, sample_rows: int = SAMPLE_ROWS) -> dict:
+    """Deterministic head-sample statistics over a null-free value array."""
+    n = len(values)
+    sample = values.slice(0, min(n, sample_rows))
+    ns = len(sample)
+    stats = {"n": n, "sample_n": ns}
+    if ns == 0:
+        stats.update(distinct_ratio=1.0, run_len=1.0, sortedness=1.0, avg_len=0.0)
+        return stats
+    distinct = pc.count_distinct(sample).as_py()
+    stats["distinct_ratio"] = distinct / ns
+    typ = values.type
+    is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+    is_bin = pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
+    if is_str or is_bin:
+        lens = pc.binary_length(sample).to_numpy(zero_copy_only=False)
+        stats["avg_len"] = float(lens.mean())
+        codes = pc.dictionary_encode(sample).indices.to_numpy(zero_copy_only=False)
+        changes = int((np.diff(codes) != 0).sum()) + 1
+        stats["run_len"] = ns / changes
+        stats["sortedness"] = _sortedness(codes)  # proxy: code order
+        # True byte-sortedness for front-coding decisions:
+        if ns > 1:
+            asc = pc.sum(
+                pc.less_equal(sample.slice(0, ns - 1), sample.slice(1, ns - 1))
+            ).as_py()
+            stats["sortedness"] = (asc or 0) / (ns - 1)
+    else:
+        stats["avg_len"] = 8.0
+        np_vals = _to_numpy_ints(sample)
+        if len(np_vals) > 1:
+            d = np.diff(np_vals)
+            changes = int((d != 0).sum()) + 1
+            stats["run_len"] = ns / changes
+            stats["sortedness"] = float((d >= 0).mean())
+        else:
+            stats["run_len"] = 1.0
+            stats["sortedness"] = 1.0
+    return stats
+
+
+def candidate_codecs(typ: pa.DataType, stats: dict) -> list[str]:
+    """Stats-pruned candidate list, ordered by prior preference."""
+    legal = legal_codecs(typ)
+    out: list[str] = []
+    dr = stats.get("distinct_ratio", 1.0)
+    sortedness = stats.get("sortedness", 0.0)
+    run_len = stats.get("run_len", 1.0)
+    if pa.types.is_boolean(typ):
+        return ["rle" if run_len >= 4 else "plain"]
+    if "dict" in legal and dr <= 0.2:
+        out.append("dict")
+    if "delta" in legal and (sortedness >= 0.8 or dr > 0.2):
+        out.append("delta")
+    if "for" in legal:
+        out.append("for")
+    if "delta_prefix" in legal and sortedness >= 0.8:
+        out.append("delta_prefix")
+    if "fsst" in legal and dr > 0.2 and stats.get("avg_len", 0) >= 16:
+        out.append("fsst")
+    if "delta_length" in legal and dr > 0.2:
+        out.append("delta_length")
+    if not out or "plain" in legal:
+        out.append("plain")
+    return out
+
+
+# Rough single-core encode throughput rank (higher = faster) — used only
+# to break near-ties, so a 100x-faster codec wins when sizes are within 5%.
+_SPEED_RANK = {
+    "plain": 5,
+    "delta_length": 5,
+    "for": 4,
+    "delta": 4,
+    "rle": 4,
+    "dict": 3,
+    "delta_prefix": 2,
+    "fsst": 1,  # pure-Python FSST; a C kernel would rank 4
+}
+# FSST trial-encodes ~1-2 MB/s in pure Python; cap its trial sample so
+# selection stays cheap per partition.
+_FSST_TRIAL_ROWS = 512
+
+
+def select_codec(
+    values: pa.Array, sample_rows: int = SAMPLE_ROWS
+) -> tuple[str, str, dict]:
+    """Pick (codec, compression) for a null-free value array.
+
+    Trial-encodes the pruned candidates on the head sample, measuring each
+    both raw and zstd-wrapped, and keeps the smallest (codec, compression)
+    pair; among candidates within 5% of the best size, the fastest codec
+    wins. Deterministic given the partition input.
+    """
+    from .block import compress
+    from .column import encode_values
+
+    typ = values.type
+    stats = column_stats(values, sample_rows)
+    cands = candidate_codecs(typ, stats)
+    n = len(values)
+    results = []  # (size, codec, compression)
+    for codec in cands:
+        rows = _FSST_TRIAL_ROWS if codec == "fsst" else sample_rows
+        sample = values.slice(0, min(n, rows))
+        try:
+            payload, _ = encode_values(sample, codec)
+        except Exception:
+            continue
+        # Normalize per-row so the fsst short sample stays comparable.
+        per_row = len(payload) / max(1, len(sample))
+        results.append((per_row, codec, "none"))
+        if len(payload) >= 64:
+            z = compress(payload, "zstd")
+            results.append((len(z) / max(1, len(sample)), codec, "zstd"))
+    if not results:
+        raise ValueError(f"no usable codec for type {typ}")
+    best_size = min(r[0] for r in results)
+    near = [r for r in results if r[0] <= best_size * 1.05 + 1e-9]
+    near.sort(key=lambda r: (-_SPEED_RANK.get(r[1], 0), r[0]))
+    size, codec, compression = near[0]
+    stats["sample_bytes_per_row"] = size
+    return codec, compression, stats
+
+
+def _sortedness(v: np.ndarray) -> float:
+    if len(v) <= 1:
+        return 1.0
+    return float((np.diff(v) >= 0).mean())
+
+
+def _to_numpy_ints(sample: pa.Array) -> np.ndarray:
+    typ = sample.type
+    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ):
+        sample = sample.cast(pa.int64())
+    elif pa.types.is_date32(typ):
+        sample = sample.cast(pa.int32())
+    return sample.to_numpy(zero_copy_only=False)
