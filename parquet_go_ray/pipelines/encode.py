@@ -1,0 +1,144 @@
+"""The flagship pipeline: transcript Parquet → encoded partition blobs.
+
+Lifecycle (SURVEY.md §3.4):
+
+    read_parquet (column-pruned, fragment-sharded)
+      → map_batches(assign_buckets)        # salted conv_id hash, zero-copy Arrow
+      → [resume] map_batches(filter)       # drop rows of completed partitions
+      → groupby(_bucket).map_groups(EncoderActor, concurrency=N)
+           # one all-to-all shuffle; per group: sort (conv_id, turn_idx),
+           # auto-select codecs, encode, atomically write blob + lineage
+      → summaries (one tiny row per partition) → driver aggregate
+
+The ONLY full-data shuffle is the groupby; everything else is streaming
+map_batches over zero-copy Arrow blocks. Skew is handled in the bucket
+key itself (stages/salt.py). Memory: a group is bounded by
+rows_per_partition plus the per-conversation salt cap.
+
+This module never calls ray.init() — the driver owns the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+
+import ray
+
+from ..stages.encoder import EncoderActor
+from ..stages.salt import BUCKET_COL, DEFAULT_TURNS_PER_SALT, assign_buckets
+from ..state import manifest as mf
+
+DEFAULT_ROWS_PER_PARTITION = 250_000
+
+
+def encode_pipeline(
+    input_path: str | list[str] | ray.data.Dataset,
+    checkpoint_dir: str,
+    *,
+    columns: list[str] | None = None,
+    key: str = "conv_id",
+    turn_col: str = "turn_idx",
+    rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION,
+    turns_per_salt: int = DEFAULT_TURNS_PER_SALT,
+    num_buckets: int | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+    choices: dict | None = None,
+) -> dict:
+    """Run the encode job; returns the run summary (also written to
+    ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
+    completed partitions are filtered out before the shuffle."""
+    t0 = time.time()
+    if isinstance(input_path, ray.data.Dataset):
+        ds = input_path
+        input_files = ds.input_files()
+    else:
+        ds = ray.data.read_parquet(input_path, columns=columns)
+        input_files = ds.input_files()
+
+    total_rows = ds.count()  # parquet metadata only — no data read
+    if num_buckets is None:
+        num_buckets = max(1, -(-total_rows // rows_per_partition))
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    run_path = os.path.join(checkpoint_dir, "run.json")
+    run_cfg = {
+        "num_buckets": num_buckets,
+        "turns_per_salt": turns_per_salt,
+        "key": key,
+        "input_files": input_files,
+    }
+    if os.path.exists(run_path):
+        with open(run_path) as f:
+            prev = json.load(f)
+        if prev["num_buckets"] != num_buckets or prev["turns_per_salt"] != turns_per_salt:
+            raise ValueError(
+                "resume config mismatch: partitioning params changed "
+                f"({prev['num_buckets']}/{prev['turns_per_salt']} -> "
+                f"{num_buckets}/{turns_per_salt}); use a fresh checkpoint dir"
+            )
+    else:
+        with open(run_path, "w") as f:
+            json.dump(run_cfg, f)
+
+    completed = mf.completed_partitions(checkpoint_dir)
+
+    ds = ds.map_batches(
+        assign_buckets,
+        fn_kwargs={
+            "num_buckets": num_buckets,
+            "key": key,
+            "turn_col": turn_col,
+            "turns_per_salt": turns_per_salt,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    if completed:
+        done_ids = {int(p) for p in completed}
+
+        def _drop_done(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            b = batch.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+            mask = ~np.isin(b, list(done_ids))
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(_drop_done, batch_format="pyarrow", zero_copy_batch=True)
+
+    summaries = ds.groupby(BUCKET_COL).map_groups(
+        EncoderActor,
+        fn_constructor_kwargs={
+            "checkpoint_dir": checkpoint_dir,
+            "sort_keys": (key, turn_col),
+            "choices": choices,
+        },
+        batch_format="pyarrow",
+        # Autoscaling actor pool; encode is CPU-bound -> 1 CPU per actor.
+        concurrency=concurrency or (1, 32),
+        num_cpus=1,
+    )
+    rows = summaries.take_all()  # tiny: one row per partition
+
+    encoded_rows = sum(r["rows"] for r in rows if not r["skipped"])
+    blob_bytes = sum(r["blob_bytes"] for r in rows)
+    raw_bytes = sum(r["raw_bytes"] for r in rows)
+    elapsed = time.time() - t0
+    summary = {
+        "partitions": len(rows),
+        "partitions_skipped": sum(1 for r in rows if r["skipped"]),
+        "rows_total": int(sum(r["rows"] for r in rows)),
+        "rows_encoded": int(encoded_rows),
+        "raw_bytes": int(raw_bytes),
+        "blob_bytes": int(blob_bytes),
+        "elapsed_sec": elapsed,
+        "turns_per_sec": (encoded_rows / elapsed) if elapsed > 0 else 0.0,
+        "bytes_per_turn": (blob_bytes / max(1, sum(r["rows"] for r in rows))),
+        "num_buckets": num_buckets,
+    }
+    with open(os.path.join(checkpoint_dir, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary

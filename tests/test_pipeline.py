@@ -1,0 +1,127 @@
+"""End-to-end Ray Data pipeline tests: encode → decode → verify, resume,
+salting. Ray is initialised once per session (conftest.ray_session)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.sources.transcripts import generate_transcripts
+from parquet_go_ray.stages.salt import assign_buckets, stable_hash_strings
+from parquet_go_ray.state import manifest as mf
+from parquet_go_ray.state.blob import decode_table
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(tmp_path_factory):
+    path = tmp_path_factory.mktemp("input")
+    t = generate_transcripts(8000, seed=42)
+    pq.write_table(t, str(path / "transcripts-0000.parquet"), row_group_size=2048)
+    return str(path), t
+
+
+def test_salting_is_deterministic_and_splits_hot_keys():
+    t = generate_transcripts(5000, seed=11)
+    b1 = assign_buckets(t, num_buckets=8, turns_per_salt=16)
+    b2 = assign_buckets(t, num_buckets=8, turns_per_salt=16)
+    assert b1.column("_bucket").equals(b2.column("_bucket"))
+    # A conversation longer than turns_per_salt lands in >1 bucket.
+    df = b1.select(["conv_id", "_bucket"]).to_pandas()
+    sizes = df.groupby("conv_id")["_bucket"].nunique()
+    lens = df.groupby("conv_id").size()
+    hot = lens[lens > 16 * 4]
+    if len(hot):
+        assert (sizes[hot.index] > 1).any()
+
+
+def test_stable_hash_cross_call():
+    a = stable_hash_strings(["conv-1", "conv-2"])
+    b = stable_hash_strings(np.array(["conv-1", "conv-2"], dtype=object))
+    assert (a == b).all()
+
+
+def test_encode_decode_verify(ray_session, transcripts_parquet, tmp_path):
+    import ray
+
+    from parquet_go_ray.pipelines.decode import decode_pipeline
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    input_dir, original = transcripts_parquet
+    ckpt = str(tmp_path / "ckpt")
+    summary = encode_pipeline(
+        input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2)
+    )
+    assert summary["rows_encoded"] == original.num_rows
+    assert summary["partitions"] >= 4
+    assert summary["blob_bytes"] < summary["raw_bytes"]
+
+    decoded = decode_pipeline(ckpt, concurrency=(1, 2))
+    result = verify_roundtrip(
+        ray.data.read_parquet(input_dir), decoded
+    )
+    assert result["match"], result
+
+    # Per-key bit-exactness, driver-side on the small test table.
+    df_in = original.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    df_out = (
+        decoded.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    for col in original.column_names:
+        assert df_in[col].equals(df_out[col]), col
+
+
+def test_resume_skips_completed(ray_session, transcripts_parquet, tmp_path):
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    input_dir, original = transcripts_parquet
+    ckpt = str(tmp_path / "ckpt_resume")
+    s1 = encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2))
+    assert s1["partitions_skipped"] == 0
+
+    # Simulate a partial run: delete one partition's blob+entry.
+    victim = sorted(mf.completed_partitions(ckpt))[0]
+    os.remove(mf.blob_path(ckpt, victim))
+    os.remove(mf.entry_path(ckpt, victim))
+
+    s2 = encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2))
+    # Only the victim partition re-encodes; all others are filtered out
+    # before the shuffle (their rows never reach the encoder).
+    assert s2["partitions"] == 1
+    assert s2["rows_encoded"] < original.num_rows
+    assert mf.completed_partitions(ckpt) == mf.completed_partitions(ckpt) | {victim}
+
+    # And a third run is a full no-op.
+    s3 = encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2))
+    assert s3["rows_encoded"] == 0
+
+
+def test_resume_rejects_partitioning_change(ray_session, transcripts_parquet, tmp_path):
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    input_dir, _ = transcripts_parquet
+    ckpt = str(tmp_path / "ckpt_cfg")
+    encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2))
+    with pytest.raises(ValueError, match="resume config mismatch"):
+        encode_pipeline(input_dir, ckpt, rows_per_partition=999, concurrency=(1, 2))
+
+
+def test_partition_blobs_are_sorted_within(ray_session, transcripts_parquet, tmp_path):
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    input_dir, _ = transcripts_parquet
+    ckpt = str(tmp_path / "ckpt_sorted")
+    encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 2))
+    pid = sorted(mf.completed_partitions(ckpt))[0]
+    with open(mf.blob_path(ckpt, pid), "rb") as f:
+        t = decode_table(f.read())
+    df = t.select(["conv_id", "turn_idx"]).to_pandas()
+    assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
+        df.reset_index(drop=True)
+    )
+    # Lineage entry carries codec choices + bucket fragment id.
+    entry = mf.read_entry(ckpt, pid)
+    assert entry["input_fragments"] == [f"bucket={int(pid)}"]
+    assert "codec" in entry["columns"]["text"]
