@@ -1,44 +1,378 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() + oracle_sql() for
+the DuckDB correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import; nothing here calls
+ray.init()/ray.shutdown(). Column names in each query match its oracle
+SQL exactly (the driver hash-compares values after sorting columns by
+name).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _read(
+    sf_dir: str, name: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{name}.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------------------
+# Engine round-trips: encode every column with the auto-selector, decode,
+# return the decoded table. Oracle = SELECT * (bit-exact decode gate).
+
+
+def _roundtrip(sf_dir: str, table: str) -> ray.data.Dataset:
+    from parquet_go_ray.stages.encoder import DecoderActor
+    from parquet_go_ray.state.blob import encode_table
+
+    ds = _read(sf_dir, table)
+
+    def encode_decode(batch: pa.Table) -> pa.Table:
+        from parquet_go_ray.state.blob import decode_table as dec
+
+        blob, _ = encode_table(batch)
+        return dec(blob)
+
+    return ds.map_batches(
+        encode_decode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full salted-shuffle encode pipeline on sf0.001 transcripts
+    (synthesized deterministically), then stream-decode and return the
+    decoded Dataset. Smoke-checks the whole engine path."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.decode import decode_pipeline
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+    from parquet_go_ray.sources.transcripts import generate_transcripts
+
+    work = tempfile.mkdtemp(prefix="pgr_entry_")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    pq.write_table(
+        generate_transcripts(5000, seed=42),
+        os.path.join(input_dir, "transcripts-0000.parquet"),
+    )
+    ckpt = os.path.join(work, "ckpt")
+    encode_pipeline(input_dir, ckpt, rows_per_partition=2000, concurrency=(1, 4))
+    return decode_pipeline(ckpt, concurrency=(1, 4))
+
+
+# ---------------------------------------------------------------------------
+# queries / oracle pairs
+
+
+def _q_roundtrip(table: str) -> Callable[[str], Any]:
+    return lambda sf_dir: _roundtrip(sf_dir, table)
+
+
+_STAT_COLS = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_orderkey", "okey")]
+
+
+def _q_column_stats_lineitem(sf_dir: str):
+    """Per-column min/max from the engine's encode-path stat store
+    (functions/column.py _stats), computed per batch and min/max-reduced —
+    exactly how per-partition stats roll up into the manifest."""
+    from parquet_go_ray.functions.column import encode_column
+
+    ds = _read(sf_dir, "lineitem", columns=[c for c, _ in _STAT_COLS])
+
+    def batch_stats(batch: pa.Table) -> pa.Table:
+        out = {}
+        for col, alias in _STAT_COLS:
+            _, _, meta = encode_column(batch.column(col), "plain")
+            out[f"{alias}_min"] = [float(meta["stats"]["min"])]
+            out[f"{alias}_max"] = [float(meta["stats"]["max"])]
+        out["n_rows"] = [batch.num_rows]
+        return pa.table(out)
+
+    parts = ds.map_batches(
+        batch_stats, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    out = {}
+    for _, alias in _STAT_COLS:
+        out[f"{alias}_min"] = [min(p[f"{alias}_min"] for p in parts)]
+        out[f"{alias}_max"] = [max(p[f"{alias}_max"] for p in parts)]
+    out["n_rows"] = [int(sum(p["n_rows"] for p in parts))]
+    return pa.table(out)
+
+
+def _q_dict_cardinality_documents(sf_dir: str):
+    from parquet_go_ray.functions.dictionary import dict_encode
+
+    tab = _read(sf_dir, "documents").take_batch(10**9, batch_format="pyarrow")
+    out = {}
+    for col in ("lang", "source"):
+        _, meta = dict_encode(tab.column(col).combine_chunks())
+        out[f"{col}_cardinality"] = [meta["dict_count"]]
+    return pa.table(out)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_exact
+
+    return dedup_exact(_read(sf_dir, "documents"))
+
+
+def _q_token_count(sf_dir: str):
+    from parquet_go_ray.ops.text import apply, token_count_batch
+
+    ds = apply(_read(sf_dir, "documents"), token_count_batch)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+    )
+
+
+def _q_quality(sf_dir: str):
+    from parquet_go_ray.ops.text import apply, quality_batch
+
+    ds = apply(_read(sf_dir, "documents"), quality_batch)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_chars", "n_tokens", "chars_per_token"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    from parquet_go_ray.ops.text import apply, fingerprint_batch
+
+    ds = apply(_read(sf_dir, "documents"), fingerprint_batch)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
+    )
+
+
+def _q_events_agg(sf_dir: str):
+    ds = _read(sf_dir, "events")
+    agg = ds.groupby("event_type").aggregate(
+        ray.data.aggregate.Count(),
+        ray.data.aggregate.Min("value"),
+        ray.data.aggregate.Max("value"),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": batch.column("count()").cast(pa.int64()),
+                "value_min": batch.column("min(value)"),
+                "value_max": batch.column("max(value)"),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_lineitem_agg(sf_dir: str):
+    ds = _read(sf_dir, "lineitem")
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        ray.data.aggregate.Sum("l_quantity"),
+        ray.data.aggregate.Count(),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": batch.column("sum(l_quantity)"),
+                "count_order": batch.column("count()").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_events_filter(sf_dir: str):
+    ds = _read(sf_dir, "events")
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.equal(batch.column("event_type"), "click")
+        return batch.filter(mask).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_ann(sf_dir: str):
+    from parquet_go_ray.ops.ann import _emb_matrix, ann_topk
+
+    ds = _read(sf_dir, "embeddings")
+    head = ds.take_batch(10, batch_format="pyarrow")
+    queries = _emb_matrix(head, "embedding")
+    qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    out = ann_topk(ds, queries, k=5)
+    qid_map = pa.array(qids[out.column("query_id").to_numpy()], pa.int64())
+    return pa.table(
+        {
+            "query_id": qid_map,
+            "vec_id": out.column("vec_id"),
+            "rank": out.column("rank").cast(pa.int64()),
+        }
+    )
+
+
+def _q_dedup_minhash(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_minhash
+
+    return dedup_minhash(_read(sf_dir, "documents"))
+
+
+def _q_dedup_simhash(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_simhash
+
+    return dedup_simhash(_read(sf_dir, "documents"), max_hamming=3)
+
+
+def _q_langid(sf_dir: str):
+    from parquet_go_ray.ops.text import apply, langid_batch
+
+    ds = apply(_read(sf_dir, "documents"), langid_batch)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
+    )
+
+
+def _q_rolling_fp(sf_dir: str):
+    from parquet_go_ray.ops.text import apply, rolling_fingerprint_batch
+
+    ds = apply(_read(sf_dir, "documents"), rolling_fingerprint_batch)
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "rolling_fp"]), batch_format="pyarrow"
+    )
+
+
+def _q_encode_manifest(sf_dir: str):
+    """Run the checkpointed encode pipeline over synthesized transcripts;
+    return the per-partition lineage (rows-only check: non-SQL)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+    from parquet_go_ray.sources.transcripts import generate_transcripts
+    from parquet_go_ray.state import manifest as mf
+
+    work = tempfile.mkdtemp(prefix="pgr_q_")
+    input_dir = os.path.join(work, "input")
+    os.makedirs(input_dir)
+    pq.write_table(
+        generate_transcripts(4000, seed=42),
+        os.path.join(input_dir, "t.parquet"),
+    )
+    ckpt = os.path.join(work, "ckpt")
+    encode_pipeline(input_dir, ckpt, rows_per_partition=1000, concurrency=(1, 4))
+    entries = mf.read_manifest(ckpt)
+    return pa.table(
+        {
+            "partition_id": list(entries),
+            "rows": [e["rows"] for e in entries.values()],
+            "blob_bytes": [e["blob_bytes"] for e in entries.values()],
+            "text_codec": [e["columns"]["text"]["codec"] for e in entries.values()],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "roundtrip_documents": _q_roundtrip("documents"),
+        "roundtrip_events": _q_roundtrip("events"),
+        "roundtrip_lineitem": _q_roundtrip("lineitem"),
+        "roundtrip_customer": _q_roundtrip("customer"),
+        "roundtrip_orders": _q_roundtrip("orders"),
+        "column_stats_lineitem": _q_column_stats_lineitem,
+        "dict_cardinality_documents": _q_dict_cardinality_documents,
+        "dedup_exact_documents": _q_dedup_exact,
+        "token_count_documents": _q_token_count,
+        "quality_documents": _q_quality,
+        "fingerprint_documents": _q_fingerprint,
+        "events_agg": _q_events_agg,
+        "lineitem_agg": _q_lineitem_agg,
+        "events_filter_click": _q_events_filter,
+        "ann_cosine_embeddings": _q_ann,
+        # rows-only (non-SQL-expressible):
+        "dedup_minhash_documents": _q_dedup_minhash,
+        "dedup_simhash_documents": _q_dedup_simhash,
+        "langid_documents": _q_langid,
+        "rolling_fingerprint_documents": _q_rolling_fp,
+        "encode_manifest_transcripts": _q_encode_manifest,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "roundtrip_documents": "SELECT * FROM documents",
+        "roundtrip_events": "SELECT * FROM events",
+        "roundtrip_lineitem": "SELECT * FROM lineitem",
+        "roundtrip_customer": "SELECT * FROM customer",
+        "roundtrip_orders": "SELECT * FROM orders",
+        "column_stats_lineitem": (
+            "SELECT CAST(min(l_quantity) AS DOUBLE) AS qty_min,"
+            " CAST(max(l_quantity) AS DOUBLE) AS qty_max,"
+            " CAST(min(l_extendedprice) AS DOUBLE) AS price_min,"
+            " CAST(max(l_extendedprice) AS DOUBLE) AS price_max,"
+            " CAST(min(l_orderkey) AS DOUBLE) AS okey_min,"
+            " CAST(max(l_orderkey) AS DOUBLE) AS okey_max,"
+            " count(*) AS n_rows FROM lineitem"
+        ),
+        "dict_cardinality_documents": (
+            "SELECT count(DISTINCT lang) AS lang_cardinality,"
+            " count(DISTINCT source) AS source_cardinality FROM documents"
+        ),
+        "dedup_exact_documents": (
+            "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_count_documents": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
+            " AS n_tokens FROM documents"
+        ),
+        "quality_documents": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
+            " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
+            " CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)"
+            " AS chars_per_token FROM documents"
+        ),
+        "fingerprint_documents": (
+            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "events_agg": (
+            "SELECT event_type, count(*) AS n, min(value) AS value_min,"
+            " max(value) AS value_max FROM events GROUP BY event_type"
+        ),
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
+            " count(*) AS count_order FROM lineitem"
+            " GROUP BY l_returnflag, l_linestatus"
+        ),
+        "events_filter_click": (
+            "SELECT event_id, user_id, value FROM events"
+            " WHERE event_type = 'click'"
+        ),
+        "ann_cosine_embeddings": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
+            " ORDER BY vec_id LIMIT 10),"
+            " scored AS (SELECT q.query_id, e.vec_id,"
+            "  list_cosine_similarity(q.embedding, e.embedding) AS score,"
+            "  row_number() OVER (PARTITION BY q.query_id"
+            "   ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,"
+            "   e.vec_id) AS rank"
+            "  FROM q CROSS JOIN embeddings e)"
+            " SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank"
+            " FROM scored WHERE rank <= 5"
+        ),
+    }
