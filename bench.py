@@ -1,0 +1,203 @@
+"""Benchmark harness. Prints ONE JSON line with per-query seconds.
+
+Headline: the flagship transcripts encode pipeline (turns/sec) over a
+deterministic synthetic transcript table sized to the scale factor of
+$GRAFT_SF_DIR (cached under /tmp between runs), plus the engine ops over
+the driver testdata tables.
+
+  python bench.py              # bench at $GRAFT_SF_DIR (default sf0.1)
+  python bench.py --scaling    # same encode job at 8 and 32 CPUs in
+                               # fresh processes -> scaling efficiency
+
+RAY_GRAFT_CPUS controls num_cpus (default 32). This script OWNS its Ray
+session (init + shutdown) — library code never does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+TURNS_PER_SF = 5_000_000  # sf0.1 -> 500k turns
+SEED = 42
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def transcripts_input_dir(sf: float) -> str:
+    """Generate (once, cached) the sharded transcript parquet for this sf."""
+    from parquet_go_ray.sources.transcripts import write_transcripts_parquet
+
+    turns = max(2000, int(TURNS_PER_SF * sf))
+    path = f"/tmp/pgr_bench_transcripts_sf{sf}_s{SEED}"
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        write_transcripts_parquet(path, turns, seed=SEED, shards=8)
+        with open(marker, "w") as f:
+            f.write(str(turns))
+    return path
+
+
+def run_encode(input_dir: str, concurrency=None) -> dict:
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    ckpt = tempfile.mkdtemp(prefix="pgr_bench_ckpt_")
+    try:
+        return encode_pipeline(
+            input_dir, ckpt, rows_per_partition=100_000, concurrency=concurrency
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def bench_queries(sf_dir: str) -> tuple[dict, dict]:
+    """Time the headline + op pipelines; returns (seconds, extras)."""
+    import numpy as np
+
+    import ray
+
+    q: dict[str, float] = {}
+    extras: dict = {}
+
+    sf = sf_from_dir(sf_dir)
+    tdir = transcripts_input_dir(sf)
+
+    t0 = time.time()
+    summary = run_encode(tdir)
+    q["encode_transcripts"] = time.time() - t0
+    extras["turns_per_sec"] = summary["rows_encoded"] / q["encode_transcripts"]
+    extras["bytes_per_turn"] = summary["bytes_per_turn"]
+    extras["rows_encoded"] = summary["rows_encoded"]
+
+    # Decode+verify throughput over a fresh checkpoint (kept this time).
+    from parquet_go_ray.pipelines.decode import decode_pipeline
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    ckpt = tempfile.mkdtemp(prefix="pgr_bench_dec_")
+    encode_pipeline(tdir, ckpt, rows_per_partition=100_000)
+    t0 = time.time()
+    decoded_rows = decode_pipeline(ckpt).count()
+    q["decode_transcripts"] = time.time() - t0
+    extras["decoded_rows"] = decoded_rows
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    import __ray_entry__ as em
+
+    def consume(result):
+        if isinstance(result, ray.data.Dataset):
+            n = 0
+            for b in result.iter_batches(batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(result)
+
+    queries = em.queries()
+    for name in (
+        "roundtrip_documents",
+        "roundtrip_lineitem",
+        "dedup_exact_documents",
+        "dedup_minhash_documents",
+        "token_count_documents",
+        "quality_documents",
+        "langid_documents",
+        "ann_cosine_embeddings",
+    ):
+        t0 = time.time()
+        consume(queries[name](sf_dir))
+        q[name] = time.time() - t0
+    return q, extras
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    try:
+        q, extras = bench_queries(SF_DIR)
+    finally:
+        ray.shutdown()
+    total = sum(q.values())
+    return {
+        "metric": "graft_bench_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in q.items()},
+        "sf": sf_from_dir(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
+    }
+
+
+def _scaling_child(cpus: int) -> dict:
+    """Run only the headline encode at a given CPU count, fresh process."""
+    code = (
+        "import json, os, sys, time\n"
+        "sys.path.insert(0, '/root/repo')\n"
+        "import ray\n"
+        f"ray.init(address='local', num_cpus={cpus}, include_dashboard=False)\n"
+        "import bench\n"
+        f"tdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}))\n"
+        "t0 = time.time(); s = bench.run_encode(tdir); el = time.time() - t0\n"
+        "print(json.dumps({'cpus': %d, 'elapsed': el, 'rows': s['rows_encoded'],\n"
+        "                  'turns_per_sec': s['rows_encoded'] / el}))\n"
+        "ray.shutdown()\n" % cpus
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+        cwd="/root/repo",
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
+
+
+def run_scaling() -> dict:
+    # Pre-generate the input once so neither child pays for it.
+    transcripts_input_dir(sf_from_dir(SF_DIR))
+    lo = _scaling_child(8)
+    hi = _scaling_child(32)
+    speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
+    efficiency = speedup / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32_cpus",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "queries": {
+            "encode_transcripts_8cpu": round(lo["elapsed"], 3),
+            "encode_transcripts_32cpu": round(hi["elapsed"], 3),
+        },
+        "sf": sf_from_dir(SF_DIR),
+        "num_cpus": 32,
+        "turns_per_sec_8cpu": round(lo["turns_per_sec"], 1),
+        "turns_per_sec_32cpu": round(hi["turns_per_sec"], 1),
+        "speedup": round(speedup, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

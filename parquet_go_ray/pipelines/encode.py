@@ -55,11 +55,22 @@ def encode_pipeline(
     if isinstance(input_path, ray.data.Dataset):
         ds = input_path
         input_files = ds.input_files()
+        total_rows = ds.count()
     else:
-        ds = ray.data.read_parquet(input_path, columns=columns)
-        input_files = ds.input_files()
-
-    total_rows = ds.count()  # parquet metadata only — no data read
+        probe = ray.data.read_parquet(input_path, columns=columns)
+        input_files = probe.input_files()
+        total_rows = probe.count()  # parquet metadata only — no data read
+        if num_buckets is None:
+            num_buckets = max(1, -(-total_rows // rows_per_partition))
+        # Shuffle cost scales with block COUNT, not just bytes: target a few
+        # blocks per bucket and at least one per core, never thousands of
+        # tiny blocks (measured 4x end-to-end on the sf0.1 bench).
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        blocks = max(cpus, 2 * num_buckets)
+        blocks = min(blocks, max(1, total_rows // 5000))
+        ds = ray.data.read_parquet(
+            input_path, columns=columns, override_num_blocks=blocks
+        )
     if num_buckets is None:
         num_buckets = max(1, -(-total_rows // rows_per_partition))
 

@@ -1,0 +1,179 @@
+"""Training-data ops tests: dedup, text analysis, ANN."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_ray.ops.dedup import (
+    minhash_signatures,
+    ngram_jaccard,
+    simhash64,
+)
+
+
+def test_minhash_estimates_jaccard():
+    a = b"the quick brown fox jumps over the lazy dog and runs far away home"
+    b_ = b"the quick brown fox jumps over the lazy cat and runs far away home"
+    c = b"completely different content with nothing shared at all zzz qqq"
+    sigs = minhash_signatures([a, b_, c], num_perm=128)
+    est_ab = (sigs[0] == sigs[1]).mean()
+    est_ac = (sigs[0] == sigs[2]).mean()
+    true_ab = ngram_jaccard(a, b_, 5)
+    assert abs(est_ab - true_ab) < 0.2
+    assert est_ac < 0.2 < est_ab
+
+
+def test_minhash_deterministic():
+    texts = [b"hello world foo bar"] * 3
+    s1 = minhash_signatures(texts)
+    s2 = minhash_signatures(texts)
+    assert (s1 == s2).all()
+    assert (s1[0] == s1[1]).all()  # identical docs, identical sigs
+
+
+def test_simhash_near_duplicates_close():
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    near = base.replace("dog", "cat", 1)
+    far = "totally unrelated words about databases and columnar storage " * 5
+    h = simhash64([base, near, far])
+    d_near = bin(int(h[0]) ^ int(h[1])).count("1")
+    d_far = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert d_near < d_far
+
+
+def test_ngram_jaccard_bounds():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdefgh", "zzzzzzzz") == 0.0
+    assert 0.0 < ngram_jaccard("abcdefgh", "abcdefgx") < 1.0
+
+
+class TestRayOps:
+    @pytest.fixture()
+    def docs_ds(self, ray_session):
+        import ray
+
+        texts = (
+            ["unique document number %d with content" % i for i in range(50)]
+            + ["duplicated corpus entry shared text"] * 5
+        )
+        t = pa.table(
+            {"doc_id": pa.array(range(55), pa.int64()), "text": pa.array(texts)}
+        )
+        return ray.data.from_arrow(t)
+
+    def test_dedup_exact(self, docs_ds):
+        from parquet_go_ray.ops.dedup import dedup_exact
+
+        ids = sorted(r["doc_id"] for r in dedup_exact(docs_ds).iter_rows())
+        assert len(ids) == 51  # 50 unique + 1 survivor of the 5 dups
+        assert 50 in ids and 51 not in ids
+
+    def test_dedup_minhash_collapses_near_dups(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_minhash
+
+        rng = np.random.default_rng(0)
+        base = "the quick brown fox jumps over the lazy dog in the warm sun "
+        texts = [base * 4, (base * 4).replace("dog", "dig", 1)] + [
+            " ".join(
+                "".join(rng.choice(list("abcdefghijklmnop"), 7)) for _ in range(40)
+            )
+            for _ in range(20)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+        )
+        ids = sorted(r["doc_id"] for r in dedup_minhash(ds, threshold=0.6).iter_rows())
+        assert 0 in ids and 1 not in ids  # near-dup pair collapsed to min id
+        assert len(ids) == 21
+
+    def test_dedup_simhash_collapses_near_dups(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_simhash
+
+        base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+        texts = [base, base.replace("theta", "thetb", 1)] + [
+            f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(30)) for i in range(15)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+        )
+        ids = sorted(r["doc_id"] for r in dedup_simhash(ds, max_hamming=8).iter_rows())
+        assert 0 in ids and 1 not in ids
+
+    def test_ann_topk_exact(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.ann import ann_topk
+
+        rng = np.random.default_rng(3)
+        emb = rng.normal(size=(200, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        out = ann_topk(ds, emb[:3].astype(np.float64), k=4)
+        df = out.to_pandas()
+        # rank 1 of query i is vector i itself (cosine 1.0)
+        top1 = df[df["rank"] == 1].sort_values("query_id")
+        assert top1["vec_id"].tolist() == [0, 1, 2]
+        assert len(df) == 12
+        # Brute-force check for query 0.
+        emb64 = emb.astype(np.float64)
+        n = emb64 / np.linalg.norm(emb64, axis=1, keepdims=True)
+        scores = n @ n[0]
+        expect = set(np.argsort(-scores)[:4])
+        got = set(df[df["query_id"] == 0]["vec_id"])
+        assert got == expect
+
+    def test_ann_ivf_mostly_agrees(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.ann import ann_ivf, ann_topk
+
+        rng = np.random.default_rng(4)
+        emb = rng.normal(size=(300, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        q = emb[:2].astype(np.float64)
+        exact = ann_topk(ds, q, k=3).to_pandas()
+        approx = ann_ivf(ds, q, k=3, n_clusters=8, n_probe=4).to_pandas()
+        # Self-match must survive bucketing.
+        assert set(approx[approx["rank"] == 1]["vec_id"]) >= {0, 1} or len(
+            set(exact["vec_id"]) & set(approx["vec_id"])
+        ) >= 3
+
+    def test_langid_scripts(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.text import apply, langid_batch
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat sat on the mat and it was the best of all",
+                        "der hund ist in den garten gelaufen und hat die katze gesehen",
+                        "这是一个中文文档 包含很多汉字 用于测试语言识别",
+                        "это русский текст для проверки определения языка",
+                    ]
+                ),
+            }
+        )
+        out = apply(ray.data.from_arrow(t), langid_batch).to_pandas()
+        pred = out.sort_values("doc_id")["lang_pred"].tolist()
+        assert pred[0] == "en"
+        assert pred[1] == "de"
+        assert pred[2] == "zh"
+        assert pred[3] == "ru"
