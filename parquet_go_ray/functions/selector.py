@@ -130,8 +130,8 @@ _SPEED_RANK = {
     "fsst": 1,  # pure-Python FSST; a C kernel would rank 4
 }
 # FSST trial-encodes ~1-2 MB/s in pure Python; cap its trial sample so
-# selection stays cheap per partition.
-_FSST_TRIAL_ROWS = 512
+# selection stays cheap per partition (~30ms, measured).
+_FSST_TRIAL_ROWS = 160
 
 
 def select_codec(

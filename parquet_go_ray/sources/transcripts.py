@@ -86,14 +86,17 @@ def generate_transcripts(
     rng = np.random.default_rng((seed, start_conv))
     vocab = _vocab(rng)
 
-    conv_lens = []
+    # Heavy-tailed conversation lengths, clipped to [1, 500]; drawn in
+    # vectorized chunks until the turn budget is covered.
+    chunks = []
     total = 0
     while total < num_turns:
-        # Heavy-tailed conversation lengths, clipped to [1, 500].
-        ln = int(min(500, max(1, rng.zipf(1.3))))
-        conv_lens.append(ln)
-        total += ln
-    conv_lens = np.array(conv_lens, dtype=np.int64)
+        draw = np.clip(rng.zipf(1.3, size=max(1024, num_turns // 4)), 1, 500)
+        chunks.append(draw)
+        total += int(draw.sum())
+    all_lens = np.concatenate(chunks).astype(np.int64)
+    cut = int(np.searchsorted(np.cumsum(all_lens), num_turns)) + 1
+    conv_lens = all_lens[:cut]
     n = int(conv_lens.sum())
     n_convs = len(conv_lens)
 
@@ -118,29 +121,23 @@ def generate_transcripts(
     gap_base = np.repeat(gap_cum[conv_starts] - gaps[conv_starts], conv_lens)
     ts = np.repeat(base, conv_lens) + (gap_cum - gap_base)
 
-    # Text: 1% empty; else boilerplate phrase ~50% + token soup.
+    # Text: 1% empty; else boilerplate phrase ~50% + token soup. Built
+    # fully vectorized as one utf-8 buffer + offsets (no per-row Python),
+    # so multi-million-turn bench inputs generate in seconds.
     n_words = np.maximum(1, rng.lognormal(2.2, 1.0, n).astype(np.int64))
     n_words = np.minimum(n_words, 600)
     empty = rng.random(n) < 0.01
     n_words[empty] = 0
-    total_words = int(n_words.sum())
-    words = rng.choice(vocab, size=total_words)
-    bounds = np.concatenate(([0], np.cumsum(n_words)))
-    use_phrase = rng.random(n) < 0.5
+    use_phrase = (rng.random(n) < 0.5) & ~empty
     phrase_pick = rng.integers(0, len(_PHRASES), n)
-    texts = []
-    for i in range(n):
-        body = " ".join(words[bounds[i] : bounds[i + 1]])
-        if use_phrase[i] and not empty[i]:
-            body = f"{_PHRASES[phrase_pick[i]]} {body}"
-        texts.append(body)
+    text_arr = _build_text_array(rng, vocab, n_words, use_phrase, phrase_pick)
 
     return pa.Table.from_arrays(
         [
             pa.array(conv_id, pa.string()),
             pa.array(turn_idx, pa.int32()),
             pa.array(role, pa.string()),
-            pa.array(texts, pa.string()),
+            text_arr,
             pa.array(tool.tolist(), pa.string()),
             pa.array(ts, pa.timestamp("us")),
         ],
@@ -148,21 +145,88 @@ def generate_transcripts(
     )
 
 
-def write_transcripts_parquet(
-    path: str, num_turns: int, seed: int = 42, shards: int = 1
-) -> list[str]:
-    """Write sharded transcript parquet files (one per shard, disjoint
-    conversations) — the bench/test input when no external data exists."""
+def _build_text_array(
+    rng: np.random.Generator,
+    vocab: np.ndarray,
+    n_words: np.ndarray,
+    use_phrase: np.ndarray,
+    phrase_pick: np.ndarray,
+) -> pa.Array:
+    """Assemble all texts as one byte buffer + offsets, vectorized.
+
+    Each row is a sequence of "units" (an optional boilerplate phrase +
+    soup words) joined by single spaces; units gather their bytes from a
+    concatenated vocabulary buffer with two ragged scatters.
+    """
+    n = len(n_words)
+    units_vocab = [w.encode() for w in vocab] + [p.encode() for p in _PHRASES]
+    u_lens = np.array([len(b) for b in units_vocab], dtype=np.int64)
+    u_buf = np.frombuffer(b"".join(units_vocab), dtype=np.uint8)
+    u_starts = np.concatenate(([0], np.cumsum(u_lens)))[:-1]
+
+    m = n_words + use_phrase  # units per row
+    row_off = np.concatenate(([0], np.cumsum(m)))
+    total_units = int(row_off[-1])
+    unit_ids = np.empty(total_units, dtype=np.int64)
+    # Phrase unit sits at each phrased row's first slot.
+    phrase_slots = row_off[:-1][use_phrase]
+    unit_ids[phrase_slots] = len(vocab) + phrase_pick[use_phrase]
+    word_mask = np.ones(total_units, dtype=bool)
+    word_mask[phrase_slots] = False
+    unit_ids[word_mask] = rng.integers(0, len(vocab), int(word_mask.sum()))
+
+    ulen = u_lens[unit_ids]
+    first = np.zeros(total_units, dtype=bool)
+    first[row_off[:-1][m > 0]] = True
+    sep = (~first).astype(np.int64)  # leading space for units 2..k
+    char_len = ulen + sep
+    unit_out = np.concatenate(([0], np.cumsum(char_len)))[:-1]
+    out = np.empty(int(char_len.sum()), dtype=np.uint8)
+    out[unit_out[sep.astype(bool)]] = 32  # ' '
+    total_bytes = int(ulen.sum())
+    intra = np.arange(total_bytes, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(ulen)))[:-1], ulen
+    )
+    out[np.repeat(unit_out + sep, ulen) + intra] = u_buf[
+        np.repeat(u_starts[unit_ids], ulen) + intra
+    ]
+    char_cum = np.concatenate(([0], np.cumsum(char_len)))
+    offsets = char_cum[row_off].astype(np.int64)
+    arr = pa.Array.from_buffers(
+        pa.large_string(),
+        n,
+        [None, pa.py_buffer(offsets), pa.py_buffer(out)],
+    )
+    return arr.cast(pa.string())
+
+
+def _write_shard(path: str, shard: int, per: int, seed: int) -> str:
     import os
 
     import pyarrow.parquet as pq
 
+    table = generate_transcripts(per, seed=seed, start_conv=shard * 10_000_000)
+    p = os.path.join(path, f"transcripts-{shard:04d}.parquet")
+    pq.write_table(table, p, row_group_size=65536)
+    return p
+
+
+def write_transcripts_parquet(
+    path: str, num_turns: int, seed: int = 42, shards: int = 1
+) -> list[str]:
+    """Write sharded transcript parquet files (one per shard, disjoint
+    conversations) — the bench/test input when no external data exists.
+    Shards generate in parallel as Ray tasks when a Ray session is up
+    (generation is embarrassingly parallel and deterministic per shard)."""
+    import os
+
+    import ray
+
     os.makedirs(path, exist_ok=True)
     per = max(1, num_turns // shards)
-    paths = []
-    for s in range(shards):
-        table = generate_transcripts(per, seed=seed, start_conv=s * 10_000_000)
-        p = os.path.join(path, f"transcripts-{s:04d}.parquet")
-        pq.write_table(table, p, row_group_size=65536)
-        paths.append(p)
-    return paths
+    if ray.is_initialized() and shards > 1:
+        remote = ray.remote(num_cpus=1)(_write_shard)
+        return ray.get(
+            [remote.remote(path, s, per, seed) for s in range(shards)]
+        )
+    return [_write_shard(path, s, per, seed) for s in range(shards)]
