@@ -96,10 +96,16 @@ def _to_physical_numpy(values: pa.Array, phys: str) -> np.ndarray:
 def encode_values(values: pa.Array, codec: str) -> tuple[bytes, dict]:
     """Encode a null-free value array with the given codec id.
 
+    Built-in ids dispatch directly; anything else resolves through the
+    codec registry (functions/registry.py — the user-extension surface).
     Returns (payload, meta). meta may carry symtab_hash / dict sizes.
     """
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
+    if codec not in _BUILTIN_CODECS:
+        from . import registry
+
+        return registry.get(codec).encode(values)
     phys = _physical(values.type)
     meta: dict = {}
     if codec == "dict":
@@ -136,8 +142,17 @@ def encode_values(values: pa.Array, codec: str) -> tuple[bytes, dict]:
     raise ValueError(f"codec {codec!r} is not legal for physical type {phys}")
 
 
+_BUILTIN_CODECS = frozenset(
+    {"plain", "dict", "rle", "delta", "for", "delta_length", "delta_prefix", "fsst"}
+)
+
+
 def decode_values(payload, codec: str, typ: pa.DataType, count: int) -> pa.Array:
     """Decode ``count`` null-free values and cast back to the logical type."""
+    if codec not in _BUILTIN_CODECS:
+        from . import registry
+
+        return registry.get(codec).decode(payload, typ, count)
     phys = _physical(typ)
     if codec == "dict":
         arr, _ = dict_decode(payload, count)
@@ -250,6 +265,37 @@ def encode_column(
         **enc_meta,
     }
     return validity_seg, value_seg, colmeta
+
+
+def _register_builtins() -> None:
+    """Expose the built-in codecs through the registry so they appear in
+    the same introspection surface as user codecs (SURVEY.md §2.6)."""
+    from . import registry
+
+    fams_all = {"int32", "int64", "float32", "float64", "bool", "bytes"}
+    table = [
+        ("plain", fams_all, 5),
+        ("dict", fams_all - {"bool"}, 3),
+        ("rle", {"bool"}, 4),
+        ("delta", {"int32", "int64"}, 4),
+        ("for", {"int32", "int64"}, 4),
+        ("delta_length", {"bytes"}, 5),
+        ("delta_prefix", {"bytes"}, 2),
+        ("fsst", {"bytes"}, 1),
+    ]
+    for name, fams, rank in table:
+        registry.register(
+            registry.Codec(
+                name=name,
+                families=fams,
+                encode=(lambda v, _n=name: encode_values(v, _n)),
+                decode=(lambda p, t, c, _n=name: decode_values(p, _n, t, c)),
+                speed_rank=rank,
+            )
+        )
+
+
+_register_builtins()
 
 
 def decode_column(

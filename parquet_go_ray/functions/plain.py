@@ -24,7 +24,26 @@ __all__ = [
     "plain_decode_bool",
     "rle_encode_bool",
     "rle_decode_bool",
+    "int96_decode_timestamps",
 ]
+
+_JULIAN_UNIX_EPOCH = 2440588  # Julian day number of 1970-01-01
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def int96_decode_timestamps(data, count: int) -> np.ndarray:
+    """Decode legacy INT96 timestamps to int64 epoch-nanoseconds.
+
+    Decode-only compatibility, matching the reference's INT96 handling
+    (/root/reference/datastore/int96.go:12-34 stores raw 12-byte values;
+    SURVEY.md §1.2: decode-only, never emit). Layout per the Parquet
+    legacy convention: 8 LE bytes of in-day nanoseconds + 4 LE bytes of
+    Julian day number.
+    """
+    raw = np.frombuffer(data, dtype=np.uint8, count=count * 12).reshape(count, 12)
+    nanos = raw[:, :8].copy().view("<u8").reshape(count)
+    days = raw[:, 8:].copy().view("<u4").reshape(count).astype(np.int64)
+    return (days - _JULIAN_UNIX_EPOCH) * _NS_PER_DAY + nanos.astype(np.int64)
 
 
 def plain_encode_numeric(values: np.ndarray) -> bytes:

@@ -1,32 +1,121 @@
-"""Decode pipeline: partition blobs → a streaming ray.data.Dataset."""
+"""Decode pipeline: partition blobs → a streaming ray.data.Dataset,
+with column projection and manifest-stat partition pruning."""
 
 from __future__ import annotations
 
-import os
+import operator
+
+import pyarrow as pa
 
 import ray
 
-from ..stages.encoder import DecoderActor
 from ..state import manifest as mf
+from ..state.blob import decode_table
+
+_OPS = {
+    "==": operator.eq,
+    ">=": operator.ge,
+    "<=": operator.le,
+    ">": operator.gt,
+    "<": operator.lt,
+}
+
+
+def _partition_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
+    """Zone-map check: can any row of this partition satisfy (col op value)?
+    Uses the per-column min/max recorded in the lineage manifest — the
+    engine analogue of the reference's chunk statistics
+    (/root/reference/datastore/int32.go:47-67). Conservative: unknown
+    stats keep the partition."""
+    col, op, value = predicate
+    stats = entry.get("columns", {}).get(col, {}).get("stats") or {}
+    mn, mx = stats.get("min"), stats.get("max")
+    if mn is None or mx is None:
+        return True
+    try:
+        if op in (">", ">="):
+            return _OPS[op](mx, value)
+        if op in ("<", "<="):
+            return _OPS[op](mn, value)
+        if op == "==":
+            return mn <= value <= mx
+    except TypeError:
+        return True
+    return True
 
 
 def decode_pipeline(
-    checkpoint_dir: str, concurrency: int | tuple[int, int] | None = None
+    checkpoint_dir: str,
+    concurrency: int | tuple[int, int] | None = None,
+    columns: list[str] | None = None,
+    predicate: tuple[str, str, object] | None = None,
 ) -> ray.data.Dataset:
-    """Stream-decode every completed partition blob back to Arrow rows.
+    """Stream-decode completed partition blobs back to Arrow rows.
+
+    - ``columns``: decode only these columns (unselected segments are
+      never read past the header — SURVEY.md §2.4 projection).
+    - ``predicate``: (col, op, value); partitions whose manifest min/max
+      cannot satisfy it are skipped entirely, and surviving partitions are
+      row-filtered after decode.
 
     One blob per input block; decode is a map_batches stage so the
-    streaming executor pipelines I/O with the numpy decode kernels.
+    streaming executor pipelines file I/O with the numpy decode kernels.
     """
     pids = sorted(mf.completed_partitions(checkpoint_dir))
     if not pids:
         raise FileNotFoundError(f"no completed partitions under {checkpoint_dir}")
+    if predicate is not None:
+        entries = {pid: mf.read_entry(checkpoint_dir, pid) for pid in pids}
+        pids = [p for p in pids if _partition_may_match(entries[p], predicate)]
+        if not pids:
+            return ray.data.from_arrow(pa.table({}))
     paths = [mf.blob_path(checkpoint_dir, pid) for pid in pids]
     ds = ray.data.read_binary_files(paths)
+
+    read_cols = columns
+    if predicate is not None and columns is not None and predicate[0] not in columns:
+        read_cols = [*columns, predicate[0]]
+
     return ds.map_batches(
-        DecoderActor,
-        batch_size=1,  # one blob per call; a blob is already ~250k rows
+        BlobDecoder,
+        fn_constructor_kwargs={
+            "read_cols": read_cols,
+            "columns": columns,
+            "predicate": predicate,
+        },
+        batch_size=1,  # one blob per call; a blob is already ~100k+ rows
         batch_format="pyarrow",
         concurrency=concurrency or (1, 32),
         num_cpus=1,
     )
+
+
+class BlobDecoder:
+    """Actor-pool decode stage: blob bytes → (projected, filtered) rows."""
+
+    def __init__(self, read_cols=None, columns=None, predicate=None):
+        self.read_cols = read_cols
+        self.columns = columns
+        self.predicate = predicate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tables = [
+            decode_table(blob.as_py(), columns=self.read_cols)
+            for blob in batch.column("bytes")
+        ]
+        out = pa.concat_tables(tables) if tables else pa.table({})
+        if self.predicate is not None and out.num_rows:
+            import pyarrow.compute as pc
+
+            col, op, value = self.predicate
+            mask = {
+                "==": pc.equal,
+                ">=": pc.greater_equal,
+                "<=": pc.less_equal,
+                ">": pc.greater,
+                "<": pc.less,
+            }[op](out.column(col), value)
+            out = out.filter(mask)
+            if self.columns is not None and col not in self.columns:
+                out = out.select(self.columns)
+        return out

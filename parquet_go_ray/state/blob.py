@@ -89,6 +89,7 @@ def encode_table(
                 "compression": c["compression"],
                 "value_bytes": c["value_len"],
                 "null_count": c["null_count"],
+                "stats": c.get("stats", {}),
                 **(
                     {"symtab_hash": c["symtab_hash"]} if "symtab_hash" in c else {}
                 ),
@@ -107,18 +108,35 @@ def read_header(blob: bytes) -> tuple[dict, int]:
     return header, 9 + hlen
 
 
-def decode_table(blob: bytes) -> pa.Table:
+def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+    """Decode a blob, optionally projecting columns — the engine analogue
+    of the reference's selected-column chunk skipping
+    (/root/reference/schema/schema.go:212-232, layout/chunk.go:28-51):
+    unselected columns' segments are never touched."""
     header, seg_base = read_header(blob)
     schema = pa.ipc.read_schema(
         pa.BufferReader(base64.b64decode(header["schema_ipc"]))
     )
     mv = memoryview(blob)
     arrays = []
+    fields = []
     for colmeta in header["columns"]:
+        name = colmeta["name"]
+        if columns is not None and name not in columns:
+            continue
         vo = seg_base + colmeta["validity_offset"]
         validity_seg = bytes(mv[vo : vo + colmeta["validity_len"]])
         so = seg_base + colmeta["value_offset"]
         value_seg = bytes(mv[so : so + colmeta["value_len"]])
-        typ = schema.field(colmeta["name"]).type
-        arrays.append(decode_column(validity_seg, value_seg, colmeta, typ))
-    return pa.Table.from_arrays(arrays, schema=schema)
+        field = schema.field(name)
+        arrays.append(decode_column(validity_seg, value_seg, colmeta, field.type))
+        fields.append(field)
+    if columns is not None:
+        missing = set(columns) - {f.name for f in fields}
+        if missing:
+            raise KeyError(f"columns not in blob: {sorted(missing)}")
+        # Preserve requested order.
+        order = {f.name: i for i, f in enumerate(fields)}
+        arrays = [arrays[order[c]] for c in columns]
+        fields = [fields[order[c]] for c in columns]
+    return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
