@@ -288,6 +288,40 @@ def _q_encode_manifest(sf_dir: str):
     )
 
 
+def _q_sessionize_events(sf_dir: str):
+    from parquet_go_ray.ops.sessions import sessionize
+
+    return sessionize(_read(sf_dir, "events"))
+
+
+def _q_bpe_tokens(sf_dir: str):
+    from parquet_go_ray.ops.text import BpeishTokenCounter, apply_actor
+
+    ds = apply_actor(_read(sf_dir, "documents"), BpeishTokenCounter, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda b: b.select(["doc_id", "n_bpe_tokens"]), batch_format="pyarrow"
+    )
+
+
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing: synthetic media corpus -> decode -> features
+    (rows-only: stubbed media kernels, deterministic fakes)."""
+    from parquet_go_ray.ops.multimodal import (
+        MediaDecode,
+        MediaFeatures,
+        media_pipeline,
+        synthetic_media_table,
+    )
+
+    ds = ray.data.from_arrow(synthetic_media_table(200, seed=7))
+    ds = media_pipeline(ds, MediaDecode, batch_size=64, concurrency=(1, 4))
+    ds = media_pipeline(ds, MediaFeatures, batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda b: b.select(["media_id", "media_type", "decode_ok", "checksum"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -305,7 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "events_filter_click": _q_events_filter,
         "ann_cosine_embeddings": _q_ann,
+        "sessionize_events": _q_sessionize_events,
         # rows-only (non-SQL-expressible):
+        "bpe_token_count_documents": _q_bpe_tokens,
+        "media_features_synthetic": _q_media_features,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
         "langid_documents": _q_langid,
@@ -362,6 +399,14 @@ def oracle_sql() -> dict[str, str]:
         "events_filter_click": (
             "SELECT event_id, user_id, value FROM events"
             " WHERE event_type = 'click'"
+        ),
+        "sessionize_events": (
+            "WITH d AS (SELECT user_id, ts,"
+            " lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events)"
+            " SELECT user_id, count(*) AS n_events,"
+            " CAST(count(*) FILTER (WHERE prev IS NULL"
+            "   OR ts - prev > INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions"
+            " FROM d GROUP BY user_id"
         ),
         "ann_cosine_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"

@@ -1,0 +1,91 @@
+"""CLI entrypoint — the ``ray job submit`` surface.
+
+    ray job submit -- python -m parquet_go_ray.cli encode \
+        --input /data/transcripts --checkpoint /data/ckpt
+    python -m parquet_go_ray.cli decode --checkpoint /data/ckpt --out /data/decoded
+    python -m parquet_go_ray.cli verify --input /data/transcripts --checkpoint /data/ckpt
+    python -m parquet_go_ray.cli manifest --checkpoint /data/ckpt
+
+Re-running ``encode`` against an existing checkpoint resumes: completed
+partitions are skipped before the shuffle. This module owns its Ray
+session (library code never calls ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="parquet_go_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("encode", help="encode parquet -> partition blobs")
+    pe.add_argument("--input", required=True)
+    pe.add_argument("--checkpoint", required=True)
+    pe.add_argument("--rows-per-partition", type=int, default=250_000)
+    pe.add_argument("--turns-per-salt", type=int, default=65536)
+    pe.add_argument("--key", default="conv_id")
+    pe.add_argument("--turn-col", default="turn_idx")
+
+    pd = sub.add_parser("decode", help="decode blobs -> parquet")
+    pd.add_argument("--checkpoint", required=True)
+    pd.add_argument("--out", required=True)
+    pd.add_argument("--columns", nargs="*", default=None)
+
+    pv = sub.add_parser("verify", help="round-trip multiset-hash check")
+    pv.add_argument("--input", required=True)
+    pv.add_argument("--checkpoint", required=True)
+
+    pm = sub.add_parser("manifest", help="print the lineage manifest")
+    pm.add_argument("--checkpoint", required=True)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "manifest":  # no Ray needed
+        from .state import manifest as mf
+
+        print(json.dumps(mf.read_manifest(args.checkpoint), indent=2))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    try:
+        if args.cmd == "encode":
+            from .pipelines.encode import encode_pipeline
+
+            summary = encode_pipeline(
+                args.input,
+                args.checkpoint,
+                rows_per_partition=args.rows_per_partition,
+                turns_per_salt=args.turns_per_salt,
+                key=args.key,
+                turn_col=args.turn_col,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "decode":
+            from .pipelines.decode import decode_pipeline
+
+            ds = decode_pipeline(args.checkpoint, columns=args.columns)
+            ds.write_parquet(f"local://{args.out}")
+            print(json.dumps({"written": args.out}))
+        elif args.cmd == "verify":
+            from .pipelines.decode import decode_pipeline
+            from .pipelines.verify import verify_roundtrip
+
+            result = verify_roundtrip(
+                ray.data.read_parquet(args.input),
+                decode_pipeline(args.checkpoint),
+            )
+            print(json.dumps(result))
+            return 0 if result["match"] else 1
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

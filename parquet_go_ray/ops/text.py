@@ -142,7 +142,52 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("lang_pred", pa.array(out, pa.string()))
 
 
+class BpeishTokenCounter:
+    """Stateful actor stage: GPT-2-style pre-tokenizer regex token counts.
+
+    The pattern compiles ONCE per actor in __init__ (the reference pattern
+    for stateful map_batches stages — setup per actor, work per batch),
+    then counts matches per document. Python `re` lacks \\p classes, so
+    the letter class approximates \\p{L} with Latin ranges — documented
+    deviation, deterministic.
+    """
+
+    PATTERN = (
+        r"'(?:[sdmt]|ll|ve|re)"
+        r"| ?[A-Za-zÀ-ɏͰ-ϿЀ-ӿ]+"
+        r"| ?\d+"
+        r"| ?[^\sA-Za-z\dÀ-ɏͰ-ϿЀ-ӿ]+"
+        r"|\s+"
+    )
+
+    def __init__(self, text_col: str = "text"):
+        import re
+
+        self.text_col = text_col
+        self.pattern = re.compile(self.PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            len(self.pattern.findall(t or ""))
+            for t in batch.column(self.text_col).to_pylist()
+        ]
+        return _set(batch, "n_bpe_tokens", pa.array(counts, pa.int64()))
+
+
 def apply(ds: ray.data.Dataset, fn, **kwargs) -> ray.data.Dataset:
     return ds.map_batches(
         fn, fn_kwargs=kwargs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def apply_actor(
+    ds: ray.data.Dataset, cls, concurrency=(1, 8), **ctor_kwargs
+) -> ray.data.Dataset:
+    return ds.map_batches(
+        cls,
+        fn_constructor_kwargs=ctor_kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
     )
