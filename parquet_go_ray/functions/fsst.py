@@ -104,16 +104,29 @@ class _LenTable:
 
 
 class _Matcher:
-    """Per-length hash tables for vectorized longest-match."""
+    """Per-length match tables for vectorized longest-match: direct LUTs
+    for 1- and 2-byte symbols (one gather), hash tables for 3..8."""
 
     def __init__(self, symbols: list[bytes]):
         self.symbols = symbols
         self.by_len: dict[int, _LenTable] = {}
+        self.lut1 = None
+        self.lut2 = None
         for L in range(1, MAX_SYM_LEN + 1):
             entries = [
                 (_sym_key(s), code) for code, s in enumerate(symbols) if len(s) == L
             ]
-            if entries:
+            if not entries:
+                continue
+            if L == 1:
+                self.lut1 = np.full(256, -1, dtype=np.int64)
+                for k, c in entries:
+                    self.lut1[k] = c
+            elif L == 2:
+                self.lut2 = np.full(65536, -1, dtype=np.int64)
+                for k, c in entries:
+                    self.lut2[k] = c
+            else:
                 keys = np.array([k for k, _ in entries], dtype=np.uint64)
                 codes = np.array([c for _, c in entries], dtype=np.int64)
                 self.by_len[L] = _LenTable(keys, codes)
@@ -128,20 +141,32 @@ class _Matcher:
         n = len(data)
         matched_len = np.zeros(n, dtype=np.int64)
         matched_code = np.zeros(n, dtype=np.int64)
-        if n == 0 or not self.by_len:
+        if n == 0 or (not self.by_len and self.lut1 is None and self.lut2 is None):
             return matched_len, matched_code
-        w8 = _window_keys(data)
         # room[i] = bytes left in the value at position i; a length-L match
         # needs room >= L (also kills matches on the end-of-buffer padding).
         room = boundary_end - np.arange(n, dtype=np.int64)
-        for L in sorted(self.by_len):  # ascending: longer matches overwrite
-            if L > n:
-                break
-            win = _keys_for_len(w8, L)
-            code = self.by_len[L].lookup(win)
-            hit = (code >= 0) & (room >= L)
-            matched_len[hit] = L
+        if self.lut1 is not None:
+            code = self.lut1[data]
+            hit = code >= 0  # a 1-byte match always fits (room >= 1)
+            matched_len[hit] = 1
             matched_code[hit] = code[hit]
+        if self.lut2 is not None and n >= 2:
+            k2 = (data[:-1].astype(np.uint32) << 8) | data[1:]
+            code = self.lut2[k2]
+            hit = (code >= 0) & (room[: n - 1] >= 2)
+            matched_len[: n - 1][hit] = 2
+            matched_code[: n - 1][hit] = code[hit]
+        if self.by_len:
+            w8 = _window_keys(data)
+            for L in sorted(self.by_len):  # ascending: longer overwrites
+                if L > n:
+                    break
+                win = _keys_for_len(w8, L)
+                code = self.by_len[L].lookup(win)
+                hit = (code >= 0) & (room >= L)
+                matched_len[hit] = L
+                matched_code[hit] = code[hit]
         return matched_len, matched_code
 
 

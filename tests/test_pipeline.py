@@ -108,6 +108,69 @@ def test_resume_rejects_partitioning_change(ray_session, transcripts_parquet, tm
         encode_pipeline(input_dir, ckpt, rows_per_partition=999, concurrency=(1, 2))
 
 
+def test_hot_conversation_splits_across_partitions(ray_session, tmp_path):
+    """North-rule skew case: one conversation far bigger than
+    turns_per_salt must land in multiple partitions (no partition takes
+    the whole hot key), and the per-(conv_id, turn_idx) invariant must
+    survive the split."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from parquet_go_ray.pipelines.decode import decode_pipeline
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    # 1 hot conversation of 3000 turns + background chatter.
+    hot = pa.table(
+        {
+            "conv_id": pa.array(["conv-hot"] * 3000),
+            "turn_idx": pa.array(np.arange(3000, dtype=np.int32)),
+            "role": pa.array(["user", "assistant"] * 1500),
+            "text": pa.array([f"turn {i} payload" for i in range(3000)]),
+            "tool": pa.array([None] * 3000, pa.string()),
+            "ts": pa.array(
+                1_700_000_000_000_000 + np.arange(3000) * 1_000_000,
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    bg = generate_transcripts(1000, seed=21)
+    t = pa.concat_tables([hot, bg.select(hot.column_names)])
+    input_dir = tmp_path / "hot_in"
+    input_dir.mkdir()
+    pq.write_table(t, str(input_dir / "t.parquet"))
+    ckpt = str(tmp_path / "hot_ck")
+    encode_pipeline(
+        str(input_dir),
+        ckpt,
+        rows_per_partition=800,
+        turns_per_salt=500,  # hot conv must split into ~6 salt blocks
+        concurrency=(1, 2),
+    )
+    # The hot conversation appears in more than one partition blob.
+    from parquet_go_ray.state import manifest as mf
+    from parquet_go_ray.state.blob import decode_table
+
+    parts_with_hot = 0
+    for pid in sorted(mf.completed_partitions(ckpt)):
+        with open(mf.blob_path(ckpt, pid), "rb") as f:
+            tab = decode_table(f.read(), columns=["conv_id", "turn_idx"])
+        if pc.sum(pc.equal(tab.column("conv_id"), "conv-hot")).as_py():
+            parts_with_hot += 1
+            # Within a partition, the hot conv's turns stay sorted.
+            sel = tab.filter(pc.equal(tab.column("conv_id"), "conv-hot"))
+            ti = sel.column("turn_idx").to_numpy()
+            assert (np.diff(ti) > 0).all()
+    assert parts_with_hot > 1
+
+    # Full decode reassembles every turn exactly once.
+    decoded = decode_pipeline(ckpt, concurrency=(1, 2))
+    df = decoded.to_pandas()
+    hot_rows = df[df["conv_id"] == "conv-hot"].sort_values("turn_idx")
+    assert hot_rows["turn_idx"].tolist() == list(range(3000))
+    assert hot_rows["text"].tolist() == [f"turn {i} payload" for i in range(3000)]
+
+
 def test_partition_blobs_are_sorted_within(ray_session, transcripts_parquet, tmp_path):
     from parquet_go_ray.pipelines.encode import encode_pipeline
 
