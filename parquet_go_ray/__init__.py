@@ -14,3 +14,23 @@ manifest for checkpoint/resume.
 """
 
 __version__ = "0.1.0"
+
+
+def _tune_allocator() -> None:
+    """Keep large allocations on the reusable heap instead of fresh
+    mmap/munmap cycles. The engine's kernels allocate many short-lived
+    multi-MB numpy arrays; on VMs with expensive page faults (like this
+    sandbox) glibc's default 128 KiB mmap threshold makes every such
+    array fault its pages in from scratch — measured 3-4x end-to-end on
+    the FSST kernels. Best-effort: silently skipped off glibc."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+    except Exception:
+        pass
+
+
+_tune_allocator()
