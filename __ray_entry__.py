@@ -247,6 +247,12 @@ def _q_dedup_simhash(sf_dir: str):
     return dedup_simhash(_read(sf_dir, "documents"), max_hamming=3)
 
 
+def _q_dedup_embedding(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_embedding
+
+    return dedup_embedding(_read(sf_dir, "embeddings"), threshold=0.98)
+
+
 def _q_langid(sf_dir: str):
     from parquet_go_ray.ops.text import apply, langid_batch
 
@@ -351,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features_synthetic": _q_media_features,
         "dedup_minhash_documents": _q_dedup_minhash,
         "dedup_simhash_documents": _q_dedup_simhash,
+        "dedup_embedding_vectors": _q_dedup_embedding,
         "langid_documents": _q_langid,
         "rolling_fingerprint_documents": _q_rolling_fp,
         "encode_manifest_transcripts": _q_encode_manifest,

@@ -47,7 +47,7 @@ def arrow_strings_to_parts(arr) -> tuple[np.ndarray, np.ndarray]:
     typ = arr.type
     if pa.types.is_string(typ):
         arr = arr.cast(pa.large_string())
-    elif pa.types.is_binary(typ):
+    elif pa.types.is_binary(typ) or pa.types.is_fixed_size_binary(typ):
         arr = arr.cast(pa.large_binary())
     buffers = arr.buffers()
     offsets = np.frombuffer(buffers[1], dtype=np.int64)[

@@ -53,24 +53,31 @@ __all__ = [
 
 
 def _physical(typ: pa.DataType) -> str:
-    """Physical families: 'int32' 'int64' 'float32' 'float64' 'bool' 'bytes'."""
+    """Physical families: 'int32' 'int64' 'float32' 'float64' 'bool'
+    'bytes' 'decimal128' (SURVEY §1.2/§1.3 logical-type mapping)."""
     if pa.types.is_boolean(typ):
         return "bool"
     if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(typ):
         return "int64"
     if pa.types.is_date32(typ) or pa.types.is_time32(typ):
         return "int32"
+    if pa.types.is_unsigned_integer(typ):
+        # uint32/uint64 don't fit their signed width; widen or reinterpret.
+        return "int64" if typ.bit_width >= 32 else "int32"
     if pa.types.is_integer(typ):
         return "int64" if typ.bit_width > 32 else "int32"
     if pa.types.is_float32(typ):
         return "float32"
     if pa.types.is_floating(typ):
         return "float64"
+    if pa.types.is_decimal128(typ):
+        return "decimal128"
     if (
         pa.types.is_string(typ)
         or pa.types.is_large_string(typ)
         or pa.types.is_binary(typ)
         or pa.types.is_large_binary(typ)
+        or pa.types.is_fixed_size_binary(typ)
     ):
         return "bytes"
     raise TypeError(f"unsupported column type: {typ}")
@@ -86,10 +93,14 @@ _PHYS_NP = {
 
 def _to_physical_numpy(values: pa.Array, phys: str) -> np.ndarray:
     typ = values.type
-    if phys in ("int32", "int64") and not pa.types.is_integer(typ):
+    if pa.types.is_uint64(typ):
+        values = values.view(pa.int64())  # bit reinterpretation, no range check
+    elif phys in ("int32", "int64") and not pa.types.is_integer(typ):
         values = values.cast(pa.int64() if phys == "int64" else pa.int32())
     elif pa.types.is_integer(typ) and typ.bit_width <= 32 and phys == "int32":
         values = values.cast(pa.int32())
+    elif pa.types.is_integer(typ) and phys == "int64" and typ.bit_width < 64:
+        values = values.cast(pa.int64())
     return values.to_numpy(zero_copy_only=False).astype(_PHYS_NP[phys], copy=False)
 
 
@@ -108,6 +119,14 @@ def encode_values(values: pa.Array, codec: str) -> tuple[bytes, dict]:
         return registry.get(codec).encode(values)
     phys = _physical(values.type)
     meta: dict = {}
+    if phys == "decimal128":
+        # 16-byte LE two's-complement values, raw buffer slice (PLAIN for
+        # FIXED_LEN_BYTE_ARRAY-backed DECIMAL, ref datastore/byte-array.go:34-54).
+        if codec != "plain":
+            raise ValueError("decimal128 supports only the plain codec")
+        buf = values.buffers()[1]
+        off = values.offset * 16
+        return bytes(memoryview(buf)[off : off + len(values) * 16]), meta
     if codec == "dict":
         return dict_encode(values)
     if phys == "bool":
@@ -154,6 +173,8 @@ def decode_values(payload, codec: str, typ: pa.DataType, count: int) -> pa.Array
 
         return registry.get(codec).decode(payload, typ, count)
     phys = _physical(typ)
+    if phys == "decimal128":
+        return pa.Array.from_buffers(typ, count, [None, pa.py_buffer(bytes(payload))])
     if codec == "dict":
         arr, _ = dict_decode(payload, count)
         return _cast_logical(arr, typ)
@@ -200,6 +221,10 @@ def _cast_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
         return arr
     if pa.types.is_dictionary(arr.type):
         arr = arr.cast(arr.type.value_type)
+        if arr.type.equals(typ):
+            return arr
+    if pa.types.is_uint64(typ) and pa.types.is_int64(arr.type):
+        return arr.view(typ)  # reinterpretation inverse of the encode view
     return arr.cast(typ)
 
 
@@ -221,9 +246,12 @@ def _stats(values: pa.Array, typ: pa.DataType) -> dict:
 
 def _json_safe(v):
     import datetime
+    import decimal
 
     if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
         return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
     if isinstance(v, float) and (v != v or v in (float("inf"), float("-inf"))):
         return repr(v)
     return v

@@ -37,6 +37,8 @@ def legal_codecs(typ: pa.DataType) -> tuple[str, ...]:
         return _BOOL_CODECS
     if pa.types.is_floating(typ):
         return _FLOAT_CODECS
+    if pa.types.is_decimal(typ):
+        return ("plain",)
     if (
         pa.types.is_integer(typ)
         or pa.types.is_timestamp(typ)
@@ -45,7 +47,7 @@ def legal_codecs(typ: pa.DataType) -> tuple[str, ...]:
         return _INT_CODECS
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(
         typ
-    ) or pa.types.is_large_binary(typ):
+    ) or pa.types.is_large_binary(typ) or pa.types.is_fixed_size_binary(typ):
         return _STRING_CODECS
     return ("plain",)
 
@@ -62,6 +64,11 @@ def column_stats(values: pa.Array, sample_rows: int = SAMPLE_ROWS) -> dict:
     distinct = pc.count_distinct(sample).as_py()
     stats["distinct_ratio"] = distinct / ns
     typ = values.type
+    if pa.types.is_fixed_size_binary(typ) or pa.types.is_decimal(typ):
+        stats["avg_len"] = float(getattr(typ, "byte_width", 16))
+        stats["run_len"] = 1.0
+        stats["sortedness"] = 0.0
+        return stats
     is_str = pa.types.is_string(typ) or pa.types.is_large_string(typ)
     is_bin = pa.types.is_binary(typ) or pa.types.is_large_binary(typ)
     if is_str or is_bin:

@@ -264,6 +264,84 @@ def dedup_simhash(
 
 
 # ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (random-hyperplane LSH + exact verify)
+
+
+def dedup_embedding(
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Near-duplicate removal over an embedding column.
+
+    Random-hyperplane LSH: sign pattern of ``n_planes`` projections is
+    the bucket key; ``n_tables`` independent tables keep recall high.
+    Candidates sharing a bucket are cosine-verified exactly against the
+    bucket's min-id anchor; clusters collapse to the min id. Same
+    band→bucket→verify shape as MinHash, one groupby shuffle.
+    """
+    from .ann import _emb_matrix, _normalize
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        n, d = emb.shape
+        rng = np.random.default_rng(seed)  # same planes in every batch
+        planes = rng.normal(size=(n_tables, d, n_planes))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_band, out_bh, out_id, out_emb = [], [], [], []
+        for t in range(n_tables):
+            signs = (emb @ planes[t]) > 0  # (n, planes)
+            bh = np.zeros(n, dtype=np.uint64)
+            for j in range(n_planes):
+                bh |= signs[:, j].astype(np.uint64) << np.uint64(j)
+            out_band.append(np.full(n, t, dtype=np.int32))
+            out_bh.append(bh)
+            out_id.append(ids)
+            out_emb.append(emb)
+        return pa.table(
+            {
+                "band": np.concatenate(out_band),
+                "bh": np.concatenate(out_bh),
+                id_col: np.concatenate(out_id),
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.concatenate(out_emb).reshape(-1), pa.float64()),
+                    emb.shape[1],
+                ),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        nd = group.num_rows
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        if nd < 2:
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        emb = np.stack(group.column("emb").to_numpy(zero_copy_only=False))
+        anchor = int(np.argmin(ids))
+        cos = emb @ emb[anchor]
+        keep = (cos >= threshold) & (np.arange(nd) != anchor)
+        return pa.table(
+            {
+                "a": np.full(int(keep.sum()), ids[anchor], dtype=np.int64),
+                "b": ids[keep].astype(np.int64),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bh"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return _survivors_from_pairs(ds, pairs, id_col)
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (the verification kernel for near-dup candidates)
 
 

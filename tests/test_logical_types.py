@@ -1,0 +1,91 @@
+"""Extended logical-type coverage: decimal128, fixed-size binary,
+unsigned ints, date32/64, time types — the SURVEY §1.3 annotations —
+plus the embedding-cosine near-dup op."""
+
+import decimal
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from parquet_go_ray.state.blob import decode_table, encode_table
+
+
+def tbl_roundtrip(t: pa.Table):
+    blob, meta = encode_table(t)
+    out = decode_table(blob)
+    a, b = t.combine_chunks(), out.combine_chunks()
+    assert a.schema.equals(b.schema)
+    for c in a.column_names:
+        assert a.column(c).equals(b.column(c)), c
+    return meta
+
+
+def test_decimal128():
+    vals = [decimal.Decimal("12.34"), None, decimal.Decimal("-99999999.99"),
+            decimal.Decimal("0.01")]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(18, 2))})
+    meta = tbl_roundtrip(t)
+    assert meta["columns"]["d"]["codec"] == "plain"
+
+
+def test_fixed_size_binary_uuid_like(rng):
+    payloads = [rng.integers(0, 256, 16).astype(np.uint8).tobytes() for _ in range(50)]
+    t = pa.table({"u": pa.array(payloads + [None], pa.binary(16))})
+    tbl_roundtrip(t)
+
+
+def test_unsigned_ints():
+    t = pa.table(
+        {
+            "u8": pa.array([0, 255, None], pa.uint8()),
+            "u16": pa.array([0, 65535, 7], pa.uint16()),
+            "u32": pa.array([0, 2**32 - 1, 5], pa.uint32()),
+            "u64": pa.array([0, 2**64 - 1, 2**63 + 5], pa.uint64()),
+        }
+    )
+    tbl_roundtrip(t)
+
+
+def test_date_and_time_types():
+    t = pa.table(
+        {
+            "d32": pa.array([0, 19000, None], pa.date32()),
+            "t32": pa.array([0, 86_399_999, 5], pa.time32("ms")),
+            "t64": pa.array([0, 86_399_999_999, 7], pa.time64("us")),
+            "ts_tz": pa.array(
+                [1_700_000_000_000_000, None, 0], pa.timestamp("us", tz="UTC")
+            ),
+        }
+    )
+    tbl_roundtrip(t)
+
+
+def test_unsupported_type_raises():
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    with pytest.raises(TypeError):
+        encode_table(t)
+
+
+def test_dedup_embedding(ray_session, rng):
+    import ray
+
+    from parquet_go_ray.ops.dedup import dedup_embedding
+
+    base = rng.normal(size=(30, 16))
+    # vec 1 = vec 0 + tiny noise (near-dup); vec 2.. independent.
+    base[1] = base[0] + rng.normal(scale=1e-3, size=16)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(30), pa.int64()),
+            "embedding": pa.array(list(base.astype(np.float32)), pa.list_(pa.float32())),
+        }
+    )
+    ids = sorted(
+        r["vec_id"]
+        for r in dedup_embedding(
+            ray.data.from_arrow(t), threshold=0.999, n_planes=8, n_tables=8
+        ).iter_rows()
+    )
+    assert 0 in ids and 1 not in ids
+    assert len(ids) == 29
