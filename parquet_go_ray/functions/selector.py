@@ -152,9 +152,10 @@ def select_codec(
     wins. Deterministic given the partition input.
     """
     from .block import compress
-    from .column import encode_values
+    from .column import _physical, encode_values
 
     typ = values.type
+    _physical(typ)  # raise TypeError early for unsupported column types
     stats = column_stats(values, sample_rows)
     cands = candidate_codecs(typ, stats)
     n = len(values)
@@ -190,8 +191,12 @@ def _sortedness(v: np.ndarray) -> float:
 
 def _to_numpy_ints(sample: pa.Array) -> np.ndarray:
     typ = sample.type
-    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ):
+    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(
+        typ
+    ):
         sample = sample.cast(pa.int64())
-    elif pa.types.is_date32(typ):
+    elif pa.types.is_date32(typ) or pa.types.is_time32(typ):
         sample = sample.cast(pa.int32())
+    elif pa.types.is_uint64(typ):
+        sample = sample.view(pa.int64())
     return sample.to_numpy(zero_copy_only=False)
