@@ -133,6 +133,11 @@ def encode_pipeline(
         num_cpus=1,
     )
     rows = summaries.take_all()  # tiny: one row per partition
+    try:  # per-stage wall/UDF times for throughput tuning (observability)
+        with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:
+            f.write(summaries.stats())
+    except Exception:
+        pass
 
     encoded_rows = sum(r["rows"] for r in rows if not r["skipped"])
     blob_bytes = sum(r["blob_bytes"] for r in rows)
