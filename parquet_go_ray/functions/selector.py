@@ -74,6 +74,7 @@ def column_stats(values: pa.Array, sample_rows: int = SAMPLE_ROWS) -> dict:
     if is_str or is_bin:
         lens = pc.binary_length(sample).to_numpy(zero_copy_only=False)
         stats["avg_len"] = float(lens.mean())
+        stats["byte_entropy"] = _byte_entropy(sample)
         codes = pc.dictionary_encode(sample).indices.to_numpy(zero_copy_only=False)
         changes = int((np.diff(codes) != 0).sum()) + 1
         stats["run_len"] = ns / changes
@@ -159,6 +160,9 @@ def select_codec(
     stats = column_stats(values, sample_rows)
     cands = candidate_codecs(typ, stats)
     n = len(values)
+    # Near-incompressible bytes (entropy ≈ 8 bits/byte, e.g. media blobs,
+    # pre-compressed payloads): skip the zstd trials entirely.
+    try_zstd = stats.get("byte_entropy", 0.0) < 7.8
     results = []  # (size, codec, compression)
     for codec in cands:
         rows = _FSST_TRIAL_ROWS if codec == "fsst" else sample_rows
@@ -170,7 +174,7 @@ def select_codec(
         # Normalize per-row so the fsst short sample stays comparable.
         per_row = len(payload) / max(1, len(sample))
         results.append((per_row, codec, "none"))
-        if len(payload) >= 64:
+        if try_zstd and len(payload) >= 64:
             z = compress(payload, "zstd")
             results.append((len(z) / max(1, len(sample)), codec, "zstd"))
     if not results:
@@ -181,6 +185,22 @@ def select_codec(
     size, codec, compression = near[0]
     stats["sample_bytes_per_row"] = size
     return codec, compression, stats
+
+
+def _byte_entropy(sample: pa.Array, cap: int = 1 << 16) -> float:
+    """Shannon entropy (bits/byte) of the sample's value bytes — near 8
+    means incompressible payloads where block compression is wasted."""
+    from .bytearray import arrow_strings_to_parts
+
+    try:
+        _, data = arrow_strings_to_parts(sample)
+    except Exception:
+        return 8.0
+    if len(data) == 0:
+        return 0.0
+    counts = np.bincount(data[:cap], minlength=256)
+    p = counts[counts > 0] / counts.sum()
+    return float(-(p * np.log2(p)).sum())
 
 
 def _sortedness(v: np.ndarray) -> float:

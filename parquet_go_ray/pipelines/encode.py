@@ -69,7 +69,10 @@ def encode_pipeline(
         blocks = max(cpus, 2 * num_buckets)
         blocks = min(blocks, max(1, total_rows // 5000))
         ds = ray.data.read_parquet(
-            input_path, columns=columns, override_num_blocks=blocks
+            input_path,
+            columns=columns,
+            override_num_blocks=blocks,
+            include_paths=True,  # per-partition lineage (compacted in salt stage)
         )
     if num_buckets is None:
         num_buckets = max(1, -(-total_rows // rows_per_partition))
@@ -97,6 +100,7 @@ def encode_pipeline(
 
     completed = mf.completed_partitions(checkpoint_dir)
 
+    path_index = {p: i for i, p in enumerate(input_files)}
     ds = ds.map_batches(
         assign_buckets,
         fn_kwargs={
@@ -104,6 +108,7 @@ def encode_pipeline(
             "key": key,
             "turn_col": turn_col,
             "turns_per_salt": turns_per_salt,
+            "path_index": path_index,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -126,6 +131,7 @@ def encode_pipeline(
             "checkpoint_dir": checkpoint_dir,
             "sort_keys": (key, turn_col),
             "choices": choices,
+            "input_files": input_files,
         },
         batch_format="pyarrow",
         # Autoscaling actor pool; encode is CPU-bound -> 1 CPU per actor.

@@ -38,10 +38,12 @@ class EncoderActor:
         checkpoint_dir: str,
         sort_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
         choices: dict | None = None,
+        input_files: list[str] | None = None,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.sort_keys = [k for k in sort_keys]
         self.choices = choices
+        self.input_files = input_files or []
         # Loaded once per actor; partitions completed by *previous runs*.
         self.completed = mf.completed_partitions(checkpoint_dir)
 
@@ -55,6 +57,17 @@ class EncoderActor:
             return self._summary(pid, entry["rows"], entry.get("raw_bytes") or 0,
                                  entry["blob_bytes"], skipped=True)
         group = group.drop_columns([BUCKET_COL])
+        # Lineage: which input fragments fed this partition.
+        fragments = [f"bucket={bucket}"]
+        from .salt import SRC_COL
+
+        if SRC_COL in group.column_names:
+            src = pc.unique(group.column(SRC_COL)).to_pylist()
+            fragments += [
+                self.input_files[i] if 0 <= i < len(self.input_files) else f"src={i}"
+                for i in sorted(src)
+            ]
+            group = group.drop_columns([SRC_COL])
         # Sort-within-partition: stable turn ordering (north rule).
         keys = [k for k in self.sort_keys if k in group.column_names]
         if keys:
@@ -69,7 +82,7 @@ class EncoderActor:
             pid,
             blob,
             meta,
-            input_fragments=[f"bucket={bucket}"],
+            input_fragments=fragments,
             raw_bytes=raw_bytes,
         )
         return self._summary(pid, group.num_rows, raw_bytes, len(blob), False)

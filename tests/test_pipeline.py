@@ -184,7 +184,8 @@ def test_partition_blobs_are_sorted_within(ray_session, transcripts_parquet, tmp
     assert df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True).equals(
         df.reset_index(drop=True)
     )
-    # Lineage entry carries codec choices + bucket fragment id.
+    # Lineage entry carries codec choices + bucket id + input file paths.
     entry = mf.read_entry(ckpt, pid)
-    assert entry["input_fragments"] == [f"bucket={int(pid)}"]
+    assert entry["input_fragments"][0] == f"bucket={int(pid)}"
+    assert any(f.endswith(".parquet") for f in entry["input_fragments"][1:])
     assert "codec" in entry["columns"]["text"]
