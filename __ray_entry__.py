@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_lineitem": _q_roundtrip("lineitem"),
         "roundtrip_customer": _q_roundtrip("customer"),
         "roundtrip_orders": _q_roundtrip("orders"),
+        "roundtrip_embeddings": _q_roundtrip("embeddings"),
         "column_stats_lineitem": _q_column_stats_lineitem,
         "dict_cardinality_documents": _q_dict_cardinality_documents,
         "dedup_exact_documents": _q_dedup_exact,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_customer": "SELECT * FROM customer",
         "roundtrip_orders": "SELECT * FROM orders",
+        "roundtrip_embeddings": "SELECT * FROM embeddings",
         "column_stats_lineitem": (
             "SELECT CAST(min(l_quantity) AS DOUBLE) AS qty_min,"
             " CAST(max(l_quantity) AS DOUBLE) AS qty_max,"

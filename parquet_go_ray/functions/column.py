@@ -230,7 +230,7 @@ def _cast_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
 
 def _stats(values: pa.Array, typ: pa.DataType) -> dict:
     # Booleans carry no min/max, like the reference (datastore/boolean.go:35-45).
-    if pa.types.is_boolean(typ) or len(values) == 0:
+    if pa.types.is_boolean(typ) or pa.types.is_nested(typ) or len(values) == 0:
         return {}
     mm = pc.min_max(values)
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
@@ -280,7 +280,13 @@ def encode_column(
     else:
         validity_seg = b""
         values = arr
-    payload, enc_meta = encode_values(values, codec)
+    if pa.types.is_list(values.type) or pa.types.is_large_list(
+        values.type
+    ) or pa.types.is_fixed_size_list(values.type):
+        payload, enc_meta = _encode_list_values(values)
+        codec = "list"
+    else:
+        payload, enc_meta = encode_values(values, codec)
     raw_len = len(payload)
     value_seg = compress(payload, compression)
     colmeta = {
@@ -326,6 +332,77 @@ def _register_builtins() -> None:
 _register_builtins()
 
 
+def _encode_list_values(values: pa.Array) -> tuple[bytes, dict]:
+    """Encode a null-free list<primitive> array: the engine's repetition-
+    level case (SURVEY §1.4 — rep levels ≡ ListArray offsets). Layout:
+
+        [uvarint len(lengths_seg)][lengths: FOR int32]
+        [uvarint len(child_validity)][child validity seg]
+        [uvarint len(child_meta_json)][child colmeta JSON]
+        [child value payload]
+
+    The child array encodes recursively through the normal column path
+    (its own codec chosen by the selector), so element nulls and nested
+    stats work unchanged."""
+    import json as _json
+
+    from .varint import uvarint_encode
+
+    if pa.types.is_fixed_size_list(values.type):
+        values = values.cast(pa.list_(values.type.value_type))
+    elif pa.types.is_large_list(values.type):
+        values = values.cast(pa.list_(values.type.value_type))
+    offsets = values.offsets.to_numpy(zero_copy_only=False)
+    lengths = np.diff(offsets).astype(np.int32)
+    child = values.flatten()  # respects offsets; drops unreferenced slices
+    from .for_bitpack import for_encode
+
+    lengths_seg = for_encode(lengths, dtype=np.int32)
+    from .selector import select_codec
+
+    child_codec, child_comp, _ = select_codec(child.drop_null())
+    child_validity, child_payload, child_meta = encode_column(
+        child, child_codec, child_comp
+    )
+    child_meta_b = _json.dumps(child_meta, separators=(",", ":")).encode()
+    out = bytearray()
+    out += uvarint_encode(len(lengths_seg))
+    out += lengths_seg
+    out += uvarint_encode(len(child_validity))
+    out += child_validity
+    out += uvarint_encode(len(child_meta_b))
+    out += child_meta_b
+    out += child_payload
+    return bytes(out), {"child_codec": child_codec}
+
+
+def _decode_list_values(payload, typ: pa.DataType, count: int) -> pa.Array:
+    import json as _json
+
+    from .for_bitpack import for_decode
+    from .varint import uvarint_decode
+
+    value_type = typ.value_type
+    ln, pos = uvarint_decode(payload, 0)
+    lengths, _ = for_decode(payload[pos : pos + ln], dtype=np.int32)
+    pos += ln
+    ln, pos = uvarint_decode(payload, pos)
+    child_validity = bytes(payload[pos : pos + ln])
+    pos += ln
+    ln, pos = uvarint_decode(payload, pos)
+    child_meta = _json.loads(bytes(payload[pos : pos + ln]).decode())
+    pos += ln
+    child_payload = bytes(payload[pos:])
+    child = decode_column(child_validity, child_payload, child_meta, value_type)
+    offsets = np.concatenate(([0], np.cumsum(lengths, dtype=np.int64))).astype(
+        np.int32
+    )
+    out = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child)
+    if pa.types.is_fixed_size_list(typ) or pa.types.is_large_list(typ):
+        out = out.cast(typ)
+    return out
+
+
 def decode_column(
     validity_seg: bytes,
     value_seg: bytes,
@@ -337,7 +414,10 @@ def decode_column(
     n = colmeta["rows"]
     null_count = colmeta["null_count"]
     payload = decompress(value_seg, colmeta["compression"], colmeta["raw_len"])
-    values = decode_values(payload, colmeta["codec"], typ, n - null_count)
+    if colmeta["codec"] == "list":
+        values = _decode_list_values(payload, typ, n - null_count)
+    else:
+        values = decode_values(payload, colmeta["codec"], typ, n - null_count)
     if not null_count:
         return values
     valid_np, _ = hybrid_decode_sized(validity_seg, 1, n)

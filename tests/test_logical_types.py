@@ -61,8 +61,29 @@ def test_date_and_time_types():
     tbl_roundtrip(t)
 
 
+def test_list_columns_roundtrip():
+    """Repetition-level case (SURVEY §1.4): list offsets + recursive
+    child encode, incl. outer nulls, empty lists, and element nulls."""
+    t = pa.table(
+        {
+            "emb": pa.array(
+                [[1.5, 2.5], [0.0], None, []], pa.list_(pa.float32())
+            ),
+            "tags": pa.array(
+                [["a", "bb"], None, ["c", None, "dd"], []], pa.list_(pa.string())
+            ),
+            "fixed": pa.array(
+                [[1, 2, 3], [4, 5, 6], None, [7, 8, 9]],
+                pa.list_(pa.int64(), 3),
+            ),
+        }
+    )
+    meta = tbl_roundtrip(t)
+    assert meta["columns"]["emb"]["codec"] == "list"
+
+
 def test_unsupported_type_raises():
-    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))})
     with pytest.raises(TypeError):
         encode_table(t)
 
