@@ -26,8 +26,9 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TURNS_PER_SF = 5_000_000  # sf0.1 -> 500k turns (headline bench)
-SCALE_TURNS_PER_SF = 40_000_000  # sf0.1 -> 4M turns (scaling runs need
-# a compute-dominated job: ~40 CPU-s of encode vs ~3 s fixed pipeline cost)
+SCALE_TURNS_PER_SF = 20_000_000  # sf0.1 -> 2M turns (scaling runs need a
+# compute-dominated job — tens of CPU-seconds of encode vs ~2s fixed
+# pipeline cost — while keeping the 2-CPU leg inside the time budget)
 SEED = 42
 
 
@@ -178,11 +179,15 @@ ray.init(address='local', num_cpus={cpus}, include_dashboard=False)
 import bench
 tdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), bench.SCALE_TURNS_PER_SF)
 bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART})  # warmup, untimed
-t0 = time.time()
-s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART})
-el = time.time() - t0
-print(json.dumps({{'cpus': {cpus}, 'elapsed': el, 'rows': s['rows_encoded'],
-                  'turns_per_sec': s['rows_encoded'] / el}}))
+best = None
+for _ in range(2):  # best-of-2: shields against VM background noise
+    t0 = time.time()
+    s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART})
+    el = time.time() - t0
+    if best is None or el < best:
+        best = el
+print(json.dumps({{'cpus': {cpus}, 'elapsed': best, 'rows': s['rows_encoded'],
+                  'turns_per_sec': s['rows_encoded'] / best}}))
 ray.shutdown()
 """
     out = subprocess.run(

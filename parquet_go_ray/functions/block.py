@@ -18,11 +18,14 @@ import pyarrow as pa
 
 __all__ = ["compress", "decompress", "available_codecs", "NONE"]
 
+import os
+
 NONE = "none"
 _NAMES = ("zstd", "snappy", "gzip", "brotli", "lz4")
 # zstd level 3: measured 17% smaller than level 1 on transcript text at
 # still-sequential-read-friendly 150+ MB/s; levels ≥6 gain <1% more.
-_LEVELS = {"zstd": 3}
+# Env-overridable so benchmark children can sweep it (workers re-read it).
+_LEVELS = {"zstd": int(os.environ.get("PGR_ZSTD_LEVEL", "3"))}
 
 
 def available_codecs() -> list[str]:

@@ -47,6 +47,7 @@ def encode_pipeline(
     num_buckets: int | None = None,
     concurrency: int | tuple[int, int] | None = None,
     choices: dict | None = None,
+    lineage_paths: bool = True,
 ) -> dict:
     """Run the encode job; returns the run summary (also written to
     ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
@@ -72,7 +73,8 @@ def encode_pipeline(
             input_path,
             columns=columns,
             override_num_blocks=blocks,
-            include_paths=True,  # per-partition lineage (compacted in salt stage)
+            # per-partition lineage (compacted to int32 in the salt stage)
+            include_paths=lineage_paths,
         )
     if num_buckets is None:
         num_buckets = max(1, -(-total_rows // rows_per_partition))
@@ -100,7 +102,7 @@ def encode_pipeline(
 
     completed = mf.completed_partitions(checkpoint_dir)
 
-    path_index = {p: i for i, p in enumerate(input_files)}
+    path_index = {p: i for i, p in enumerate(input_files)} if lineage_paths else None
     ds = ds.map_batches(
         assign_buckets,
         fn_kwargs={
