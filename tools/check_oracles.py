@@ -37,7 +37,14 @@ def value_hash(df: pd.DataFrame) -> str:
     for col in df.columns:
         vals = df[col]
         h.update(col.encode())
-        h.update(pd.util.hash_pandas_object(vals, index=False).values.tobytes())
+        try:
+            h.update(pd.util.hash_pandas_object(vals, index=False).values.tobytes())
+        except TypeError:  # unhashable cells (lists/arrays) -> stringify
+            h.update(
+                pd.util.hash_pandas_object(
+                    vals.map(str), index=False
+                ).values.tobytes()
+            )
     return h.hexdigest()
 
 
