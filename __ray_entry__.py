@@ -20,7 +20,6 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 if _HERE not in sys.path:
     sys.path.insert(0, _HERE)
 
-import numpy as np
 import pyarrow as pa
 
 import ray
@@ -42,7 +41,6 @@ def _read(
 
 
 def _roundtrip(sf_dir: str, table: str) -> ray.data.Dataset:
-    from parquet_go_ray.stages.encoder import DecoderActor
     from parquet_go_ray.state.blob import encode_table
 
     ds = _read(sf_dir, table)

@@ -77,8 +77,6 @@ def run_encode(
 
 def bench_queries(sf_dir: str) -> tuple[dict, dict]:
     """Time the headline + op pipelines; returns (seconds, extras)."""
-    import numpy as np
-
     import ray
 
     q: dict[str, float] = {}
