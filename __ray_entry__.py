@@ -327,6 +327,55 @@ def _q_encode_manifest(sf_dir: str):
     )
 
 
+def _q_top_documents(sf_dir: str):
+    """Global sort + limit (top-k): the §2.6 sort/limit operators."""
+    from parquet_go_ray.ops.text import apply, quality_batch
+
+    ds = apply(_read(sf_dir, "documents"), quality_batch)
+    # doc_id as the second sort key makes boundary ties deterministic and
+    # identical to the oracle's ORDER BY n_chars DESC, doc_id.
+    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+    rows = top.take_all()
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _q_distinct_users(sf_dir: str):
+    """Distinct-count via batch-local pre-dedup + one small groupby."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def local_unique(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+
+    uniq = ds.map_batches(local_unique, batch_format="pyarrow").groupby(
+        "user_id"
+    ).count()
+    return pa.table({"n_users": pa.array([uniq.count()], pa.int64())})
+
+
+def _q_broadcast_join(sf_dir: str):
+    """Broadcast hash join: lineitem (big, streamed) x part (small,
+    ray.put once, indexed per actor) — the no-shuffle join plan."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.ops.join import broadcast_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+    )
+    big = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+    joined = broadcast_join(
+        big, part, on="l_partkey", small_on="p_partkey", select=["p_name"]
+    )
+    return joined
+
+
 def _q_sessionize_events(sf_dir: str):
     from parquet_go_ray.ops.sessions import sessionize
 
@@ -380,6 +429,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filter_click": _q_events_filter,
         "ann_cosine_embeddings": _q_ann,
         "sessionize_events": _q_sessionize_events,
+        "top_documents_by_chars": _q_top_documents,
+        "distinct_users_events": _q_distinct_users,
+        "broadcast_join_lineitem_part": _q_broadcast_join,
         # rows-only (non-SQL-expressible):
         "bpe_token_count_documents": _q_bpe_tokens,
         "media_features_synthetic": _q_media_features,
@@ -444,6 +496,17 @@ def oracle_sql() -> dict[str, str]:
         "events_filter_click": (
             "SELECT event_id, user_id, value FROM events"
             " WHERE event_type = 'click'"
+        ),
+        "top_documents_by_chars": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
+            " FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "distinct_users_events": (
+            "SELECT count(DISTINCT user_id) AS n_users FROM events"
+        ),
+        "broadcast_join_lineitem_part": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"
+            " FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey"
         ),
         "sessionize_events": (
             "WITH d AS (SELECT user_id, ts,"

@@ -1,0 +1,75 @@
+"""Broadcast (map-side) hash join: the no-shuffle join for small sides.
+
+The small table is materialized once, ``ray.put`` into the object store,
+and each actor builds its lookup index ONCE in the constructor — the
+canonical broadcast pattern (task brief: "broadcast small sides with
+ray.put + lookup inside map_batches instead of a shuffle join"). The big
+side streams through map_batches untouched; join cost is one vectorized
+take per batch. At 100 TB this is the right plan whenever the small side
+fits a worker heap (dimension tables, vocabularies, codebooks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+class _BroadcastJoiner:
+    def __init__(self, small_ref, on: str, small_on: str, select: list[str] | None):
+        small: pa.Table = ray.get(small_ref) if not isinstance(
+            small_ref, pa.Table
+        ) else small_ref
+        self.small = small.combine_chunks()
+        keys = self.small.column(small_on).to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        self.sorted_keys = keys[order]
+        self.order = order
+        self.on = on
+        self.small_on = small_on
+        self.select = select
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        probe = batch.column(self.on).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.sorted_keys, probe)
+        idx_c = np.minimum(idx, len(self.sorted_keys) - 1)
+        hit = self.sorted_keys[idx_c] == probe
+        take = self.order[idx_c]
+        out = batch
+        cols = self.select or [
+            c for c in self.small.column_names if c != self.small_on
+        ]
+        indices = pa.array(
+            np.where(hit, take, -1), mask=~hit
+        )  # null index -> null value (left join)
+        for c in cols:
+            out = out.append_column(c, self.small.column(c).take(indices))
+        return out
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    on: str,
+    small_on: str | None = None,
+    select: list[str] | None = None,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Left join ``big ⟕ small`` on an equality key, no shuffle."""
+    small_on = small_on or on
+    small_ref = ray.put(small)  # shipped once per node, not per batch
+    return big.map_batches(
+        _BroadcastJoiner,
+        fn_constructor_kwargs={
+            "small_ref": small_ref,
+            "on": on,
+            "small_on": small_on,
+            "select": select,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -177,3 +177,20 @@ class TestRayOps:
         assert pred[1] == "de"
         assert pred[2] == "zh"
         assert pred[3] == "ru"
+
+
+def test_broadcast_join(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from parquet_go_ray.ops.join import broadcast_join
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2, 9], pa.int64()), "v": pa.array(list("abcde"))})
+    )
+    small = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64()), "name": pa.array(["one", "two", "three"])}
+    )
+    out = broadcast_join(big, small, on="k", concurrency=(1, 2)).to_pandas()
+    out = out.sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["name"].tolist() == ["one", "two", "two", "three", None]
