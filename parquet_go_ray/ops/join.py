@@ -33,6 +33,16 @@ class _BroadcastJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch.column(self.on).to_numpy(zero_copy_only=False)
+        if len(self.sorted_keys) == 0:  # empty small side -> all-null join
+            out = batch
+            cols = self.select or [
+                c for c in self.small.column_names if c != self.small_on
+            ]
+            for c in cols:
+                out = out.append_column(
+                    c, pa.nulls(batch.num_rows, self.small.schema.field(c).type)
+                )
+            return out
         idx = np.searchsorted(self.sorted_keys, probe)
         idx_c = np.minimum(idx, len(self.sorted_keys) - 1)
         hit = self.sorted_keys[idx_c] == probe
