@@ -144,7 +144,9 @@ def encode_values(values: pa.Array, codec: str) -> tuple[bytes, dict]:
         if codec == "delta_prefix":
             return delta_prefix_encode(lens, data), meta
         if codec == "fsst":
-            return fsst_encode(lens, data), meta
+            payload = fsst_encode(lens, data)
+            meta["symtab_hash"] = _fsst_symtab_hash(payload)
+            return payload, meta
     elif phys in ("float32", "float64"):
         np_vals = values.to_numpy(zero_copy_only=False)
         if codec == "plain":
@@ -214,6 +216,20 @@ def decode_values(payload, codec: str, typ: pa.DataType, count: int) -> pa.Array
             raise ValueError("value count mismatch")
         return _cast_logical(pa.array(vals), typ)
     raise ValueError(f"codec {codec!r} is not legal for physical type {phys}")
+
+
+def _fsst_symtab_hash(payload: bytes) -> str:
+    """sha1 of the FSST stream's symbol-table header — recorded in the
+    lineage manifest alongside dict symbol-table hashes (north rule)."""
+    import hashlib
+
+    from .varint import uvarint_decode
+
+    n_sym, pos = uvarint_decode(payload, 0)
+    sym_lens = payload[pos : pos + n_sym]
+    pos += n_sym
+    total = sum(sym_lens)
+    return hashlib.sha1(payload[: pos + total]).hexdigest()
 
 
 def _cast_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
