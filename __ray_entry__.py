@@ -147,12 +147,33 @@ def _q_column_stats_lineitem(sf_dir: str):
 
 
 def _q_dict_cardinality_documents(sf_dir: str):
+    """Distinct counts via the engine dictionary: per-batch unique partials
+    (bounded by column cardinality, never the row count) stream to the
+    driver, and the merged uniques feed dict_encode for the final symbol
+    table. No full-table materialization."""
+    import pyarrow.compute as pc
+
     from parquet_go_ray.functions.dictionary import dict_encode
 
-    tab = _read(sf_dir, "documents").take_batch(10**9, batch_format="pyarrow")
+    cols = ("lang", "source")
+    ds = _read(sf_dir, "documents", columns=list(cols))
+
+    def uniques(batch: pa.Table) -> pa.Table:
+        per_col = [pc.unique(batch.column(c)) for c in cols]
+        n = max(len(a) for a in per_col)
+        padded = [
+            pa.concat_arrays([a, pa.nulls(n - len(a), a.type)]) if len(a) < n else a
+            for a in per_col
+        ]
+        return pa.table(dict(zip(cols, padded)))
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(uniques, batch_format="pyarrow").to_arrow_refs())
+    )
     out = {}
-    for col in ("lang", "source"):
-        _, meta = dict_encode(tab.column(col).combine_chunks())
+    for col in cols:
+        merged = parts.column(col).combine_chunks().drop_null()
+        _, meta = dict_encode(pc.unique(merged))
         out[f"{col}_cardinality"] = [meta["dict_count"]]
     return pa.table(out)
 
@@ -328,18 +349,19 @@ def _q_encode_manifest(sf_dir: str):
 
 
 def _q_top_documents(sf_dir: str):
-    """Global sort + limit (top-k): the §2.6 sort/limit operators."""
+    """Top-k (§2.6 sort/limit) without a global sort: per-batch
+    argpartition local top-k + a tiny driver merge (ops/topk.py)."""
     from parquet_go_ray.ops.text import apply, quality_batch
+    from parquet_go_ray.ops.topk import topk
 
     ds = apply(_read(sf_dir, "documents"), quality_batch)
     # doc_id as the second sort key makes boundary ties deterministic and
     # identical to the oracle's ORDER BY n_chars DESC, doc_id.
-    top = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
-    rows = top.take_all()
+    top = topk(ds, ["n_chars", "doc_id"], k=10, descending=[True, False])
     return pa.table(
         {
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
-            "n_chars": pa.array([r["n_chars"] for r in rows], pa.int64()),
+            "doc_id": top.column("doc_id").cast(pa.int64()),
+            "n_chars": top.column("n_chars").cast(pa.int64()),
         }
     )
 

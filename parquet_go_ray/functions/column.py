@@ -250,14 +250,27 @@ def _stats(values: pa.Array, typ: pa.DataType) -> dict:
         return {}
     mm = pc.min_max(values)
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
-    # Cap giant string stats so the manifest stays small.
+    # Cap giant string stats so the manifest stays small. A truncated max
+    # is a PREFIX of the true max and therefore lexicographically smaller,
+    # so it is no longer a valid upper bound — record the fact so zone-map
+    # pruning (pipelines/decode.py) keeps the partition for max-side and
+    # equality predicates. A truncated min is still a valid (looser) lower
+    # bound: prefix <= full string, so min-side checks only get more
+    # conservative and need no flag.
+    out = {}
     if isinstance(mn, str):
+        if len(mx) > 64:
+            out["max_trunc"] = True
         mn, mx = mn[:64], mx[:64]
     elif isinstance(mn, bytes):
+        if len(mx) > 64:
+            out["max_trunc"] = True
         mn, mx = mn[:64].hex(), mx[:64].hex()
     else:
         mn, mx = _json_safe(mn), _json_safe(mx)
-    return {"min": mn, "max": mx}
+    out["min"] = mn
+    out["max"] = mx
+    return out
 
 
 def _json_safe(v):

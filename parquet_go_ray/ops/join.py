@@ -25,7 +25,16 @@ class _BroadcastJoiner:
         self.small = small.combine_chunks()
         keys = self.small.column(small_on).to_numpy(zero_copy_only=False)
         order = np.argsort(keys, kind="stable")
-        self.sorted_keys = keys[order]
+        sorted_keys = keys[order]
+        # searchsorted emits at most one small-side row per probe key, so a
+        # duplicated key would silently drop matches instead of multiplying
+        # rows like SQL LEFT JOIN. Fail fast at index-build time.
+        if len(sorted_keys) > 1 and (sorted_keys[1:] == sorted_keys[:-1]).any():
+            raise ValueError(
+                f"broadcast_join small side has duplicate keys in {small_on!r};"
+                " a 1:N broadcast join is not supported (use a shuffle join)"
+            )
+        self.sorted_keys = sorted_keys
         self.order = order
         self.on = on
         self.small_on = small_on

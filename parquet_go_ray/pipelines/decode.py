@@ -32,13 +32,18 @@ def _partition_may_match(entry: dict, predicate: tuple[str, str, object]) -> boo
     mn, mx = stats.get("min"), stats.get("max")
     if mn is None or mx is None:
         return True
+    # A string max capped at 64 chars (functions/column.py _stats) is a
+    # prefix of — and thus smaller than — the true max, so it cannot
+    # exclude rows on the high side; keep the partition for max-side and
+    # equality predicates whenever the flag is set.
+    max_trunc = bool(stats.get("max_trunc"))
     try:
         if op in (">", ">="):
-            return _OPS[op](mx, value)
+            return True if max_trunc else _OPS[op](mx, value)
         if op in ("<", "<="):
             return _OPS[op](mn, value)
         if op == "==":
-            return mn <= value <= mx
+            return mn <= value and (max_trunc or value <= mx)
     except TypeError:
         return True
     return True

@@ -194,3 +194,75 @@ def test_broadcast_join(ray_session):
     out = broadcast_join(big, small, on="k", concurrency=(1, 2)).to_pandas()
     out = out.sort_values(["k", "v"]).reset_index(drop=True)
     assert out["name"].tolist() == ["one", "two", "two", "three", None]
+
+
+def test_broadcast_join_rejects_duplicate_small_keys(ray_session):
+    import ray
+
+    from parquet_go_ray.ops.join import broadcast_join
+
+    big = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "v": pa.array(["a", "b"])})
+    )
+    small = pa.table(
+        {"k": pa.array([1, 1, 2], pa.int64()), "name": pa.array(["x", "y", "z"])}
+    )
+    out = broadcast_join(big, small, on="k", concurrency=(1, 1))
+    with pytest.raises(Exception, match="duplicate keys"):
+        out.take_all()
+
+
+class TestTopK:
+    def test_numeric_desc_matches_sort(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import topk
+
+        rng = np.random.default_rng(11)
+        vals = rng.integers(0, 1000, 5000)
+        t = pa.table(
+            {"id": pa.array(range(5000), pa.int64()), "v": pa.array(vals, pa.int64())}
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        got = topk(ds, ["v", "id"], k=10, descending=[True, False]).to_pandas()
+        exp = (
+            t.to_pandas()
+            .sort_values(["v", "id"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+        assert got["id"].tolist() == exp["id"].tolist()
+        assert got["v"].tolist() == exp["v"].tolist()
+
+    def test_ascending_with_heavy_ties(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import topk
+
+        # Every v value duplicated many times: tie-handling must keep
+        # candidates so the secondary key decides.
+        t = pa.table(
+            {
+                "id": pa.array(range(400), pa.int64()),
+                "v": pa.array([i % 5 for i in range(400)], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        got = topk(ds, ["v", "id"], k=7, descending=False).to_pandas()
+        exp = (
+            t.to_pandas().sort_values(["v", "id"]).head(7).reset_index(drop=True)
+        )
+        assert got["id"].tolist() == exp["id"].tolist()
+
+    def test_string_keys(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import topk
+
+        words = [f"w{i:04d}" for i in range(300)]
+        rng = np.random.default_rng(5)
+        rng.shuffle(words)
+        t = pa.table({"w": pa.array(words)})
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = topk(ds, ["w"], k=5, descending=True)
+        assert got.column("w").to_pylist() == sorted(words, reverse=True)[:5]

@@ -116,3 +116,31 @@ class TestZoneMapPruning:
 
         expect = pc.sum(pc.equal(t.column("turn_idx"), 0)).as_py()
         assert sel.count() == expect
+
+
+def test_zonemap_truncated_string_max_not_pruned():
+    """A 64-char-capped string max is a prefix (lexicographically smaller)
+    of the true max; pruning must keep the partition for max-side and
+    equality predicates (ADVICE r1)."""
+    from parquet_go_ray.functions.column import encode_column
+    from parquet_go_ray.pipelines.decode import _partition_may_match
+
+    arr = pa.array(["x" * 100, "apple"])
+    _, _, meta = encode_column(arr, "plain")
+    assert meta["stats"].get("max_trunc") is True
+    entry = {"columns": {"text": {"stats": meta["stats"]}}}
+    # True max is 'x'*100 > 'x'*70: partition must survive.
+    assert _partition_may_match(entry, ("text", ">", "x" * 70))
+    assert _partition_may_match(entry, ("text", ">=", "x" * 100))
+    assert _partition_may_match(entry, ("text", "==", "x" * 100))
+    # Min side is unaffected by max truncation and stays exact.
+    assert not _partition_may_match(entry, ("text", "<", "apple"))
+    assert _partition_may_match(entry, ("text", "<", "applf"))
+    # Equality below the recorded min is still prunable.
+    assert not _partition_may_match(entry, ("text", "==", "aaa"))
+
+    # Untruncated strings keep exact max-side pruning.
+    _, _, meta2 = encode_column(pa.array(["b", "m"]), "plain")
+    assert "max_trunc" not in meta2["stats"]
+    e2 = {"columns": {"text": {"stats": meta2["stats"]}}}
+    assert not _partition_may_match(e2, ("text", ">", "z"))
