@@ -301,6 +301,34 @@ def _q_dedup_embedding(sf_dir: str):
     return dedup_embedding(_read(sf_dir, "embeddings"), threshold=0.98)
 
 
+def _q_dedup_minhash_planted(sf_dir: str):
+    """MinHash LSH dedup on the planted clone corpus (deterministic,
+    provable ground truth): survivors = min(doc_id) per clone group.
+    Oracled — the DuckDB side constructs the identical corpus from
+    range() + string formulas and groups by text."""
+    from parquet_go_ray.ops.dedup import dedup_minhash
+    from parquet_go_ray.sources.planted import planted_clone_documents
+
+    ds = ray.data.from_arrow(planted_clone_documents())
+    return dedup_minhash(ds, threshold=0.7)
+
+
+def _q_dedup_simhash_planted(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_simhash
+    from parquet_go_ray.sources.planted import planted_clone_documents
+
+    ds = ray.data.from_arrow(planted_clone_documents())
+    return dedup_simhash(ds, max_hamming=3)
+
+
+def _q_dedup_embedding_planted(sf_dir: str):
+    from parquet_go_ray.ops.dedup import dedup_embedding
+    from parquet_go_ray.sources.planted import planted_embeddings
+
+    ds = ray.data.from_arrow(planted_embeddings())
+    return dedup_embedding(ds, threshold=0.95)
+
+
 def _q_langid(sf_dir: str):
     from parquet_go_ray.ops.text import apply, langid_batch
 
@@ -454,6 +482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_documents_by_chars": _q_top_documents,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
+        "dedup_minhash_planted": _q_dedup_minhash_planted,
+        "dedup_simhash_planted": _q_dedup_simhash_planted,
+        "dedup_embedding_planted": _q_dedup_embedding_planted,
         # rows-only (non-SQL-expressible):
         "bpe_token_count_documents": _q_bpe_tokens,
         "media_features_synthetic": _q_media_features,
@@ -464,6 +495,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_fingerprint_documents": _q_rolling_fp,
         "encode_manifest_transcripts": _q_encode_manifest,
     }
+
+
+def _planted_docs_sql() -> str:
+    from parquet_go_ray.sources.planted import planted_clone_documents_sql
+
+    return planted_clone_documents_sql()
+
+
+def _planted_emb_sql() -> str:
+    from parquet_go_ray.sources.planted import planted_embeddings_survivors_sql
+
+    return planted_embeddings_survivors_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -538,6 +581,15 @@ def oracle_sql() -> dict[str, str]:
             "   OR ts - prev > INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions"
             " FROM d GROUP BY user_id"
         ),
+        "dedup_minhash_planted": (
+            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
+            " FROM docs GROUP BY text".format(_planted_docs_sql())
+        ),
+        "dedup_simhash_planted": (
+            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
+            " FROM docs GROUP BY text".format(_planted_docs_sql())
+        ),
+        "dedup_embedding_planted": _planted_emb_sql(),
         "ann_cosine_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
             " ORDER BY vec_id LIMIT 10),"

@@ -1,23 +1,33 @@
 """Deduplication over ray.data Datasets.
 
-Three scale-out strategies, all expressed as map_batches partials feeding
-ONE groupby shuffle each (never a driver-side row loop):
+All strategies are expressed as map_batches partials feeding ONE
+light-weight groupby shuffle each (never a driver-side row loop):
 
-- exact: 128-bit content hash (2×64-bit SipHash, independent keys),
-  batch-local pre-aggregation, then ``groupby(hash).min(id)`` — the
-  hash-partition + per-group-first pattern. The dictionary-as-dedup idea
-  of the reference's DictStore (/root/reference/datastore/dict.go:55-83)
+- exact: 128-bit content hash (2×64-bit independent keys), batch-local
+  pre-aggregation, then ``groupby(hash).min(id)`` — the hash-partition +
+  per-group-first pattern. The dictionary-as-dedup idea of the
+  reference's DictStore (/root/reference/datastore/dict.go:55-83)
   applied table-wide.
 - MinHash + LSH: char-shingle → vectorized minhash signatures
   (``np.minimum.reduceat`` over permuted shingle hashes) → banded bucket
-  groupby → in-bucket signature-agreement verification.
-- SimHash: token-hash bit-vote fingerprints, 4×16-bit band buckets,
-  in-bucket Hamming verification.
+  groupby over (band, band_hash, id) ONLY — signatures are NOT shipped
+  through the shuffle (≈16 bytes/row/band instead of ~0.5 KB) — then an
+  exact second-pass verification that recomputes signatures for just the
+  candidate rows.
+- SimHash: token-hash bit-vote fingerprints, 4×16-bit band buckets; the
+  8-byte fingerprint rides along and all in-bucket pairs are verified by
+  a vectorized Hamming matrix.
+- Embedding cosine: random-hyperplane LSH buckets over (table, bh, id);
+  candidate embeddings are re-read from the source in a projected second
+  pass and cosine-verified exactly.
 
-Candidate pairs are clustered with a driver-side union-find — pairs are
-rare relative to rows. At 10^12-doc scale the same pair stream feeds an
-iterative star-contraction connected-components job instead; the bucket
-and verify stages are unchanged.
+Candidate pairs are rare relative to rows (bounded by bucket
+collisions); they are clustered with a fully vectorized hash-to-min
+connected-components kernel (numpy, O(log n) rounds — no Python loop
+over edges), and the absorbed-id set is broadcast ONCE via ``ray.put``
+of a sorted array probed with ``searchsorted`` inside the filter stage.
+At 10^12-doc scale the same pair stream feeds the identical kernel per
+shard; nothing here re-ships per batch.
 """
 
 from __future__ import annotations
@@ -30,6 +40,18 @@ import ray
 
 _KEY2 = b"fedcba9876543210"
 _MERSENNE = np.uint64((1 << 61) - 1)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+# Buckets larger than this emit a star (everything → min id) instead of
+# all pairs. Small buckets get complete pair coverage (ADVICE r1: the
+# anchor-only scheme missed non-anchor near-dup pairs); a large bucket at
+# 4 rows/band is either a clone cluster — where the star already connects
+# the component and every star edge verifies — or a template collision,
+# where downstream exact verification rejects the edges and all-pairs
+# would only add O(m²) candidate volume for marginal recall. Documented
+# approximation: non-anchor pairs inside LARGE collision buckets that
+# share no other (smaller) bucket are not emitted.
+_MAX_ALLPAIRS_BUCKET = 32
 
 
 def _hash128(texts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -79,7 +101,12 @@ def dedup_exact(
 
 def _char_shingle_hashes(texts: list[bytes], k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-byte shingle hashes per doc (k ≤ 8 → one uint64 window pass).
-    Returns (flat_hashes, doc_offsets)."""
+    Returns (flat_hashes, doc_offsets).
+
+    Docs shorter than k contribute exactly one shingle derived from their
+    OWN bytes only (effective shingle length = doc length); zero-length
+    docs get a fixed sentinel — never bytes read from a neighboring doc.
+    """
     lens = np.array([len(t) for t in texts], dtype=np.int64)
     data = (
         np.frombuffer(b"".join(texts), dtype=np.uint8)
@@ -88,19 +115,29 @@ def _char_shingle_hashes(texts: list[bytes], k: int) -> tuple[np.ndarray, np.nda
     )
     n = len(data)
     padded = np.concatenate([data, np.zeros(8, dtype=np.uint8)])
-    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[:n]
-    w8 = win.view(">u8").ravel().astype(np.uint64) >> np.uint64(8 * (8 - k))
+    win = np.lib.stride_tricks.sliding_window_view(padded, 8)[: max(n, 1)]
+    w8 = win.view(">u8").ravel().astype(np.uint64)
     # positions whose shingle stays inside its doc
     starts = np.concatenate(([0], np.cumsum(lens)))
-    n_sh = np.maximum(lens - k + 1, 1)  # short docs contribute 1 (padded) shingle
+    n_sh = np.maximum(lens - k + 1, 1)  # short docs contribute 1 shingle
     doc_offsets = np.concatenate(([0], np.cumsum(n_sh)))
     idx = np.arange(int(n_sh.sum()), dtype=np.int64) - np.repeat(
         doc_offsets[:-1], n_sh
     )
     pos = np.repeat(starts[:-1], n_sh) + idx
-    flat = w8[np.minimum(pos, max(0, n - 1))] if n else np.zeros(len(pos), np.uint64)
+    # Effective shingle length: k normally, the doc's own length for
+    # docs shorter than k (their single shingle must not read past the
+    # doc end into a neighbor).
+    k_eff = np.minimum(np.repeat(lens, n_sh), k).astype(np.uint64)
+    raw = (
+        w8[np.minimum(pos, max(0, n - 1))]
+        if n
+        else np.zeros(len(pos), np.uint64)
+    )
+    shift = np.minimum(np.uint64(8) * (np.uint64(8) - k_eff), np.uint64(63))
+    vals = np.where(k_eff > 0, raw >> shift, np.uint64(0))
     # Mix so short/truncated shingles don't collide with real ones.
-    flat = flat * np.uint64(0x9E3779B97F4A7C15) + np.uint64(k)
+    flat = vals * _GOLDEN + k_eff
     return flat, doc_offsets
 
 
@@ -121,6 +158,177 @@ def minhash_signatures(
     return sig
 
 
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 FNV fold of each band's signature slice."""
+    nd, num_perm = sig.shape
+    rows_per_band = num_perm // bands
+    band_hash = np.empty((nd, bands), dtype=np.uint64)
+    for bidx in range(bands):
+        chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
+        h = np.zeros(nd, dtype=np.uint64)
+        for c in range(rows_per_band):
+            h = h * np.uint64(1099511628211) + chunk[:, c]
+        band_hash[:, bidx] = h
+    return band_hash
+
+
+# The bucket groupby runs over a COARSE partition key pk = hash(band, bh)
+# % _N_BUCKET_PARTS rather than (band, bh) itself: same co-location
+# guarantee (every row of a bucket shares its pk), but the shuffle
+# produces a few dozen groups processed vectorized instead of one Python
+# map_groups call per bucket (~rows×bands tiny groups — the per-group
+# interpreter overhead dominated round 1's dedup wall time).
+_N_BUCKET_PARTS = 64
+
+
+def _with_pk(band: np.ndarray, bh: np.ndarray) -> np.ndarray:
+    return (
+        (bh ^ (band.astype(np.uint64) * _GOLDEN)) % np.uint64(_N_BUCKET_PARTS)
+    ).astype(np.int32)
+
+
+def _segment_bounds(band: np.ndarray, bh: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Start/end offsets of each (band, bh) bucket in lexsorted order."""
+    new = np.empty(len(band), dtype=bool)
+    new[0] = True
+    new[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(band))
+    return starts, ends
+
+
+def _bucket_pairs_ids(group: pa.Table, id_col: str) -> pa.Table:
+    """Candidate pairs from ALL buckets in one pk partition: all pairs
+    for small buckets (ADVICE r1: anchor-only verification missed
+    non-anchor pairs), a star to the min id for giant buckets. The
+    Python loop touches only multi-member buckets — singletons (the vast
+    majority) are skipped in bulk."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if group.num_rows < 2:
+        return empty
+    band = group.column("band").to_numpy(zero_copy_only=False)
+    bh = group.column("bh").to_numpy(zero_copy_only=False)
+    ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    starts, ends = _segment_bounds(band, bh)
+    multi = np.flatnonzero(ends - starts >= 2)
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    for si in multi:
+        seg = np.unique(ids[starts[si] : ends[si]])
+        m = len(seg)
+        if m < 2:
+            continue
+        if m > _MAX_ALLPAIRS_BUCKET:
+            out_a.append(np.full(m - 1, seg[0]))
+            out_b.append(seg[1:])
+        else:
+            iu = np.triu_indices(m, k=1)
+            out_a.append(seg[iu[0]])
+            out_b.append(seg[iu[1]])
+    if not out_a:
+        return empty
+    return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+
+
+def _collect_pairs(pairs: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Candidate-pair stream → deduplicated (a, b) numpy arrays.
+    Pairs are rare by construction (bucket collisions only)."""
+    tabs = ray.get(pairs.to_arrow_refs())
+    tabs = [t for t in tabs if t.num_rows]
+    if not tabs:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    merged = pa.concat_tables(tabs).combine_chunks()
+    a = merged.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = merged.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+    ab = np.stack([a, b], axis=1)
+    ab = np.unique(ab, axis=0)  # same pair from multiple bands
+    return ab[:, 0], ab[:, 1]
+
+
+def _fetch_candidate_rows(
+    ds: ray.data.Dataset,
+    cand_ids: np.ndarray,
+    id_col: str,
+    columns: list[str],
+    transform=None,
+) -> pa.Table:
+    """Project + filter the source down to candidate rows only, applying
+    ``transform`` (e.g. distributed signature recompute) to each filtered
+    batch before collecting. The sorted id array is ray.put ONCE and
+    probed via searchsorted in every batch (never re-shipped per task)."""
+    ref = ray.put(np.sort(cand_ids))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(arr) == 0:
+            out = batch.slice(0, 0).select(columns)
+        else:
+            pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+            mask = arr[pos] == ids
+            out = batch.filter(pa.array(mask)).select(columns)
+        return transform(out) if transform is not None else out
+
+    out = ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    tabs = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        empty = pa.table({c: [] for c in columns})
+        return transform(empty) if transform is not None else empty
+    return pa.concat_tables(tabs).combine_chunks()
+
+
+def connected_components_absorbed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Ids absorbed into a lower-id cluster root, from an edge list.
+
+    Vectorized hash-to-min label propagation with pointer jumping —
+    O(E) work per round, O(log n) rounds, no Python loop over edges
+    (the round-1 driver union-find iterated pairs row by row). The same
+    kernel runs per shard on huge pair streams; only the edge arrays
+    need to fit in memory, never the corpus.
+    """
+    if len(a) == 0:
+        return np.empty(0, dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        edge_min = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, edge_min)
+        np.minimum.at(new, eb, edge_min)
+        new = new[new]  # pointer jumping halves tree depth
+        new = new[new]
+        if np.array_equal(new, label):
+            break
+        label = new
+    roots = nodes[label]
+    return nodes[roots != nodes].astype(np.int64)
+
+
+def _filter_absorbed(
+    ds: ray.data.Dataset, absorbed: np.ndarray, id_col: str
+) -> ray.data.Dataset:
+    """Survivors = rows whose id is not absorbed. The sorted absorbed
+    array lives in the object store once (ray.put) and every batch
+    probes it with searchsorted — O(log n) per row, no per-task
+    re-serialization of a Python set (round-1 closure anti-pattern)."""
+    ref = ray.put(np.sort(absorbed.astype(np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(arr) == 0:
+            return pa.table({id_col: ids})
+        pos = np.minimum(np.searchsorted(arr, ids), len(arr) - 1)
+        mask = arr[pos] != ids
+        return pa.table({id_col: ids[mask]})
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_minhash(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -131,8 +339,13 @@ def dedup_minhash(
     threshold: float = 0.7,
 ) -> ray.data.Dataset:
     """Near-duplicate removal: keep one representative (min id) per
-    near-dup cluster at estimated Jaccard ≥ threshold."""
-    rows_per_band = num_perm // bands
+    near-dup cluster at estimated Jaccard ≥ threshold.
+
+    Shuffle ships (band, bh, id) only — 20 bytes/row/band. Signatures
+    are recomputed for candidate rows in a second projected pass and
+    pairs are verified exactly (full-signature agreement ≥ threshold)
+    before clustering.
+    """
 
     def band_rows(batch: pa.Table) -> pa.Table:
         texts = [
@@ -141,46 +354,63 @@ def dedup_minhash(
         ]
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, num_perm=num_perm, k=k)
+        bh = _band_hashes(sig, bands)
         nd = len(ids)
-        band_hash = np.empty((nd, bands), dtype=np.uint64)
-        for bidx in range(bands):
-            chunk = sig[:, bidx * rows_per_band : (bidx + 1) * rows_per_band]
-            h = np.zeros(nd, dtype=np.uint64)
-            for c in range(rows_per_band):
-                h = h * np.uint64(1099511628211) + chunk[:, c]
-            band_hash[:, bidx] = h
-        out = {
-            "band": np.repeat(np.arange(bands, dtype=np.int32), nd),
-            "bh": band_hash.T.reshape(-1),
-            id_col: np.tile(ids, bands),
-            "sig": pa.FixedSizeListArray.from_arrays(
-                pa.array(np.tile(sig, (bands, 1)).reshape(-1), pa.uint64()), num_perm
-            ),
-        }
-        return pa.table(out)
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        nd = group.num_rows
-        if nd < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sig = np.stack(group.column("sig").to_numpy(zero_copy_only=False))
-        anchor = int(np.argmin(ids))
-        est = (sig == sig[anchor]).mean(axis=1)
-        keep = (est >= threshold) & (np.arange(nd) != anchor)
+        band = np.repeat(np.arange(bands, dtype=np.int32), nd)
+        bh_flat = bh.T.reshape(-1)
         return pa.table(
             {
-                "a": np.full(int(keep.sum()), ids[anchor], dtype=np.int64),
-                "b": ids[keep].astype(np.int64),
+                "pk": _with_pk(band, bh_flat),
+                "band": band,
+                "bh": bh_flat,
+                id_col: np.tile(ids, bands),
             }
         )
 
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_bucket_pairs_ids, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     )
-    return _survivors_from_pairs(ds, pairs, id_col)
+    a, b = _collect_pairs(pairs)
+    if len(a):
+        cand_ids = np.unique(np.concatenate([a, b]))
+
+        def sig_rows(batch: pa.Table) -> pa.Table:
+            texts = [
+                t.encode() if isinstance(t, str) else t
+                for t in batch.column(text_col).to_pylist()
+            ]
+            sig = minhash_signatures(texts, num_perm=num_perm, k=k)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "sig": pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.reshape(-1), pa.uint64()), num_perm
+                    ),
+                }
+            )
+
+        cand = _fetch_candidate_rows(
+            ds, cand_ids, id_col, [id_col, text_col], transform=sig_rows
+        )
+        ids = cand.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = (
+            cand.column("sig")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(ids), num_perm)
+        )
+        order = np.argsort(ids)
+        ids_sorted, sig_sorted = ids[order], sig[order]
+        ia = np.searchsorted(ids_sorted, a)
+        ib = np.searchsorted(ids_sorted, b)
+        est = (sig_sorted[ia] == sig_sorted[ib]).mean(axis=1)
+        ok = est >= threshold
+        a, b = a[ok], b[ok]
+    absorbed = connected_components_absorbed(a, b)
+    return _filter_absorbed(ds, absorbed, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -205,6 +435,16 @@ def simhash64(texts: list[str]) -> np.ndarray:
     return out
 
 
+def _hamming_matrix(sh: np.ndarray) -> np.ndarray:
+    """(m, m) pairwise Hamming distances over uint64 fingerprints."""
+    x = sh[:, None] ^ sh[None, :]
+    dist = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        dist += (x & np.uint64(1)).astype(np.int64)
+        x >>= np.uint64(1)
+    return dist
+
+
 def dedup_simhash(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -215,20 +455,24 @@ def dedup_simhash(
 
     Band on 4×16-bit chunks: any pair within distance 3 shares at least
     one exact chunk (pigeonhole), so bucket-groupby finds all candidates.
+    The 8-byte fingerprint rides through the shuffle and ALL in-bucket
+    pairs are verified with a vectorized Hamming matrix (buckets are
+    small; giant buckets fall back to a star around the min id, whose
+    members are near-identical by construction).
     """
 
     def band_rows(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sh = simhash64(texts)
-        nd = len(ids)
-        out_band = np.repeat(np.arange(4, dtype=np.int32), nd)
+        band = np.repeat(np.arange(4, dtype=np.int32), len(ids))
         chunks = np.concatenate(
             [(sh >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)]
         )
         return pa.table(
             {
-                "band": out_band,
+                "pk": _with_pk(band, chunks),
+                "band": band,
                 "bh": chunks,
                 id_col: np.tile(ids, 4),
                 "sh": np.tile(sh, 4),
@@ -236,31 +480,58 @@ def dedup_simhash(
         )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        nd = group.num_rows
-        if nd < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        sh = group.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
-        anchor = int(np.argmin(ids))
-        x = sh ^ sh[anchor]
-        dist = np.zeros(nd, dtype=np.int64)
-        for _ in range(64):
-            dist += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = (dist <= max_hamming) & (np.arange(nd) != anchor)
-        return pa.table(
-            {
-                "a": np.full(int(keep.sum()), ids[anchor], dtype=np.int64),
-                "b": ids[keep].astype(np.int64),
-            }
+        """Pairs from every bucket in one pk partition, Hamming-verified
+        in place (simhash has no second verification pass)."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
         )
+        if group.num_rows < 2:
+            return empty
+        band = group.column("band").to_numpy(zero_copy_only=False)
+        bh = group.column("bh").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = group.column("sh").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids, sh = band[order], bh[order], ids[order], sh[order]
+        starts, ends = _segment_bounds(band, bh)
+        multi = np.flatnonzero(ends - starts >= 2)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for si in multi:
+            s, e = starts[si], ends[si]
+            seg_ids, first = np.unique(ids[s:e], return_index=True)
+            seg_sh = sh[s:e][first]
+            m = len(seg_ids)
+            if m < 2:
+                continue
+            if m > _MAX_ALLPAIRS_BUCKET:
+                # Star fallback still Hamming-checks vs the anchor.
+                x = seg_sh ^ seg_sh[0]
+                dist = np.zeros(m, dtype=np.int64)
+                for _ in range(64):
+                    dist += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                keep = (dist <= max_hamming) & (np.arange(m) != 0)
+                out_a.append(np.full(int(keep.sum()), seg_ids[0]))
+                out_b.append(seg_ids[keep])
+            else:
+                dist = _hamming_matrix(seg_sh)
+                iu = np.triu_indices(m, k=1)
+                ok = dist[iu] <= max_hamming
+                out_a.append(seg_ids[iu[0]][ok])
+                out_b.append(seg_ids[iu[1]][ok])
+        if not out_a:
+            return empty
+        return pa.table({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bh"])
+        .groupby("pk")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return _survivors_from_pairs(ds, pairs, id_col)
+    a, b = _collect_pairs(pairs)
+    absorbed = connected_components_absorbed(a, b)
+    return _filter_absorbed(ds, absorbed, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -280,9 +551,9 @@ def dedup_embedding(
 
     Random-hyperplane LSH: sign pattern of ``n_planes`` projections is
     the bucket key; ``n_tables`` independent tables keep recall high.
-    Candidates sharing a bucket are cosine-verified exactly against the
-    bucket's min-id anchor; clusters collapse to the min id. Same
-    band→bucket→verify shape as MinHash, one groupby shuffle.
+    The shuffle ships (table, bh, id) only — candidate embeddings are
+    re-read from the source in a projected second pass and all candidate
+    pairs are cosine-verified exactly; clusters collapse to the min id.
     """
     from .ann import _emb_matrix, _normalize
 
@@ -292,7 +563,7 @@ def dedup_embedding(
         rng = np.random.default_rng(seed)  # same planes in every batch
         planes = rng.normal(size=(n_tables, d, n_planes))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        out_band, out_bh, out_id, out_emb = [], [], [], []
+        out_band, out_bh, out_id = [], [], []
         for t in range(n_tables):
             signs = (emb @ planes[t]) > 0  # (n, planes)
             bh = np.zeros(n, dtype=np.uint64)
@@ -301,44 +572,37 @@ def dedup_embedding(
             out_band.append(np.full(n, t, dtype=np.int32))
             out_bh.append(bh)
             out_id.append(ids)
-            out_emb.append(emb)
+        band = np.concatenate(out_band)
+        bh = np.concatenate(out_bh)
         return pa.table(
             {
-                "band": np.concatenate(out_band),
-                "bh": np.concatenate(out_bh),
+                "pk": _with_pk(band, bh),
+                "band": band,
+                "bh": bh,
                 id_col: np.concatenate(out_id),
-                "emb": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.concatenate(out_emb).reshape(-1), pa.float64()),
-                    emb.shape[1],
-                ),
-            }
-        )
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        nd = group.num_rows
-        empty = pa.table(
-            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        )
-        if nd < 2:
-            return empty
-        ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        emb = np.stack(group.column("emb").to_numpy(zero_copy_only=False))
-        anchor = int(np.argmin(ids))
-        cos = emb @ emb[anchor]
-        keep = (cos >= threshold) & (np.arange(nd) != anchor)
-        return pa.table(
-            {
-                "a": np.full(int(keep.sum()), ids[anchor], dtype=np.int64),
-                "b": ids[keep].astype(np.int64),
             }
         )
 
     pairs = (
         ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "bh"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(_bucket_pairs_ids, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     )
-    return _survivors_from_pairs(ds, pairs, id_col)
+    a, b = _collect_pairs(pairs)
+    if len(a):
+        cand_ids = np.unique(np.concatenate([a, b]))
+        cand = _fetch_candidate_rows(ds, cand_ids, id_col, [id_col, emb_col])
+        emb = _normalize(_emb_matrix(cand, emb_col))
+        ids = cand.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids)
+        ids_sorted, emb_sorted = ids[order], emb[order]
+        ia = np.searchsorted(ids_sorted, a)
+        ib = np.searchsorted(ids_sorted, b)
+        cos = np.einsum("ij,ij->i", emb_sorted[ia], emb_sorted[ib])
+        ok = cos >= threshold
+        a, b = a[ok], b[ok]
+    absorbed = connected_components_absorbed(a, b)
+    return _filter_absorbed(ds, absorbed, id_col)
 
 
 # ---------------------------------------------------------------------------
@@ -356,35 +620,3 @@ def ngram_jaccard(a: str | bytes, b: str | bytes, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
-
-
-# ---------------------------------------------------------------------------
-
-
-def _survivors_from_pairs(
-    ds: ray.data.Dataset, pairs: ray.data.Dataset, id_col: str
-) -> ray.data.Dataset:
-    """Union-find over the (small) candidate-pair stream; survivors =
-    every id that is not absorbed into a lower-id cluster root."""
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for row in pairs.iter_rows():
-        ra, rb = find(int(row["a"])), find(int(row["b"]))
-        if ra != rb:
-            lo, hi = min(ra, rb), max(ra, rb)
-            parent[hi] = lo
-
-    absorbed = {x for x in parent if find(x) != x}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, list(absorbed)) if absorbed else np.ones(len(ids), bool)
-        return pa.table({id_col: ids[mask].astype(np.int64)})
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
