@@ -91,25 +91,42 @@ _STOPWORDS = {
 }
 
 
-def _script_counts(codepoints: np.ndarray) -> dict[str, int]:
-    return {
-        "cjk": int(((codepoints >= 0x4E00) & (codepoints <= 0x9FFF)).sum()),
-        "cyrillic": int(((codepoints >= 0x0400) & (codepoints <= 0x04FF)).sum()),
-        "arabic": int(((codepoints >= 0x0600) & (codepoints <= 0x06FF)).sum()),
-    }
+_SCRIPT_RANGES = (
+    ("zh", 0x4E00, 0x9FFF),  # CJK unified
+    ("ru", 0x0400, 0x04FF),  # Cyrillic
+    ("ar", 0x0600, 0x06FF),  # Arabic
+)
+
+
+def _script_ratios(texts: list[str]) -> dict[str, np.ndarray]:
+    """Per-doc script-character ratios from ONE concatenated utf-32
+    buffer + segmented prefix-sum differences — no per-doc Python loop
+    (round-1 encoded each doc separately)."""
+    joined = "".join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    total = np.maximum(1, lens).astype(np.float64)
+    out = {}
+    for name, lo, hi in _SCRIPT_RANGES:
+        mask = (cps >= lo) & (cps <= hi)
+        csum = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+        out[name] = (csum[bounds[1:]] - csum[bounds[:-1]]) / total
+    return out
 
 
 def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Detect language: non-Latin scripts by codepoint ranges, Latin
-    languages by stopword-hash profile counts (vectorized np.isin over
-    hashed tokens + per-doc reduceat)."""
-    texts = batch.column(text_col).to_pylist()
+    languages by stopword-hash profile counts. Fully vectorized: hashed
+    tokens + per-doc reduceat for stopwords, one concatenated utf-32
+    buffer + prefix sums for script counts, np.select for the verdict."""
+    texts = [(t or "") for t in batch.column(text_col).to_pylist()]
     langs = list(_STOPWORDS)
     stop_hashes = {
         lang: pd.util.hash_array(np.array(ws, dtype=object), categorize=False)
         for lang, ws in _STOPWORDS.items()
     }
-    token_lists = [(t or "").lower().split() for t in texts]
+    token_lists = [t.lower().split() for t in texts]
     counts = np.array([max(1, len(t)) for t in token_lists], dtype=np.int64)
     flat = np.array(
         [tok for toks in token_lists for tok in (toks or [""])], dtype=object
@@ -124,31 +141,178 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         scores[:, j] = per_doc / counts
     best = np.argmax(scores, axis=1)
     best_score = scores[np.arange(n), best]
-    out = []
-    for i, t in enumerate(texts):
-        cps = np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32)
-        sc = _script_counts(cps)
-        total = max(1, len(cps))
-        if sc["cjk"] / total > 0.2:
-            out.append("zh")
-        elif sc["cyrillic"] / total > 0.2:
-            out.append("ru")
-        elif sc["arabic"] / total > 0.2:
-            out.append("ar")
-        elif best_score[i] > 0.02:
-            out.append(langs[best[i]])
-        else:
-            out.append("und")
+    ratios = _script_ratios(texts)
+    lang_arr = np.array(langs, dtype=object)[best]
+    out = np.select(
+        [
+            ratios["zh"] > 0.2,
+            ratios["ru"] > 0.2,
+            ratios["ar"] > 0.2,
+            best_score > 0.02,
+        ],
+        [
+            np.full(n, "zh", dtype=object),
+            np.full(n, "ru", dtype=object),
+            np.full(n, "ar", dtype=object),
+            lang_arr,
+        ],
+        default="und",
+    )
     return batch.append_column("lang_pred", pa.array(out, pa.string()))
+
+
+# GPT-2-style pre-tokenizer: bulk-scan token counting.
+#
+# The regex alternation partitions every string into runs of four char
+# classes (Letter per the explicit Latin/Greek/Cyrillic ranges, Digit
+# \d, whitespace \s, Punct = everything else), with two local rules:
+# a SINGLE leading U+0020 is absorbed into a following L/D/P token
+# (" ?X+"), and a lone apostrophe starting a token fuses with a
+# following [sdmt] (1 char) or ll/ve/re (2 chars). Token counts are
+# therefore computable from class-run structure alone:
+#
+#   count(doc) = #runs − #absorbed-single-spaces − #fully-consumed
+#                contraction suffixes
+#
+# which vectorizes over one concatenated utf-32 buffer for the whole
+# batch — the per-doc `findall` of round 1 materialized every match
+# string. `bpeish_token_counts` is differentially tested against the
+# compiled regex in tests/test_text_kernels.py.
+
+_L_RANGES = ((65, 90), (97, 122), (0xC0, 0x24F), (0x370, 0x3FF), (0x400, 0x4FF))
+
+
+def _classify_one(cp: int) -> int:
+    import re as _re
+
+    if any(lo <= cp <= hi for lo, hi in _L_RANGES):
+        return 0
+    ch = chr(cp)
+    if _re.match(r"\d", ch):
+        return 1
+    if _re.match(r"\s", ch):
+        return 2
+    return 3
+
+
+# All letter ranges, ASCII digits/whitespace and most Latin text live
+# below U+0500: one fixed lookup table classifies the bulk of any batch
+# in a single vectorized gather; rarer high codepoints go through a
+# memoized per-unique-char pass.
+_LUT_SIZE = 0x500
+_CLS_LUT = np.array([_classify_one(cp) for cp in range(_LUT_SIZE)], dtype=np.int8)
+
+
+def _classify_codepoints(cps: np.ndarray, cache: dict[int, int]) -> np.ndarray:
+    """Class id per codepoint: 0=L 1=D 2=S 3=P. Exactness for \\d and \\s
+    delegates to the re module itself on single chars."""
+    low = cps < _LUT_SIZE
+    cls = _CLS_LUT[np.where(low, cps, 0)]
+    if not low.all():
+        hi_idx = np.flatnonzero(~low)
+        uniq, inv = np.unique(cps[hi_idx], return_inverse=True)
+        hi_cls = np.empty(len(uniq), dtype=np.int8)
+        for i, cp in enumerate(int(c) for c in uniq):
+            c = cache.get(cp)
+            if c is None:
+                c = _classify_one(cp)
+                cache[cp] = c
+            hi_cls[i] = c
+        cls[hi_idx] = hi_cls[inv]
+    return cls
+
+
+def bpeish_token_counts(
+    texts: list[str], cache: dict[int, int] | None = None
+) -> np.ndarray:
+    """Vectorized per-doc token counts for BpeishTokenCounter.PATTERN."""
+    if cache is None:
+        cache = {}
+    n_docs = len(texts)
+    counts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return counts
+    joined = "".join(texts)
+    if not joined:
+        return counts
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    bounds = np.cumsum(lens)
+    cls = _classify_codepoints(cps, cache)
+    # Run starts: class change or doc boundary.
+    change = np.empty(len(cls), dtype=bool)
+    change[0] = True
+    change[1:] = cls[1:] != cls[:-1]
+    doc_starts = bounds[:-1]
+    change[doc_starts[doc_starts < len(cls)]] = True
+    rs = np.flatnonzero(change)
+    rl = np.append(rs[1:], len(cls)) - rs
+    rc = cls[rs]
+    run_doc = np.searchsorted(bounds, rs, side="right")
+    counts += np.bincount(run_doc, minlength=n_docs)
+
+    nrun = len(rs)
+    first_cp = cps[rs]
+    same_doc_next = np.zeros(nrun, dtype=bool)
+    same_doc_next[:-1] = run_doc[:-1] == run_doc[1:]
+    next_rc = np.empty(nrun, dtype=np.int8)
+    next_rc[:-1] = rc[1:]
+    next_rc[-1] = -1
+    next_rl = np.empty(nrun, dtype=np.int64)
+    next_rl[:-1] = rl[1:]
+    next_rl[-1] = 0
+
+    # Rule 1: a single U+0020 space run absorbed into a following
+    # letter/digit/punct token in the same doc.
+    absorb = (
+        (rc == 2)
+        & (rl == 1)
+        & (first_cp == 0x20)
+        & same_doc_next
+        & (next_rc != 2)
+    )
+    counts -= np.bincount(run_doc[absorb], minlength=n_docs)
+
+    # Rule 2: a lone apostrophe run at a token start fusing with a
+    # following letter run it consumes ENTIRELY ([sdmt] → 1 char,
+    # ll/ve/re → 2 chars). Not token-aligned when the previous single
+    # space absorbed into it (" '" is then one ` ?P+` match).
+    prev_absorb = np.zeros(nrun, dtype=bool)
+    prev_absorb[1:] = absorb[:-1]
+    cand = (
+        (rc == 3)
+        & (rl == 1)
+        & (first_cp == 0x27)
+        & ~prev_absorb
+        & same_doc_next
+        & (next_rc == 0)
+    )
+    c1 = cps[np.minimum(rs + 1, len(cps) - 1)]
+    c2 = cps[np.minimum(rs + 2, len(cps) - 1)]
+    match1 = cand & ((c1 == 115) | (c1 == 100) | (c1 == 109) | (c1 == 116))
+    match2 = (
+        cand
+        & ~match1
+        & (next_rl >= 2)
+        & (
+            ((c1 == 108) & (c2 == 108))  # ll
+            | ((c1 == 118) & (c2 == 101))  # ve
+            | ((c1 == 114) & (c2 == 101))  # re
+        )
+    )
+    consumed_all = (match1 & (next_rl == 1)) | (match2 & (next_rl == 2))
+    counts -= np.bincount(run_doc[consumed_all], minlength=n_docs)
+    return counts
 
 
 class BpeishTokenCounter:
     """Stateful actor stage: GPT-2-style pre-tokenizer regex token counts.
 
-    The pattern compiles ONCE per actor in __init__ (the reference pattern
-    for stateful map_batches stages — setup per actor, work per batch),
-    then counts matches per document. Python `re` lacks \\p classes, so
-    the letter class approximates \\p{L} with Latin ranges — documented
+    State (the codepoint-class memo, and the compiled reference pattern)
+    initializes ONCE per actor in __init__; per batch, counts come from
+    the vectorized bulk scan above — no per-doc regex, no materialized
+    match lists. Python `re` lacks \\p classes, so the letter class
+    approximates \\p{L} with Latin/Greek/Cyrillic ranges — documented
     deviation, deterministic.
     """
 
@@ -165,12 +329,15 @@ class BpeishTokenCounter:
 
         self.text_col = text_col
         self.pattern = re.compile(self.PATTERN)
+        self._cls_cache: dict[int, int] = {}
+
+    def count_regex(self, text: str) -> int:
+        """Reference implementation (the spec the bulk scan must match)."""
+        return len(self.pattern.findall(text))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        counts = [
-            len(self.pattern.findall(t or ""))
-            for t in batch.column(self.text_col).to_pylist()
-        ]
+        texts = [(t or "") for t in batch.column(self.text_col).to_pylist()]
+        counts = bpeish_token_counts(texts, self._cls_cache)
         return _set(batch, "n_bpe_tokens", pa.array(counts, pa.int64()))
 
 
