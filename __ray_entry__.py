@@ -301,6 +301,59 @@ def _q_dedup_embedding(sf_dir: str):
     return dedup_embedding(_read(sf_dir, "embeddings"), threshold=0.98)
 
 
+def _q_roundtrip_structs(sf_dir: str):
+    """Full encode→decode of a deterministic NESTED table (struct with
+    per-field nulls + list<int64>) through the engine blob — the Dremel
+    recursion path — then a flat projection the driver comparator can
+    hash. The DuckDB oracle constructs the identical table from range()
+    and projects the same way, so the hash match proves bit-exact nested
+    round-trip."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.state.blob import decode_table, encode_table
+
+    n = 500
+    s = pa.array(
+        [
+            None
+            if i % 11 == 0
+            else {"a": (None if i % 5 == 0 else i * 2), "b": f"v{i % 7}"}
+            for i in range(n)
+        ],
+        pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    lst = pa.array(
+        [None if i % 13 == 0 else [i + x for x in range(i % 4)] for i in range(n)],
+        pa.list_(pa.int64()),
+    )
+    t = pa.table({"id": pa.array(range(n), pa.int64()), "s": s, "l": lst})
+
+    def encode_decode(batch: pa.Table) -> pa.Table:
+        blob, _ = encode_table(batch)
+        return decode_table(blob)
+
+    def project(batch: pa.Table) -> pa.Table:
+        s_col = batch.column("s")
+        l_col = batch.column("l")
+        return pa.table(
+            {
+                "id": batch.column("id"),
+                "s_a": pc.struct_field(s_col, "a"),
+                "s_b": pc.struct_field(s_col, "b"),
+                "l_len": pc.list_value_length(l_col).cast(pa.int64()),
+                "l_str": pc.binary_join(
+                    l_col.cast(pa.list_(pa.string())), ","
+                ),
+            }
+        )
+
+    return (
+        ray.data.from_arrow(t)
+        .map_batches(encode_decode, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(project, batch_format="pyarrow")
+    )
+
+
 def _q_dedup_minhash_planted(sf_dir: str):
     """MinHash LSH dedup on the planted clone corpus (deterministic,
     provable ground truth): survivors = min(doc_id) per clone group.
@@ -468,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_customer": _q_roundtrip("customer"),
         "roundtrip_orders": _q_roundtrip("orders"),
         "roundtrip_embeddings": _q_roundtrip_embeddings,
+        "roundtrip_structs": _q_roundtrip_structs,
         "column_stats_lineitem": _q_column_stats_lineitem,
         "dict_cardinality_documents": _q_dict_cardinality_documents,
         "dedup_exact_documents": _q_dedup_exact,
@@ -519,6 +573,19 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
+        ),
+        "roundtrip_structs": (
+            "WITH t AS (SELECT i AS id,"
+            " CASE WHEN i % 11 = 0 THEN NULL ELSE struct_pack("
+            "   a := CASE WHEN i % 5 = 0 THEN NULL ELSE i * 2 END,"
+            "   b := 'v' || (i % 7)) END AS s,"
+            " CASE WHEN i % 13 = 0 THEN NULL"
+            "   ELSE list_transform(range(i % 4), x -> x + i) END AS l"
+            " FROM range(500) r(i))"
+            " SELECT id, s.a AS s_a, s.b AS s_b,"
+            " CAST(len(l) AS BIGINT) AS l_len,"
+            " CASE WHEN l IS NULL THEN NULL"
+            "   ELSE COALESCE(array_to_string(l, ','), '') END AS l_str FROM t"
         ),
         "column_stats_lineitem": (
             "SELECT CAST(min(l_quantity) AS DOUBLE) AS qty_min,"

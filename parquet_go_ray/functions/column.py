@@ -314,6 +314,14 @@ def encode_column(
     ) or pa.types.is_fixed_size_list(values.type):
         payload, enc_meta = _encode_list_values(values)
         codec = "list"
+    elif pa.types.is_struct(values.type):
+        payload, enc_meta = _encode_struct_values(values)
+        codec = "struct"
+    elif pa.types.is_map(values.type):
+        payload, enc_meta = _encode_map_values(values)
+        codec = "map"
+    elif pa.types.is_nested(values.type):  # union, run-end encoded, ...
+        raise TypeError(f"unsupported nested type: {values.type}")
     else:
         payload, enc_meta = encode_values(values, codec)
     raw_len = len(payload)
@@ -361,9 +369,23 @@ def _register_builtins() -> None:
 _register_builtins()
 
 
+def _child_codec(child: pa.Array) -> tuple[str, str]:
+    """Codec choice for a nested structure's child: nested children
+    recurse (encode_column overrides the codec id), leaves go through
+    the sampled-stats selector."""
+    if pa.types.is_nested(child.type):
+        return "nested", "none"
+    from .selector import select_codec
+
+    codec, comp, _ = select_codec(child.drop_null())
+    return codec, comp
+
+
 def _encode_list_values(values: pa.Array) -> tuple[bytes, dict]:
-    """Encode a null-free list<primitive> array: the engine's repetition-
-    level case (SURVEY §1.4 — rep levels ≡ ListArray offsets). Layout:
+    """Encode a null-free list array: the engine's repetition-level case
+    (SURVEY §1.4 — rep levels ≡ ListArray offsets; the reference
+    reassembles repeated values by scanning rep levels until rl < maxR,
+    /root/reference/datastore/column.go:159-177). Layout:
 
         [uvarint len(lengths_seg)][lengths: FOR int32]
         [uvarint len(child_validity)][child validity seg]
@@ -371,15 +393,16 @@ def _encode_list_values(values: pa.Array) -> tuple[bytes, dict]:
         [child value payload]
 
     The child array encodes recursively through the normal column path
-    (its own codec chosen by the selector), so element nulls and nested
-    stats work unchanged."""
+    (its own codec chosen by the selector; nested children — structs,
+    lists of lists — recurse through encode_column), so element nulls,
+    arbitrary nesting depth, and nested stats work unchanged."""
     import json as _json
 
     from .varint import uvarint_encode
 
-    if pa.types.is_fixed_size_list(values.type):
-        values = values.cast(pa.list_(values.type.value_type))
-    elif pa.types.is_large_list(values.type):
+    if pa.types.is_fixed_size_list(values.type) or pa.types.is_large_list(
+        values.type
+    ):
         values = values.cast(pa.list_(values.type.value_type))
     offsets = values.offsets.to_numpy(zero_copy_only=False)
     lengths = np.diff(offsets).astype(np.int32)
@@ -387,9 +410,7 @@ def _encode_list_values(values: pa.Array) -> tuple[bytes, dict]:
     from .for_bitpack import for_encode
 
     lengths_seg = for_encode(lengths, dtype=np.int32)
-    from .selector import select_codec
-
-    child_codec, child_comp, _ = select_codec(child.drop_null())
+    child_codec, child_comp = _child_codec(child)
     child_validity, child_payload, child_meta = encode_column(
         child, child_codec, child_comp
     )
@@ -402,7 +423,104 @@ def _encode_list_values(values: pa.Array) -> tuple[bytes, dict]:
     out += uvarint_encode(len(child_meta_b))
     out += child_meta_b
     out += child_payload
-    return bytes(out), {"child_codec": child_codec}
+    return bytes(out), {"child_codec": child_meta["codec"]}
+
+
+def _encode_struct_values(values: pa.Array) -> tuple[bytes, dict]:
+    """Encode a null-free struct array: the engine analogue of the
+    reference's group-column assembly (/root/reference/schema/column.go:
+    332-379) — per-field definition levels become per-child validity
+    segments, and every child recurses through encode_column, so
+    struct<list<struct<...>>> nests to arbitrary depth. Layout:
+
+        [uvarint n_fields]
+        per field:
+          [uvarint len(child_validity)][child validity seg]
+          [uvarint len(child_meta_json)][child colmeta JSON]
+          [uvarint len(child_payload)][child payload]
+    """
+    import json as _json
+
+    from .varint import uvarint_encode
+
+    typ = values.type
+    if typ.num_fields == 0:
+        raise TypeError("empty struct types are not supported")
+    out = bytearray()
+    out += uvarint_encode(typ.num_fields)
+    child_codecs = []
+    for i in range(typ.num_fields):
+        child = values.field(i)
+        codec, comp = _child_codec(child)
+        validity, payload, meta = encode_column(child, codec, comp)
+        meta_b = _json.dumps(meta, separators=(",", ":")).encode()
+        out += uvarint_encode(len(validity))
+        out += validity
+        out += uvarint_encode(len(meta_b))
+        out += meta_b
+        out += uvarint_encode(len(payload))
+        out += payload
+        child_codecs.append(meta["codec"])
+    return bytes(out), {"child_codecs": child_codecs}
+
+
+def _decode_struct_values(payload, typ: pa.DataType, count: int) -> pa.Array:
+    import json as _json
+
+    from .varint import uvarint_decode
+
+    n_fields, pos = uvarint_decode(payload, 0)
+    if n_fields != typ.num_fields:
+        raise ValueError(
+            f"struct field count mismatch: stored {n_fields}, type {typ.num_fields}"
+        )
+    children = []
+    for i in range(n_fields):
+        ln, pos = uvarint_decode(payload, pos)
+        validity = bytes(payload[pos : pos + ln])
+        pos += ln
+        ln, pos = uvarint_decode(payload, pos)
+        meta = _json.loads(bytes(payload[pos : pos + ln]).decode())
+        pos += ln
+        ln, pos = uvarint_decode(payload, pos)
+        child_payload = bytes(payload[pos : pos + ln])
+        pos += ln
+        children.append(
+            decode_column(validity, child_payload, meta, typ.field(i).type)
+        )
+    return pa.StructArray.from_arrays(children, fields=list(typ))
+
+
+def _map_as_list_type(typ: pa.DataType) -> pa.DataType:
+    return pa.list_(
+        pa.struct(
+            [
+                pa.field("key", typ.key_type, nullable=False),
+                pa.field("value", typ.item_type),
+            ]
+        )
+    )
+
+
+def _encode_map_values(values: pa.Array) -> tuple[bytes, dict]:
+    """Maps are the LIST<STRUCT<key, value>> group shape of the reference
+    schema dialect (/root/reference/schema.json:66-100, mapParent at
+    schema/column.go:9-15): encode through the list path."""
+    values = values.combine_chunks() if isinstance(values, pa.ChunkedArray) else values
+    offsets = values.offsets
+    entries = pa.StructArray.from_arrays(
+        [values.keys, values.items], names=["key", "value"]
+    )
+    aslist = pa.ListArray.from_arrays(offsets, entries)
+    return _encode_list_values(aslist)
+
+
+def _decode_map_values(payload, typ: pa.DataType, count: int) -> pa.Array:
+    lst = _decode_list_values(payload, _map_as_list_type(typ), count)
+    entries = lst.values
+    return pa.MapArray.from_arrays(
+        lst.offsets, entries.field(0), entries.field(1), type=typ
+    )
 
 
 def _decode_list_values(payload, typ: pa.DataType, count: int) -> pa.Array:
@@ -445,6 +563,10 @@ def decode_column(
     payload = decompress(value_seg, colmeta["compression"], colmeta["raw_len"])
     if colmeta["codec"] == "list":
         values = _decode_list_values(payload, typ, n - null_count)
+    elif colmeta["codec"] == "struct":
+        values = _decode_struct_values(payload, typ, n - null_count)
+    elif colmeta["codec"] == "map":
+        values = _decode_map_values(payload, typ, n - null_count)
     else:
         values = decode_values(payload, colmeta["codec"], typ, n - null_count)
     if not null_count:

@@ -54,14 +54,11 @@ def encode_table(
             )
         if choices and name in choices:
             codec, compression = choices[name]
-        elif (
-            pa.types.is_list(arr.type)
-            or pa.types.is_large_list(arr.type)
-            or pa.types.is_fixed_size_list(arr.type)
-        ):
-            # list<primitive>: offsets + recursively-encoded child; the
-            # child picks its own codec inside encode_column.
-            codec, compression = "list", "none"
+        elif pa.types.is_nested(arr.type):
+            # list/struct/map: Dremel-style recursive encode; each nested
+            # child picks its own codec inside encode_column, so the
+            # container itself stays uncompressed.
+            codec, compression = "nested", "none"
         else:
             values = arr.drop_null()
             codec, compression, _ = select_codec(values)

@@ -83,8 +83,14 @@ def test_list_columns_roundtrip():
 
 
 def test_unsupported_type_raises():
-    t = pa.table({"s": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))})
-    with pytest.raises(TypeError):
+    # Structs are supported since round 2 (Dremel recursion); sparse
+    # unions remain genuinely unsupported and must fail loudly.
+    arr = pa.UnionArray.from_sparse(
+        pa.array([0, 1], pa.int8()),
+        [pa.array([1, 2], pa.int32()), pa.array(["a", "b"])],
+    )
+    t = pa.table({"u": arr})
+    with pytest.raises((TypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError)):
         encode_table(t)
 
 
