@@ -50,7 +50,15 @@ def compress(data: bytes, codec: str) -> bytes:
 def decompress(data: bytes, codec: str, uncompressed_size: int) -> bytes:
     if codec == NONE:
         return data
-    out = pa.Codec(codec).decompress(data, uncompressed_size, asbytes=True)
+    if uncompressed_size < 0:
+        raise ValueError(f"invalid uncompressed size {uncompressed_size}")
+    try:
+        out = pa.Codec(codec).decompress(data, uncompressed_size, asbytes=True)
+    except (OSError, pa.ArrowException) as e:
+        # Normalize codec-library failures on corrupt blocks into the
+        # decoder error contract (never a raw OSError to the caller —
+        # the size validation the reference does at layout/block.go:17-47).
+        raise ValueError(f"corrupt {codec} block: {e}") from e
     if len(out) != uncompressed_size:
         raise ValueError(
             f"decompressed size mismatch: {len(out)} != {uncompressed_size}"

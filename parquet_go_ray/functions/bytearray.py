@@ -104,8 +104,12 @@ def plain_decode_bytes(data, count: int) -> tuple[np.ndarray, np.ndarray]:
     chunks = []
     pos = 0
     for i in range(count):
+        if pos + 4 > len(mv):
+            raise ValueError("truncated PLAIN length prefix")
         ln = int.from_bytes(mv[pos : pos + 4], "little")
         pos += 4
+        if pos + ln > len(mv):
+            raise ValueError("truncated PLAIN value bytes")
         chunks.append(bytes(mv[pos : pos + ln]))
         pos += ln
         lengths[i] = ln
@@ -119,11 +123,13 @@ def delta_length_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
 
 
 def delta_length_decode(data, count: int, pos: int = 0):
-    lengths, pos = delta_decode(data, pos, dtype=np.int32)
+    lengths, pos = delta_decode(data, pos, dtype=np.int32, expect=count)
     lengths = lengths.astype(np.int64)
-    if len(lengths) != count:
-        raise ValueError(f"length count mismatch: {len(lengths)} != {count}")
+    if len(lengths) and int(lengths.min()) < 0:
+        raise ValueError("negative value length in stream")
     total = int(lengths.sum())
+    if total > len(data) - pos:
+        raise ValueError("truncated byte-array data")
     blob = np.frombuffer(data, dtype=np.uint8, count=total, offset=pos)
     return lengths, blob, pos + total
 
@@ -174,12 +180,17 @@ def delta_prefix_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
 
 
 def delta_prefix_decode(data, count: int, pos: int = 0):
-    prefix, pos = delta_decode(data, pos, dtype=np.int32)
-    if len(prefix) != count:
-        raise ValueError("prefix count mismatch")
+    prefix, pos = delta_decode(data, pos, dtype=np.int32, expect=count)
+    if len(prefix) and int(prefix.min()) < 0:
+        raise ValueError("negative prefix length")
     suffix_lens, suffix_data, pos = delta_length_decode(data, count, pos)
     # Sequential front-coding reconstruction (each value needs the previous).
     lengths = prefix.astype(np.int64) + suffix_lens
+    if count:
+        if int(prefix[0]) != 0:
+            raise ValueError("first value cannot share a prefix")
+        if count > 1 and bool((prefix[1:] > lengths[:-1]).any()):
+            raise ValueError("prefix longer than previous value")
     out = np.empty(int(lengths.sum()), dtype=np.uint8)
     suf_starts = np.concatenate(([0], np.cumsum(suffix_lens)))[:-1]
     out_starts = np.concatenate(([0], np.cumsum(lengths)))[:-1]

@@ -207,9 +207,9 @@ def decode_values(payload, codec: str, typ: pa.DataType, count: int) -> pa.Array
         if codec == "plain":
             vals = plain_decode_numeric(payload, dtype, count)
         elif codec == "delta":
-            vals, _ = delta_decode(payload, dtype=dtype)
+            vals, _ = delta_decode(payload, dtype=dtype, expect=count)
         elif codec == "for":
-            vals, _ = for_decode(payload, dtype=dtype)
+            vals, _ = for_decode(payload, dtype=dtype, expect=count)
         else:
             raise ValueError(f"bad codec {codec} for ints")
         if len(vals) != count:
@@ -531,7 +531,9 @@ def _decode_list_values(payload, typ: pa.DataType, count: int) -> pa.Array:
 
     value_type = typ.value_type
     ln, pos = uvarint_decode(payload, 0)
-    lengths, _ = for_decode(payload[pos : pos + ln], dtype=np.int32)
+    lengths, _ = for_decode(payload[pos : pos + ln], dtype=np.int32, expect=count)
+    if len(lengths) and int(lengths.min()) < 0:
+        raise ValueError("negative list length")
     pos += ln
     ln, pos = uvarint_decode(payload, pos)
     child_validity = bytes(payload[pos : pos + ln])

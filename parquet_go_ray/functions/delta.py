@@ -128,26 +128,39 @@ def delta_encode(
     return bytes(out)
 
 
-def delta_decode(data, pos: int = 0, dtype=None) -> tuple[np.ndarray, int]:
+def delta_decode(
+    data, pos: int = 0, dtype=None, expect: int | None = None
+) -> tuple[np.ndarray, int]:
     """Decode a stream; returns (values, new_pos).
 
     ``dtype`` (np.int32 / np.int64) picks the wraparound domain; defaults
-    to int64.
+    to int64. ``expect`` (when the caller knows the value count) rejects
+    corrupt headers before any allocation.
     """
     dtype = np.dtype(dtype or np.int64)
     udt = _unsigned(dtype)
     block_size, pos = uvarint_decode(data, pos)
     miniblocks, pos = uvarint_decode(data, pos)
-    if block_size % 128 != 0 or block_size == 0:
+    if block_size % 128 != 0 or block_size == 0 or block_size > (1 << 20):
         raise ValueError(f"invalid block size {block_size}")
     if miniblocks == 0 or block_size % miniblocks != 0:
         raise ValueError(f"invalid miniblock count {miniblocks}")
     mb_size = block_size // miniblocks
     count, pos = uvarint_decode(data, pos)
     first, pos = svarint_decode(data, pos)
+    if expect is not None and count != expect:
+        raise ValueError(f"value count mismatch: stored {count}, expected {expect}")
     if count == 0:
         return np.empty(0, dtype=dtype), pos
     nd = count - 1
+    # Plausibility gate before allocating: every block of deltas costs at
+    # least one min_delta byte, so a stream of R remaining bytes cannot
+    # legitimately carry more than R * block_size deltas — rejects
+    # adversarial counts that would otherwise allocate unbounded memory
+    # (the fuzz-hardening the reference gets from go-fuzz,
+    # /root/reference/encoding/delta-binary-packed-decoder_fuzz.go).
+    if nd > block_size * max(1, len(data) - pos):
+        raise ValueError(f"implausible value count {count} for stream size")
     deltas = np.empty(nd, dtype=dtype)
     got = 0
     while got < nd:

@@ -37,15 +37,28 @@ def for_encode(values: np.ndarray, dtype=np.int64) -> bytes:
     return bytes(out)
 
 
-def for_decode(data, pos: int = 0, dtype=np.int64) -> tuple[np.ndarray, int]:
+def for_decode(
+    data, pos: int = 0, dtype=np.int64, expect: int | None = None
+) -> tuple[np.ndarray, int]:
     dtype = np.dtype(dtype)
     udt = np.dtype(np.uint32) if dtype == np.int32 else np.dtype(np.uint64)
     count, pos = uvarint_decode(data, pos)
+    if expect is not None and count != expect:
+        raise ValueError(f"value count mismatch: stored {count}, expected {expect}")
     if count == 0:
         return np.empty(0, dtype=dtype), pos
     mn, pos = svarint_decode(data, pos)
+    if pos >= len(data):
+        raise ValueError("truncated FOR stream")
     width = data[pos]
     pos += 1
+    if width > 64:
+        raise ValueError(f"FOR width {width} out of range")
+    # A width-0 stream carries no residual bytes, so an adversarial count
+    # could otherwise drive an unbounded allocation (fuzz hardening; for
+    # width > 0 unpack's underflow check bounds the allocation).
+    if width == 0 and expect is None and count > (1 << 26):
+        raise ValueError(f"implausible width-0 count {count}")
     nbytes = (count * width + 7) // 8
     rel = unpack(data[pos : pos + nbytes], width, count)
     pos += nbytes

@@ -312,19 +312,27 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
 def fsst_decode(data, count: int, pos: int = 0):
     """Returns (lengths, out_data, new_pos)."""
     n_sym, pos = uvarint_decode(data, pos)
+    if n_sym > 255:
+        raise ValueError(f"fsst symbol table too large: {n_sym}")
     sym_lens = np.frombuffer(bytes(data[pos : pos + n_sym]), dtype=np.uint8).astype(
         np.int64
     )
+    if len(sym_lens) != n_sym:
+        raise ValueError("truncated fsst symbol lengths")
     pos += n_sym
     sym_total = int(sym_lens.sum())
     sym_data = np.frombuffer(bytes(data[pos : pos + sym_total]), dtype=np.uint8)
+    if len(sym_data) != sym_total:
+        raise ValueError("truncated fsst symbol data")
     pos += sym_total
     sym_off = np.concatenate(([0], np.cumsum(sym_lens)))
-    enc_lens_arr, pos = delta_decode(data, pos, dtype=np.int32)
-    if len(enc_lens_arr) != count:
-        raise ValueError("fsst value count mismatch")
+    enc_lens_arr, pos = delta_decode(data, pos, dtype=np.int32, expect=count)
     enc_lens = enc_lens_arr.astype(np.int64)
+    if len(enc_lens) and int(enc_lens.min()) < 0:
+        raise ValueError("negative fsst value length")
     total_enc = int(enc_lens.sum())
+    if total_enc > len(data) - pos:
+        raise ValueError("truncated fsst payload")
     buf = np.frombuffer(data, dtype=np.uint8, count=total_enc, offset=pos)
     pos += total_enc
 

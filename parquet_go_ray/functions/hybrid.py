@@ -104,7 +104,11 @@ def hybrid_decode(
         header, pos = uvarint_decode(data, pos)
         if header & 1:  # bit-packed run
             groups = header >> 1
+            if groups == 0:
+                raise ValueError("zero-length bit-packed run")  # would not advance
             nbytes = groups * width  # groups * 8 values * width / 8 bits
+            if nbytes > len(data) - pos:
+                raise ValueError("truncated bit-packed run")
             chunk = unpack(data[pos : pos + nbytes], width, groups * 8)
             pos += nbytes
             take = min(groups * 8, count - filled)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import base64
 import json
+import zlib
 
 import pyarrow as pa
 
@@ -64,6 +65,10 @@ def encode_table(
             codec, compression, _ = select_codec(values)
         validity_seg, value_seg, colmeta = encode_column(arr, codec, compression)
         colmeta["name"] = name
+        # Per-column segment checksum (the integrity role of Parquet's
+        # optional page CRC): a bit flip in raw value bytes would
+        # otherwise decode silently.
+        colmeta["crc32"] = zlib.crc32(value_seg, zlib.crc32(validity_seg))
         colmeta["validity_offset"] = offset
         colmeta["validity_len"] = len(validity_seg)
         offset += len(validity_seg)
@@ -119,9 +124,12 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
     (/root/reference/schema/schema.go:212-232, layout/chunk.go:28-51):
     unselected columns' segments are never touched."""
     header, seg_base = read_header(blob)
-    schema = pa.ipc.read_schema(
-        pa.BufferReader(base64.b64decode(header["schema_ipc"]))
-    )
+    try:
+        schema = pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(header["schema_ipc"]))
+        )
+    except (OSError, pa.ArrowException) as e:
+        raise ValueError(f"corrupt blob schema: {e}") from e
     mv = memoryview(blob)
     arrays = []
     fields = []
@@ -133,6 +141,12 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
         validity_seg = bytes(mv[vo : vo + colmeta["validity_len"]])
         so = seg_base + colmeta["value_offset"]
         value_seg = bytes(mv[so : so + colmeta["value_len"]])
+        if "crc32" in colmeta:
+            crc = zlib.crc32(value_seg, zlib.crc32(validity_seg))
+            if crc != colmeta["crc32"]:
+                raise ValueError(
+                    f"checksum mismatch in column {name!r}: blob is corrupt"
+                )
         field = schema.field(name)
         arrays.append(decode_column(validity_seg, value_seg, colmeta, field.type))
         fields.append(field)
