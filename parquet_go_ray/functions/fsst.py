@@ -35,6 +35,7 @@ MAX_SYMBOLS = 255  # codes 0..254; 255 is the escape byte
 MAX_SYM_LEN = 8
 _SAMPLE_CAP = 1 << 16
 _BUILD_ROUNDS = 4
+_ENCODE_CHUNK = 1 << 20  # scan granularity (bytes), value-aligned
 
 
 def _window_keys(data: np.ndarray) -> np.ndarray:
@@ -56,131 +57,111 @@ def _sym_key(sym: bytes) -> int:
 
 
 _HASH_MULT = np.uint64(0x9E3779B97F4A7C15)
-_TABLE_BITS = 11  # 2048 slots for ≤255 keys → load 0.125, ~1 probe
-
-
-class _LenTable:
-    """Open-addressing hash table of same-length symbol keys, with a fully
-    vectorized batch lookup (the hot inner op of the encoder)."""
-
-    def __init__(self, keys: np.ndarray, codes: np.ndarray):
-        size = 1 << _TABLE_BITS
-        self.mask = np.uint64(size - 1)
-        self.slot_key = np.zeros(size, dtype=np.uint64)
-        self.slot_code = np.full(size, -1, dtype=np.int64)
-        max_probe = 1
-        for k, c in zip(keys, codes):
-            h = ((int(k) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (
-                64 - _TABLE_BITS
-            )
-            probes = 1
-            while self.slot_code[h] >= 0:
-                h = (h + 1) & int(self.mask)
-                probes += 1
-            self.slot_key[h] = k
-            self.slot_code[h] = c
-            max_probe = max(max_probe, probes)
-        self.max_probe = max_probe
-
-    def lookup(self, wins: np.ndarray) -> np.ndarray:
-        h = (wins * _HASH_MULT) >> np.uint64(64 - _TABLE_BITS)
-        code = np.full(len(wins), -1, dtype=np.int64)
-        live = None
-        for p in range(self.max_probe):
-            slot = (h + np.uint64(p)) & self.mask
-            sk = self.slot_key[slot]
-            sc = self.slot_code[slot]
-            hit = (sc >= 0) & (sk == wins)
-            if live is not None:
-                hit &= live
-            code[hit] = sc[hit]
-            if p + 1 < self.max_probe:
-                # Keep probing only where the slot was occupied by another key.
-                miss = (sc >= 0) & ~hit
-                live = miss if live is None else (live & miss)
-                if not live.any():
-                    break
-        return code
+_TABLE_BITS = 12  # 4096 slots for ≤255 keys
 
 
 class _Matcher:
-    """Per-length match tables for vectorized longest-match: direct LUTs
-    for 1- and 2-byte symbols (one gather), hash tables for 3..8."""
+    """Single-probe longest-match, the scheme of the FSST paper's fast
+    encoder: one hash table keyed by the FIRST 3 BYTES of every symbol of
+    length ≥ 3 holding exactly ONE candidate per slot (ties won by higher
+    gain = lower code; losing symbols simply never match), plus direct
+    LUTs for 2- and 1-byte symbols. Match cost per position is one hash
+    probe + two LUT gathers regardless of how many symbol lengths exist —
+    round 1 probed six per-length hash tables per position."""
 
     def __init__(self, symbols: list[bytes]):
         self.symbols = symbols
-        self.by_len: dict[int, _LenTable] = {}
-        self.lut1 = None
-        self.lut2 = None
-        for L in range(1, MAX_SYM_LEN + 1):
-            entries = [
-                (_sym_key(s), code) for code, s in enumerate(symbols) if len(s) == L
-            ]
-            if not entries:
-                continue
+        size = 1 << _TABLE_BITS
+        self.slot_key = np.zeros(size, dtype=np.uint64)  # left-aligned bytes
+        self.slot_mask = np.zeros(size, dtype=np.uint64)  # top len(s) bytes
+        self.slot_len = np.zeros(size, dtype=np.int8)
+        self.slot_code = np.full(size, -1, dtype=np.int16)
+        self.lut1 = np.full(256, -1, dtype=np.int16)
+        self.lut2 = np.full(65536, -1, dtype=np.int16)
+        self.has3 = False
+        for code, s in enumerate(symbols):  # ascending code = descending gain
+            L = len(s)
             if L == 1:
-                self.lut1 = np.full(256, -1, dtype=np.int64)
-                for k, c in entries:
-                    self.lut1[k] = c
+                if self.lut1[s[0]] < 0:
+                    self.lut1[s[0]] = code
             elif L == 2:
-                self.lut2 = np.full(65536, -1, dtype=np.int64)
-                for k, c in entries:
-                    self.lut2[k] = c
+                k = _sym_key(s)
+                if self.lut2[k] < 0:
+                    self.lut2[k] = code
             else:
-                keys = np.array([k for k, _ in entries], dtype=np.uint64)
-                codes = np.array([c for _, c in entries], dtype=np.int64)
-                self.by_len[L] = _LenTable(keys, codes)
+                k3 = _sym_key(s[:3])
+                h = (
+                    (k3 * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+                ) >> (64 - _TABLE_BITS)
+                if self.slot_code[h] < 0:  # first (highest-gain) wins
+                    self.slot_key[h] = _sym_key(s + b"\x00" * (8 - L))
+                    self.slot_mask[h] = (
+                        ~np.uint64(0) << np.uint64(8 * (8 - L))
+                    ) if L < 8 else ~np.uint64(0)
+                    self.slot_len[h] = L
+                    self.slot_code[h] = code
+                    self.has3 = True
 
     def match(self, data: np.ndarray, boundary_end: np.ndarray):
         """Longest valid match at every position.
 
         boundary_end[i] = exclusive end of the value containing position i
         (matches must not cross value boundaries).
-        Returns (matched_len, matched_code), arrays of len(data).
+        Returns (matched_len:int8, matched_code:int16), arrays of len(data)
+        — narrow dtypes keep the scan memory-bandwidth-friendly.
         """
         n = len(data)
-        matched_len = np.zeros(n, dtype=np.int64)
-        matched_code = np.zeros(n, dtype=np.int64)
-        if n == 0 or (not self.by_len and self.lut1 is None and self.lut2 is None):
+        matched_len = np.zeros(n, dtype=np.int8)
+        matched_code = np.zeros(n, dtype=np.int16)
+        if n == 0 or not self.symbols:
             return matched_len, matched_code
-        # room[i] = bytes left in the value at position i; a length-L match
-        # needs room >= L (also kills matches on the end-of-buffer padding).
-        room = boundary_end - np.arange(n, dtype=np.int64)
-        if self.lut1 is not None:
-            code = self.lut1[data]
-            hit = code >= 0  # a 1-byte match always fits (room >= 1)
-            matched_len[hit] = 1
-            matched_code[hit] = code[hit]
-        if self.lut2 is not None and n >= 2:
+        # room[i] = bytes left in the value at position i, clipped to the
+        # max symbol length; a length-L match needs room >= L (also kills
+        # matches on the end-of-buffer padding).
+        room = np.minimum(
+            boundary_end - np.arange(n, dtype=boundary_end.dtype), MAX_SYM_LEN
+        ).astype(np.int8)
+        code = self.lut1[data]
+        hit = code >= 0  # a 1-byte match always fits (room >= 1)
+        matched_len[hit] = 1
+        matched_code[hit] = code[hit]
+        if n >= 2:
             k2 = (data[:-1].astype(np.uint32) << 8) | data[1:]
             code = self.lut2[k2]
             hit = (code >= 0) & (room[: n - 1] >= 2)
             matched_len[: n - 1][hit] = 2
             matched_code[: n - 1][hit] = code[hit]
-        if self.by_len:
+        if self.has3:
             w8 = _window_keys(data)
-            for L in sorted(self.by_len):  # ascending: longer overwrites
-                if L > n:
-                    break
-                win = _keys_for_len(w8, L)
-                code = self.by_len[L].lookup(win)
-                hit = (code >= 0) & (room >= L)
-                matched_len[hit] = L
-                matched_code[hit] = code[hit]
+            h = ((w8 >> np.uint64(40)) * _HASH_MULT) >> np.uint64(
+                64 - _TABLE_BITS
+            )
+            cd = self.slot_code[h]
+            ln = self.slot_len[h]
+            hit = (
+                (cd >= 0)
+                & ((w8 & self.slot_mask[h]) == self.slot_key[h])
+                & (room >= ln)
+            )
+            matched_len[hit] = ln[hit]
+            matched_code[hit] = cd[hit]
         return matched_len, matched_code
 
 
 def _greedy_positions(jump: np.ndarray) -> np.ndarray:
     """Positions visited by `i = 0; while i < n: i += jump[i]` —
-    computed with pointer doubling in O(log n) vectorized rounds."""
+    computed with pointer doubling in O(log n) vectorized rounds.
+    int32 throughout: callers chunk the input well below 2**31."""
     n = len(jump)
     if n == 0:
-        return np.empty(0, dtype=np.int64)
-    f = np.empty(n + 1, dtype=np.int64)
-    np.minimum(np.arange(n, dtype=np.int64) + jump, n, out=f[:n])
+        return np.empty(0, dtype=np.int32)
+    f = np.empty(n + 1, dtype=np.int32)
+    np.minimum(
+        np.arange(n, dtype=np.int32) + jump.astype(np.int32), n, out=f[:n]
+    )
     f[n] = n
-    visited = [np.zeros(1, dtype=np.int64)]
-    frontier = np.zeros(1, dtype=np.int64)
+    visited = [np.zeros(1, dtype=np.int32)]
+    frontier = np.zeros(1, dtype=np.int32)
     fk = f
     while True:
         nxt = fk[frontier]
@@ -204,6 +185,8 @@ def _encode_tokens(
     length (0 = escaped literal) and code.
     """
     n = len(data)
+    if n < (1 << 31):  # chunked callers: narrow index dtype
+        value_offsets = value_offsets.astype(np.int32, copy=False)
     boundary_end = np.repeat(value_offsets[1:], np.diff(value_offsets))
     matched_len, matched_code = matcher.match(data, boundary_end)
     jump = np.maximum(matched_len, 1)
@@ -281,32 +264,54 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     symbols = build_symbol_table(lengths, data)
     matcher = _Matcher(symbols)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
-    pos, lens, codes = _encode_tokens(data, offsets, matcher)
 
-    out_sizes = np.where(lens > 0, 1, 2)  # code byte vs ESC+literal
-    out_off = np.concatenate(([0], np.cumsum(out_sizes)))
-    total_out = int(out_off[-1])
-    out = np.empty(total_out, dtype=np.uint8)
-    is_code = lens > 0
-    out[out_off[:-1][is_code]] = codes[is_code].astype(np.uint8)
-    lit = ~is_code
-    out[out_off[:-1][lit]] = ESC
-    out[out_off[:-1][lit] + 1] = data[pos[lit]]
+    # Chunk the scan at VALUE boundaries (greedy jumps never cross a value
+    # boundary, so per-chunk restarts are exact) — bounds the working set
+    # so temporaries stay cache/TLB-friendly instead of allocating
+    # 8×corpus-size match arrays in one shot.
+    n_values = len(lengths)
+    out_parts: list[bytes] = []
+    enc_lens_parts: list[np.ndarray] = []
+    v0 = 0
+    while v0 < n_values:
+        v1 = int(
+            np.searchsorted(offsets, offsets[v0] + _ENCODE_CHUNK, side="left")
+        )
+        v1 = max(v0 + 1, min(v1, n_values))
+        base = int(offsets[v0])
+        chunk = data[base : int(offsets[v1])]
+        chunk_off = offsets[v0 : v1 + 1] - base
+        pos, lens, codes = _encode_tokens(chunk, chunk_off, matcher)
 
-    # Encoded length of each value = output offset delta at value starts.
-    # Every value start is a visited position (greedy jumps never cross a
-    # boundary), so searchsorted finds them exactly.
-    starts_idx = np.searchsorted(pos, offsets[:-1])
-    enc_starts = np.concatenate([out_off[starts_idx], [total_out]])
-    # Empty trailing values: searchsorted may point past pos; clamp via out_off.
-    enc_value_lens = np.diff(enc_starts)
+        out_sizes = np.where(lens > 0, 1, 2)  # code byte vs ESC+literal
+        out_off = np.concatenate(([0], np.cumsum(out_sizes)))
+        total_out = int(out_off[-1])
+        out = np.empty(total_out, dtype=np.uint8)
+        is_code = lens > 0
+        out[out_off[:-1][is_code]] = codes[is_code].astype(np.uint8)
+        lit = ~is_code
+        out[out_off[:-1][lit]] = ESC
+        out[out_off[:-1][lit] + 1] = chunk[pos[lit]]
 
+        # Encoded length of each value = output offset delta at value
+        # starts; every value start is a visited position.
+        starts_idx = np.searchsorted(pos, chunk_off[:-1])
+        enc_starts = np.concatenate([out_off[starts_idx], [total_out]])
+        enc_lens_parts.append(np.diff(enc_starts))
+        out_parts.append(out.tobytes())
+        v0 = v1
+
+    enc_value_lens = (
+        np.concatenate(enc_lens_parts)
+        if enc_lens_parts
+        else np.zeros(0, dtype=np.int64)
+    )
     header = bytearray()
     header += uvarint_encode(len(symbols))
     header += bytes(len(s) for s in symbols)
     header += b"".join(symbols)
     header += delta_encode(enc_value_lens.astype(np.int32), dtype=np.int32)
-    return bytes(header) + out.tobytes()
+    return bytes(header) + b"".join(out_parts)
 
 
 def fsst_decode(data, count: int, pos: int = 0):

@@ -103,12 +103,16 @@ class BlobDecoder:
         self.columns = columns
         self.predicate = predicate
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
+    def __call__(self, batch: pa.Table):
         tables = [
             decode_table(blob.as_py(), columns=self.read_cols)
             for blob in batch.column("bytes")
         ]
-        out = pa.concat_tables(tables) if tables else pa.table({})
+        if not tables:
+            # Zero-yield on an empty input batch: emitting pa.table({})
+            # would inject an empty-schema block into the stream.
+            return
+        out = pa.concat_tables(tables)
         if self.predicate is not None and out.num_rows:
             import pyarrow.compute as pc
 
@@ -123,4 +127,4 @@ class BlobDecoder:
             out = out.filter(mask)
             if self.columns is not None and col not in self.columns:
                 out = out.select(self.columns)
-        return out
+        yield out

@@ -53,6 +53,7 @@ def encode_table(
                 if arr.num_chunks != 1
                 else arr.chunk(0)
             )
+        sel_note = None
         if choices and name in choices:
             codec, compression = choices[name]
         elif pa.types.is_nested(arr.type):
@@ -62,9 +63,12 @@ def encode_table(
             codec, compression = "nested", "none"
         else:
             values = arr.drop_null()
-            codec, compression, _ = select_codec(values)
+            codec, compression, sel_stats = select_codec(values)
+            sel_note = sel_stats.get("codec_note")
         validity_seg, value_seg, colmeta = encode_column(arr, codec, compression)
         colmeta["name"] = name
+        if sel_note:
+            colmeta["codec_note"] = sel_note
         # Per-column segment checksum (the integrity role of Parquet's
         # optional page CRC): a bit flip in raw value bytes would
         # otherwise decode silently.
@@ -102,6 +106,9 @@ def encode_table(
                 "stats": c.get("stats", {}),
                 **(
                     {"symtab_hash": c["symtab_hash"]} if "symtab_hash" in c else {}
+                ),
+                **(
+                    {"codec_note": c["codec_note"]} if "codec_note" in c else {}
                 ),
             }
             for c in columns_meta
