@@ -48,6 +48,7 @@ def encode_pipeline(
     concurrency: int | tuple[int, int] | None = None,
     choices: dict | None = None,
     lineage_paths: bool = True,
+    two_phase: bool = True,
 ) -> dict:
     """Run the encode job; returns the run summary (also written to
     ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
@@ -127,19 +128,39 @@ def encode_pipeline(
 
         ds = ds.map_batches(_drop_done, batch_format="pyarrow", zero_copy_batch=True)
 
-    summaries = ds.groupby(BUCKET_COL).map_groups(
-        EncoderActor,
-        fn_constructor_kwargs={
-            "checkpoint_dir": checkpoint_dir,
-            "sort_keys": (key, turn_col),
-            "choices": choices,
-            "input_files": input_files,
-        },
-        batch_format="pyarrow",
-        # Autoscaling actor pool; encode is CPU-bound -> 1 CPU per actor.
-        concurrency=concurrency or (1, 32),
-        num_cpus=1,
-    )
+    actor_kwargs = {
+        "checkpoint_dir": checkpoint_dir,
+        "sort_keys": (key, turn_col),
+        "choices": choices,
+        "input_files": input_files,
+    }
+    if two_phase:
+        # Two-phase shuffle (NOTES r1 item 4): compress (block, bucket)
+        # fragments to zstd Arrow IPC BEFORE the all-to-all, so the
+        # groupby moves ~blob-sized bytes instead of raw rows; the merge
+        # actor re-sorts per partition, preserving the stable turn
+        # ordering invariant.
+        from ..stages.encoder import MergeEncoderActor, encode_fragments
+
+        ds = ds.map_batches(
+            encode_fragments, batch_format="pyarrow", zero_copy_batch=True
+        )
+        summaries = ds.groupby(BUCKET_COL).map_groups(
+            MergeEncoderActor,
+            fn_constructor_kwargs=actor_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency or (1, 32),
+            num_cpus=1,
+        )
+    else:
+        summaries = ds.groupby(BUCKET_COL).map_groups(
+            EncoderActor,
+            fn_constructor_kwargs=actor_kwargs,
+            batch_format="pyarrow",
+            # Autoscaling actor pool; encode is CPU-bound -> 1 CPU per actor.
+            concurrency=concurrency or (1, 32),
+            num_cpus=1,
+        )
     rows = summaries.take_all()  # tiny: one row per partition
     try:  # per-stage wall/UDF times for throughput tuning (observability)
         with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:

@@ -101,6 +101,112 @@ class EncoderActor:
         )
 
 
+FRAG_COL = "_frag"
+FRAG_ROWS_COL = "_frag_rows"
+FRAG_RAW_COL = "_frag_raw"
+FRAG_SRCS_COL = "_frag_srcs"
+
+
+def _ipc_zstd_bytes(tbl: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    opts = pa.ipc.IpcWriteOptions(compression="zstd")
+    with pa.ipc.new_stream(sink, tbl.schema, options=opts) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_read_bytes(b: bytes) -> pa.Table:
+    return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
+
+
+def encode_fragments(batch: pa.Table) -> pa.Table:
+    """Phase 1 of the two-phase shuffle: compress each (block, bucket)
+    row-fragment into zstd Arrow IPC BEFORE the all-to-all, so the
+    groupby ships ~blob-sized fragments instead of raw rows (~3x fewer
+    shuffled bytes on transcript text). IPC+zstd is the transient wire
+    format — cheap C++ encode, no per-fragment codec selection; the real
+    per-column encode runs once per merged partition in phase 2."""
+    import numpy as np
+
+    from .salt import SRC_COL
+
+    b = batch.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    batch = batch.take(pa.array(order))
+    b = b[order]
+    starts = np.flatnonzero(np.concatenate(([True], b[1:] != b[:-1])))
+    ends = np.append(starts[1:], len(b))
+    out_bucket, out_frag, out_rows, out_raw, out_srcs = [], [], [], [], []
+    has_src = SRC_COL in batch.column_names
+    for s, e in zip(starts, ends):
+        seg = batch.slice(int(s), int(e - s))
+        srcs = (
+            pc.unique(seg.column(SRC_COL)).to_pylist() if has_src else []
+        )
+        drop = [BUCKET_COL] + ([SRC_COL] if has_src else [])
+        tbl = seg.drop_columns(drop)
+        out_bucket.append(int(b[s]))
+        out_frag.append(_ipc_zstd_bytes(tbl))
+        out_rows.append(tbl.num_rows)
+        out_raw.append(tbl.nbytes)
+        out_srcs.append(sorted(int(x) for x in srcs))
+    return pa.table(
+        {
+            BUCKET_COL: pa.array(out_bucket, pa.int64()),
+            FRAG_COL: pa.array(out_frag, pa.large_binary()),
+            FRAG_ROWS_COL: pa.array(out_rows, pa.int64()),
+            FRAG_RAW_COL: pa.array(out_raw, pa.int64()),
+            FRAG_SRCS_COL: pa.array(out_srcs, pa.list_(pa.int32())),
+        }
+    )
+
+
+class MergeEncoderActor(EncoderActor):
+    """Phase 2: one shuffle group = all IPC fragments of one partition.
+    Decode fragments, merge, sort-within-partition (the per-conversation
+    merge that preserves the stable turn ordering invariant), then run
+    the real per-column encode exactly as the single-phase path."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return SUMMARY_SCHEMA.empty_table()
+        bucket = group.column(BUCKET_COL)[0].as_py()
+        pid = f"{bucket:06d}"
+        if pid in self.completed:
+            entry = mf.read_entry(self.checkpoint_dir, pid)
+            return self._summary(pid, entry["rows"], entry.get("raw_bytes") or 0,
+                                 entry["blob_bytes"], skipped=True)
+        tables = [
+            _ipc_read_bytes(f.as_py()) for f in group.column(FRAG_COL)
+        ]
+        merged = pa.concat_tables(tables).combine_chunks()
+        fragments = [f"bucket={bucket}"]
+        srcs = sorted(
+            {int(x) for lst in group.column(FRAG_SRCS_COL).to_pylist() for x in lst}
+        )
+        fragments += [
+            self.input_files[i] if 0 <= i < len(self.input_files) else f"src={i}"
+            for i in srcs
+        ]
+        keys = [k for k in self.sort_keys if k in merged.column_names]
+        if keys:
+            idx = pc.sort_indices(
+                merged, sort_keys=[(k, "ascending") for k in keys]
+            )
+            merged = merged.take(idx)
+        raw_bytes = int(pc.sum(group.column(FRAG_RAW_COL)).as_py() or 0)
+        blob, meta = encode_table(merged, choices=self.choices)
+        mf.write_partition(
+            self.checkpoint_dir,
+            pid,
+            blob,
+            meta,
+            input_fragments=fragments,
+            raw_bytes=raw_bytes,
+        )
+        return self._summary(pid, merged.num_rows, raw_bytes, len(blob), False)
+
+
 class DecoderActor:
     """map_batches callable over read_binary_files rows (one blob each)."""
 
