@@ -57,8 +57,18 @@ def _physical(typ: pa.DataType) -> str:
     'bytes' 'decimal128' (SURVEY §1.2/§1.3 logical-type mapping)."""
     if pa.types.is_boolean(typ):
         return "bool"
-    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(typ):
+    if (
+        pa.types.is_timestamp(typ)
+        or pa.types.is_date64(typ)
+        or pa.types.is_time64(typ)
+        or pa.types.is_duration(typ)
+    ):
         return "int64"
+    if pa.types.is_interval(typ):
+        # month_day_nano: 16-byte fixed values, raw-buffer path like
+        # DECIMAL-as-FIXED_LEN_BYTE_ARRAY (ref datastore/byte-array.go:34-54;
+        # INTERVAL logical type in schema.json:169-236).
+        return "decimal128"
     if pa.types.is_date32(typ) or pa.types.is_time32(typ):
         return "int32"
     if pa.types.is_unsigned_integer(typ):
@@ -246,8 +256,15 @@ def _cast_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
 
 def _stats(values: pa.Array, typ: pa.DataType) -> dict:
     # Booleans carry no min/max, like the reference (datastore/boolean.go:35-45).
-    if pa.types.is_boolean(typ) or pa.types.is_nested(typ) or len(values) == 0:
+    if (
+        pa.types.is_boolean(typ)
+        or pa.types.is_nested(typ)
+        or pa.types.is_interval(typ)
+        or len(values) == 0
+    ):
         return {}
+    if pa.types.is_duration(typ):  # no min_max kernel; stat the int64 view
+        values = values.cast(pa.int64())
     mm = pc.min_max(values)
     mn, mx = mm["min"].as_py(), mm["max"].as_py()
     # Cap giant string stats so the manifest stays small. A truncated max

@@ -37,12 +37,14 @@ def legal_codecs(typ: pa.DataType) -> tuple[str, ...]:
         return _BOOL_CODECS
     if pa.types.is_floating(typ):
         return _FLOAT_CODECS
-    if pa.types.is_decimal(typ):
+    if pa.types.is_decimal(typ) or pa.types.is_interval(typ):
         return ("plain",)
     if (
         pa.types.is_integer(typ)
         or pa.types.is_timestamp(typ)
         or pa.types.is_date(typ)
+        or pa.types.is_time(typ)
+        or pa.types.is_duration(typ)
     ):
         return _INT_CODECS
     if pa.types.is_string(typ) or pa.types.is_large_string(typ) or pa.types.is_binary(
@@ -60,6 +62,10 @@ def column_stats(values: pa.Array, sample_rows: int = SAMPLE_ROWS) -> dict:
     stats = {"n": n, "sample_n": ns}
     if ns == 0:
         stats.update(distinct_ratio=1.0, run_len=1.0, sortedness=1.0, avg_len=0.0)
+        return stats
+    if pa.types.is_interval(values.type):
+        # Raw 16-byte values; only plain is legal, stats are moot.
+        stats.update(distinct_ratio=1.0, run_len=1.0, sortedness=0.0, avg_len=16.0)
         return stats
     distinct = pc.count_distinct(sample).as_py()
     stats["distinct_ratio"] = distinct / ns
@@ -219,8 +225,11 @@ def _sortedness(v: np.ndarray) -> float:
 
 def _to_numpy_ints(sample: pa.Array) -> np.ndarray:
     typ = sample.type
-    if pa.types.is_timestamp(typ) or pa.types.is_date64(typ) or pa.types.is_time64(
-        typ
+    if (
+        pa.types.is_timestamp(typ)
+        or pa.types.is_date64(typ)
+        or pa.types.is_time64(typ)
+        or pa.types.is_duration(typ)
     ):
         sample = sample.cast(pa.int64())
     elif pa.types.is_date32(typ) or pa.types.is_time32(typ):

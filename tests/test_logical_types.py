@@ -116,3 +116,45 @@ def test_dedup_embedding(ray_session, rng):
     )
     assert 0 in ids and 1 not in ids
     assert len(ids) == 29
+
+
+def test_uuid_fixed_binary_roundtrip():
+    """UUID logical type (ref schema.json:169-236): 16-byte
+    FIXED_LEN_BYTE_ARRAY values round-trip bit-exact."""
+    import uuid
+
+    vals = [uuid.uuid5(uuid.NAMESPACE_DNS, f"k{i}").bytes for i in range(200)]
+    vals[7] = None
+    t = pa.table({"u": pa.array(vals, pa.binary(16))})
+    meta = tbl_roundtrip(t)
+    assert meta["columns"]["u"]["null_count"] == 1
+
+
+def test_interval_month_day_nano_roundtrip():
+    """INTERVAL logical type: month_day_nano 16-byte raw values."""
+    MDN = pa.MonthDayNano
+    vals = [MDN([i % 12, i % 28, i * 1_000_000]) for i in range(100)]
+    vals[3] = None
+    t = pa.table({"iv": pa.array(vals, pa.month_day_nano_interval())})
+    meta = tbl_roundtrip(t)
+    assert meta["columns"]["iv"]["codec"] == "plain"
+
+
+def test_duration_roundtrip():
+    t = pa.table(
+        {
+            "d_us": pa.array([1_000_000 * i for i in range(500)], pa.duration("us")),
+            "d_s": pa.array([None if i % 9 == 0 else i for i in range(500)], pa.duration("s")),
+        }
+    )
+    tbl_roundtrip(t)
+
+
+def test_time_types_roundtrip():
+    t = pa.table(
+        {
+            "t32": pa.array([i * 1000 for i in range(300)], pa.time32("ms")),
+            "t64": pa.array([i * 1_000_000 for i in range(300)], pa.time64("us")),
+        }
+    )
+    tbl_roundtrip(t)
