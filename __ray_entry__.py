@@ -366,6 +366,16 @@ def _q_dedup_minhash_planted(sf_dir: str):
     return dedup_minhash(ds, threshold=0.7)
 
 
+def _q_dedup_jaccard_planted(sf_dir: str):
+    """n-gram Jaccard dedup (LSH candidates + EXACT shingle-set
+    verification) on the planted clone corpus."""
+    from parquet_go_ray.ops.dedup import dedup_minhash
+    from parquet_go_ray.sources.planted import planted_clone_documents
+
+    ds = ray.data.from_arrow(planted_clone_documents())
+    return dedup_minhash(ds, threshold=0.7, verify="jaccard")
+
+
 def _q_dedup_simhash_planted(sf_dir: str):
     from parquet_go_ray.ops.dedup import dedup_simhash
     from parquet_go_ray.sources.planted import planted_clone_documents
@@ -537,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
+        "dedup_jaccard_planted": _q_dedup_jaccard_planted,
         "dedup_simhash_planted": _q_dedup_simhash_planted,
         "dedup_embedding_planted": _q_dedup_embedding_planted,
         # rows-only (non-SQL-expressible):
@@ -649,6 +660,10 @@ def oracle_sql() -> dict[str, str]:
             " FROM d GROUP BY user_id"
         ),
         "dedup_minhash_planted": (
+            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
+            " FROM docs GROUP BY text".format(_planted_docs_sql())
+        ),
+        "dedup_jaccard_planted": (
             "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
             " FROM docs GROUP BY text".format(_planted_docs_sql())
         ),

@@ -337,15 +337,20 @@ def dedup_minhash(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.7,
+    verify: str = "sig",
 ) -> ray.data.Dataset:
     """Near-duplicate removal: keep one representative (min id) per
-    near-dup cluster at estimated Jaccard ≥ threshold.
+    near-dup cluster at (estimated or exact) Jaccard ≥ threshold.
 
-    Shuffle ships (band, bh, id) only — 20 bytes/row/band. Signatures
-    are recomputed for candidate rows in a second projected pass and
-    pairs are verified exactly (full-signature agreement ≥ threshold)
-    before clustering.
+    Shuffle ships (band, bh, id) only — 20 bytes/row/band. Candidates
+    are verified in a second projected pass over just the candidate
+    rows: ``verify="sig"`` recomputes minhash signatures in-cluster and
+    thresholds their agreement (the estimate); ``verify="jaccard"``
+    compares EXACT k-shingle Jaccard on the candidate texts — the
+    n-gram-Jaccard dedup flavor, with LSH as the candidate generator.
     """
+    if verify not in ("sig", "jaccard"):
+        raise ValueError(f"unknown verify mode {verify!r}")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         texts = [
@@ -373,7 +378,30 @@ def dedup_minhash(
         .map_groups(_bucket_pairs_ids, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     )
     a, b = _collect_pairs(pairs)
-    if len(a):
+    if len(a) and verify == "jaccard":
+        cand_ids = np.unique(np.concatenate([a, b]))
+        cand = _fetch_candidate_rows(ds, cand_ids, id_col, [id_col, text_col])
+        ids = cand.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = [
+            t.encode() if isinstance(t, str) else (t or b"")
+            for t in cand.column(text_col).to_pylist()
+        ]
+        order = np.argsort(ids)
+        ids_sorted = ids[order]
+        texts_sorted = [texts[i] for i in order]
+        ia = np.searchsorted(ids_sorted, a)
+        ib = np.searchsorted(ids_sorted, b)
+        # Exact verification only runs on the (rare) candidate pairs.
+        ok = np.fromiter(
+            (
+                ngram_jaccard(texts_sorted[i], texts_sorted[j], k) >= threshold
+                for i, j in zip(ia, ib)
+            ),
+            dtype=bool,
+            count=len(ia),
+        )
+        a, b = a[ok], b[ok]
+    elif len(a):
         cand_ids = np.unique(np.concatenate([a, b]))
 
         def sig_rows(batch: pa.Table) -> pa.Table:

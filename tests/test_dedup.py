@@ -132,3 +132,17 @@ class TestPlanted:
         ds = ray.data.from_arrow(planted_clone_documents(1000, 10)).repartition(8)
         ids = _ids(dedup_minhash(ds, threshold=0.7))
         assert ids == list(range(10))
+
+
+def test_minhash_jaccard_exact_verify(ray_session):
+    """verify='jaccard': exact shingle-set verification accepts clones
+    and rejects sub-threshold bucket collisions."""
+    import ray
+
+    from parquet_go_ray.ops.dedup import dedup_minhash
+
+    ds = ray.data.from_arrow(planted_clone_documents(200, 20))
+    assert _ids(dedup_minhash(ds, threshold=0.7, verify="jaccard")) == list(range(20))
+    t, expected = planted_mutated_documents(groups=10, clones_per_group=4)
+    ds2 = ray.data.from_arrow(t)
+    assert _ids(dedup_minhash(ds2, threshold=0.6, verify="jaccard")) == expected
