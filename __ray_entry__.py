@@ -354,6 +354,35 @@ def _q_roundtrip_structs(sf_dir: str):
     )
 
 
+def _q_decode_filter_events(sf_dir: str):
+    """The zone-map + predicate decode path, oracled on a REAL table:
+    encode the events table into partition blobs (manifest min/max per
+    column), then decode with a pushed-down predicate — partitions whose
+    stats exclude the value are skipped, survivors row-filtered — and
+    hash-compare against the SQL WHERE."""
+    from parquet_go_ray.pipelines.decode import decode_pipeline
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    work = tempfile.mkdtemp(prefix="pgr_zf_")
+    ckpt = os.path.join(work, "ck")
+    ds = _read(sf_dir, "events")
+    encode_pipeline(
+        ds,
+        ckpt,
+        key="user_id",
+        turn_col="event_id",
+        rows_per_partition=2000,
+        concurrency=(1, 4),
+    )
+    out = decode_pipeline(
+        ckpt, predicate=("value", ">", 75.0), concurrency=(1, 4)
+    )
+    return out.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_dedup_minhash_planted(sf_dir: str):
     """MinHash LSH dedup on the planted clone corpus (deterministic,
     provable ground truth): survivors = min(doc_id) per clone group.
@@ -541,6 +570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_agg": _q_events_agg,
         "lineitem_agg": _q_lineitem_agg,
         "events_filter_click": _q_events_filter,
+        "decode_filter_events": _q_decode_filter_events,
         "ann_cosine_embeddings": _q_ann,
         "sessionize_events": _q_sessionize_events,
         "top_documents_by_chars": _q_top_documents,
@@ -639,6 +669,10 @@ def oracle_sql() -> dict[str, str]:
         "events_filter_click": (
             "SELECT event_id, user_id, value FROM events"
             " WHERE event_type = 'click'"
+        ),
+        "decode_filter_events": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+            " WHERE value > 75.0"
         ),
         "top_documents_by_chars": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
