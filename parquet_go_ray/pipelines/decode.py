@@ -66,6 +66,13 @@ def decode_pipeline(
     One blob per input block; decode is a map_batches stage so the
     streaming executor pipelines file I/O with the numpy decode kernels.
     """
+    import ray as _ray
+
+    if concurrency is None:
+        # Same pool shape as the encode merge stage: warm a quarter of
+        # the cores, leave headroom for the read tasks (see encode.py).
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        concurrency = (max(1, cpus // 4), max(1, cpus - 2))
     pids = sorted(mf.completed_partitions(checkpoint_dir))
     if not pids:
         raise FileNotFoundError(f"no completed partitions under {checkpoint_dir}")
@@ -90,7 +97,7 @@ def decode_pipeline(
         },
         batch_size=1,  # one blob per call; a blob is already ~100k+ rows
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 32),
+        concurrency=concurrency,
         num_cpus=1,
     )
 

@@ -134,6 +134,14 @@ def encode_pipeline(
         "choices": choices,
         "input_files": input_files,
     }
+    if concurrency is None:
+        # A (1, N) autoscaling pool ramps from ONE actor and leaves most
+        # cores idle through the whole merge stage (measured 78k→156k
+        # turns/s at 32 CPUs); a fully-reserved pool starves the upstream
+        # read/fragment tasks and deadlocks. Warm a quarter of the cores
+        # up front and cap 2 below the cluster so tasks always fit.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (max(1, cpus // 4), max(1, cpus - 2))
     if two_phase:
         # Two-phase shuffle (NOTES r1 item 4): compress (block, bucket)
         # fragments to zstd Arrow IPC BEFORE the all-to-all, so the
@@ -149,7 +157,7 @@ def encode_pipeline(
             MergeEncoderActor,
             fn_constructor_kwargs=actor_kwargs,
             batch_format="pyarrow",
-            concurrency=concurrency or (1, 32),
+            concurrency=concurrency,
             num_cpus=1,
         )
     else:
@@ -158,7 +166,7 @@ def encode_pipeline(
             fn_constructor_kwargs=actor_kwargs,
             batch_format="pyarrow",
             # Autoscaling actor pool; encode is CPU-bound -> 1 CPU per actor.
-            concurrency=concurrency or (1, 32),
+            concurrency=concurrency,
             num_cpus=1,
         )
     rows = summaries.take_all()  # tiny: one row per partition
