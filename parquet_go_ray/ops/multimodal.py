@@ -4,12 +4,21 @@ The engine treats media as ``binary`` columns (they flow through the same
 codec layer — the auto-selector lands on plain/zstd for high-entropy
 payloads and dict for repeated assets) with a ``media_type`` metadata
 column. Decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages: the Ray-side plumbing (schemas, constructor-time
-setup, batch sizing, output layout) is real and tested; the pixel/sample
-work itself is STUBBED because no image/audio library exists in this
-container — each stage either raises ``NotImplementedError`` (strict
-mode) or produces a clearly-marked deterministic fake so pipelines can be
-exercised end-to-end.
+``map_batches`` stages.
+
+REAL decode paths (pure numpy, no external media libraries needed):
+
+- ``image/x-portable-pixmap`` — binary PPM (P6): header parse + pixel
+  buffer → (h, w, 3) uint8; resize = vectorized nearest-neighbor.
+- ``audio/wav`` — RIFF/PCM16: chunk walk → int16 sample array + rate;
+  features = RMS / zero-crossing rate / FFT band energies (np.fft).
+- ``video/x-ppm-seq`` — a concatenated sequence of PPM frames (the
+  deterministic stand-in clip container); frame sampling parses and
+  returns REAL frames.
+
+Library-dependent formats (png/jpeg/mp4) remain an explicit stub
+boundary: ``strict=True`` raises NotImplementedError, otherwise the
+stages mark the row undecodable — honest, not fake-successful.
 
 At 100 TB: media batches are large; callers should pass a small
 ``batch_size`` (bytes dominate rows) and size ``concurrency`` so
@@ -19,6 +28,7 @@ batch_bytes × pool_size fits worker heaps — see MediaStage.recommended().
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,7 +38,7 @@ import ray
 MEDIA_SCHEMA = pa.schema(
     [
         pa.field("media_id", pa.int64()),
-        pa.field("media_type", pa.string()),  # 'image/png', 'audio/wav', ...
+        pa.field("media_type", pa.string()),  # 'image/x-portable-pixmap', ...
         pa.field("payload", pa.binary()),
         pa.field("width", pa.int32()),
         pa.field("height", pa.int32()),
@@ -36,22 +46,210 @@ MEDIA_SCHEMA = pa.schema(
     ]
 )
 
+PPM_TYPE = "image/x-portable-pixmap"
+WAV_TYPE = "audio/wav"
+CLIP_TYPE = "video/x-ppm-seq"
+
+
+# ---------------------------------------------------------------------------
+# Pure-numpy codecs
+
+
+def ppm_encode(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM requires 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on corrupt
+    input (same decoder error contract as the column codecs)."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # Header: magic, width, height, maxval — whitespace-separated, then
+    # exactly one whitespace byte before the pixel data.
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM comment")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        fields.append(int(data[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255 or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PPM (w={w} h={h} maxval={maxval})")
+    need = w * h * 3
+    if len(data) - pos < need:
+        raise ValueError("truncated PPM pixel data")
+    return (
+        np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        .reshape(h, w, 3)
+        .copy()
+    )
+
+
+def ppm_payload_size(data: bytes, pos: int = 0) -> int:
+    """Byte length of the PPM frame starting at ``pos`` (for clip walks)."""
+    img = ppm_decode(data[pos:])  # validates; cheap for header-only? no —
+    # clip frames are small; reuse the decoder for exactness.
+    header_end = len(data) - pos - 0  # recompute precisely below
+    # Recompute: find pixel offset the same way the decoder does.
+    sub = data[pos:]
+    fields, p = [], 2
+    while len(fields) < 3:
+        while sub[p : p + 1].isspace():
+            p += 1
+        start = p
+        while p < len(sub) and not sub[p : p + 1].isspace():
+            p += 1
+        fields.append(int(sub[start:p]))
+    p += 1
+    return p + img.shape[0] * img.shape[1] * 3
+
+
+def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of (h, w, 3) → (th, tw, 3)."""
+    h, w, _ = img.shape
+    ys = (np.arange(th) * h // th).clip(0, h - 1)
+    xs = (np.arange(tw) * w // tw).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+def wav_encode_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples → RIFF/WAVE PCM16 bytes."""
+    data = samples.astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        rate,
+        rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → (int16 samples, sample_rate). Walks the chunk
+    list like a real parser (fmt may not be first)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = None
+    channels = None
+    bits = None
+    samples = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body[: len(body) - (len(body) % 2)], dtype="<i2")
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    if channels and channels > 1:
+        samples = samples[:: channels]  # take channel 0
+    return samples.astype(np.int16), int(rate)
+
+
+def clip_encode(frames: list[np.ndarray]) -> bytes:
+    """List of (h, w, 3) frames → concatenated-PPM clip payload."""
+    return b"".join(ppm_encode(f) for f in frames)
+
+
+def clip_frames(data: bytes) -> list[np.ndarray]:
+    """Parse every PPM frame of a clip payload."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        size = ppm_payload_size(data, pos)
+        out.append(ppm_decode(data[pos : pos + size]))
+        pos += size
+    return out
+
+
+# ---------------------------------------------------------------------------
+
 
 def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
-    """Deterministic fake media corpus for tests/benchmarks."""
+    """Deterministic synthetic media corpus with REAL decodable payloads:
+    PPM gradient images, PCM16 sine-wave WAVs, PPM-sequence clips, plus a
+    slice of library-dependent types (png/jpeg/mp4 random bytes) that
+    exercise the stub boundary."""
     rng = np.random.default_rng(seed)
-    kinds = np.array(["image/png", "image/jpeg", "audio/wav", "video/mp4"])
-    types = kinds[rng.integers(0, len(kinds), n)]
-    sizes = rng.integers(256, 8192, n)
-    payloads = [rng.integers(0, 256, s).astype(np.uint8).tobytes() for s in sizes]
+    rows = []
+    for i in range(n):
+        kind = i % 5
+        if kind in (0, 1):  # PPM image
+            w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+            x = np.arange(w, dtype=np.uint8)[None, :, None]
+            y = np.arange(h, dtype=np.uint8)[:, None, None]
+            img = np.concatenate(
+                [
+                    np.broadcast_to((x * 3 + i) % 256, (h, w, 1)),
+                    np.broadcast_to((y * 5 + i) % 256, (h, w, 1)),
+                    np.broadcast_to((x + y + i) % 256, (h, w, 1)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, PPM_TYPE, ppm_encode(img), w, h, 0))
+        elif kind == 2:  # WAV sine
+            rate = 8000
+            dur_ms = int(rng.integers(50, 400))
+            t = np.arange(rate * dur_ms // 1000)
+            freq = 100 + (i % 20) * 50
+            s = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+            rows.append((i, WAV_TYPE, wav_encode_pcm16(s, rate), 0, 0, dur_ms))
+        elif kind == 3:  # PPM-sequence clip
+            w, h = 16, 12
+            frames = [
+                np.full((h, w, 3), (i + f * 17) % 256, dtype=np.uint8)
+                for f in range(int(rng.integers(4, 9)))
+            ]
+            rows.append((i, CLIP_TYPE, clip_encode(frames), w, h, len(frames) * 40))
+        else:  # library-dependent formats: stub boundary
+            mt = ["image/png", "image/jpeg", "video/mp4"][i % 3]
+            payload = rng.integers(0, 256, int(rng.integers(256, 2048))).astype(
+                np.uint8
+            ).tobytes()
+            rows.append((i, mt, payload, 0, 0, 0))
+    cols = list(zip(*rows))
     return pa.Table.from_arrays(
         [
-            pa.array(np.arange(n), pa.int64()),
-            pa.array(types, pa.string()),
-            pa.array(payloads, pa.binary()),
-            pa.array(rng.integers(16, 1024, n).astype(np.int32)),
-            pa.array(rng.integers(16, 1024, n).astype(np.int32)),
-            pa.array(rng.integers(0, 60_000, n).astype(np.int32)),
+            pa.array(cols[0], pa.int64()),
+            pa.array(cols[1], pa.string()),
+            pa.array(cols[2], pa.binary()),
+            pa.array(np.array(cols[3], dtype=np.int32)),
+            pa.array(np.array(cols[4], dtype=np.int32)),
+            pa.array(np.array(cols[5], dtype=np.int32)),
         ],
         schema=MEDIA_SCHEMA,
     )
@@ -60,20 +258,21 @@ def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
 class MediaStage:
     """Base actor for media map_batches stages.
 
-    __init__ runs ONCE per actor (the place a real deployment loads
+    __init__ runs ONCE per actor (the place a real deployment would load
     libjpeg/ffmpeg/a model); __call__ runs per batch. ``strict=True``
-    raises NotImplementedError at the stub boundary instead of faking.
+    raises NotImplementedError at the stub boundary (library-dependent
+    formats) instead of marking the row undecodable.
     """
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # Real deployments load decoders/models here, once per actor.
+        # Real deployments load extra decoders/models here, once per actor.
         self._setup_done = True
 
-    def _stub(self, what: str):
+    def _stub(self, what: str, media_type: str):
         if self.strict:
             raise NotImplementedError(
-                f"{what}: media libraries are not available in this "
+                f"{what} for {media_type}: no codec library in this "
                 "environment; wire a real decoder here"
             )
 
@@ -85,38 +284,116 @@ class MediaStage:
 
 
 class MediaDecode(MediaStage):
-    """payload → decoded dims + validity. STUB: parses nothing; emits a
-    deterministic fake decode status from the payload hash."""
+    """payload → decode status + content checksum + true dimensions.
+
+    PPM/WAV/clip payloads are REALLY decoded (dimensions/duration come
+    from the parsed media, not the metadata columns); png/jpeg/mp4 hit
+    the stub boundary.
+    """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._stub("decode")
-        payloads = batch.column("payload")
-        ok = []
-        checksums = []
-        for p in payloads:
+        ok, checksums, widths, heights = [], [], [], []
+        for mid, mtype, p in zip(
+            batch.column("media_id"),
+            batch.column("media_type"),
+            batch.column("payload"),
+        ):
             b = p.as_py() or b""
-            h = hashlib.sha1(b).digest()
-            checksums.append(h.hex()[:16])
-            ok.append(len(b) > 0 and h[0] != 0)  # FAKE decode success flag
+            mt = mtype.as_py()
+            checksums.append(hashlib.sha1(b).hexdigest()[:16])
+            try:
+                if mt == PPM_TYPE:
+                    img = ppm_decode(b)
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                    ok.append(True)
+                elif mt == WAV_TYPE:
+                    samples, _ = wav_decode_pcm16(b)
+                    widths.append(len(samples))
+                    heights.append(0)
+                    ok.append(True)
+                elif mt == CLIP_TYPE:
+                    frames = clip_frames(b)
+                    heights.append(frames[0].shape[0] if frames else 0)
+                    widths.append(frames[0].shape[1] if frames else 0)
+                    ok.append(bool(frames))
+                else:
+                    self._stub("decode", mt)
+                    widths.append(0)
+                    heights.append(0)
+                    ok.append(False)  # honestly undecodable here
+            except ValueError:
+                widths.append(0)
+                heights.append(0)
+                ok.append(False)
         out = batch.append_column("decode_ok", pa.array(ok, pa.bool_()))
-        return out.append_column("checksum", pa.array(checksums, pa.string()))
+        out = out.append_column("checksum", pa.array(checksums, pa.string()))
+        out = out.append_column("decoded_w", pa.array(widths, pa.int32()))
+        return out.append_column("decoded_h", pa.array(heights, pa.int32()))
 
 
 class MediaFeatures(MediaStage):
-    """payload → fixed-size feature vector. STUB: 32-bin byte histogram
-    (deterministic, vectorized) standing in for a real embedding model."""
+    """payload → fixed-size L2-normalized feature vector.
+
+    Images: per-channel means + 3-level luminance pyramid energies.
+    Audio: RMS, zero-crossing rate, and FFT band energies (np.fft).
+    Other/undecodable: byte histogram (documented fallback).
+    """
 
     DIM = 32
 
+    def _image_features(self, img: np.ndarray) -> np.ndarray:
+        v = np.zeros(self.DIM, dtype=np.float32)
+        lum = img.mean(axis=2)
+        v[0:3] = img.reshape(-1, 3).mean(axis=0)
+        v[3] = lum.std()
+        # 4x4 luminance grid → 16 dims of real spatial structure.
+        g = resize_nearest(img, 4, 4).mean(axis=2).reshape(-1)
+        v[4:20] = g
+        v[20:23] = img.reshape(-1, 3).std(axis=0)
+        return v
+
+    def _audio_features(self, samples: np.ndarray, rate: int) -> np.ndarray:
+        v = np.zeros(self.DIM, dtype=np.float32)
+        x = samples.astype(np.float32) / 32768.0
+        if len(x):
+            v[0] = np.sqrt(np.mean(x * x))  # RMS
+            v[1] = np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))  # ZCR
+            spec = np.abs(np.fft.rfft(x[: 1 << 12]))
+            bands = np.array_split(spec, 16)
+            v[2:18] = [float(b.mean()) for b in bands]
+        return v
+
+    def _byte_features(self, b: bytes) -> np.ndarray:
+        arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+        return np.bincount(arr >> 3, minlength=self.DIM)[: self.DIM].astype(
+            np.float32
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._stub("feature-extract")
         feats = []
-        for p in batch.column("payload"):
-            b = np.frombuffer(p.as_py() or b"\x00", dtype=np.uint8)
-            hist = np.bincount(b >> 3, minlength=self.DIM)[: self.DIM]
-            v = hist.astype(np.float32)
+        for mtype, p in zip(batch.column("media_type"), batch.column("payload")):
+            b = p.as_py() or b""
+            mt = mtype.as_py()
+            try:
+                if mt == PPM_TYPE:
+                    v = self._image_features(ppm_decode(b))
+                elif mt == WAV_TYPE:
+                    v = self._audio_features(*wav_decode_pcm16(b))
+                elif mt == CLIP_TYPE:
+                    frames = clip_frames(b)
+                    v = (
+                        np.mean([self._image_features(f) for f in frames], axis=0)
+                        if frames
+                        else self._byte_features(b)
+                    )
+                else:
+                    self._stub("feature-extract", mt)
+                    v = self._byte_features(b)
+            except ValueError:
+                v = self._byte_features(b)
             n = np.linalg.norm(v)
-            feats.append(v / n if n else v)
+            feats.append((v / n if n else v).astype(np.float32))
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(feats), pa.float32()), self.DIM
         )
@@ -124,46 +401,78 @@ class MediaFeatures(MediaStage):
 
 
 class MediaResize(MediaStage):
-    """image resize stage. STUB: passes payload through and rewrites the
-    dimension metadata deterministically."""
+    """REAL nearest-neighbor resize for PPM images (payload is rewritten
+    with the resized pixels); other formats hit the stub boundary and
+    pass through unchanged."""
 
     def __init__(self, target: tuple[int, int] = (224, 224), strict: bool = False):
         super().__init__(strict)
         self.target = target
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._stub("resize")
-        n = batch.num_rows
-        w = pa.array(np.full(n, self.target[0], dtype=np.int32))
-        h = pa.array(np.full(n, self.target[1], dtype=np.int32))
-        out = batch.set_column(batch.column_names.index("width"), "width", w)
-        return out.set_column(out.column_names.index("height"), "height", h)
+        tw, th = self.target
+        payloads, widths, heights = [], [], []
+        for mtype, p, w0, h0 in zip(
+            batch.column("media_type"),
+            batch.column("payload"),
+            batch.column("width"),
+            batch.column("height"),
+        ):
+            b = p.as_py() or b""
+            mt = mtype.as_py()
+            if mt == PPM_TYPE:
+                try:
+                    img = resize_nearest(ppm_decode(b), tw, th)
+                    payloads.append(ppm_encode(img))
+                    widths.append(tw)
+                    heights.append(th)
+                    continue
+                except ValueError:
+                    pass
+            elif mt in ("image/png", "image/jpeg"):
+                self._stub("resize", mt)
+            payloads.append(b)
+            widths.append(w0.as_py())
+            heights.append(h0.as_py())
+        out = batch.set_column(
+            batch.column_names.index("payload"), "payload", pa.array(payloads, pa.binary())
+        )
+        out = out.set_column(
+            out.column_names.index("width"), "width", pa.array(widths, pa.int32())
+        )
+        return out.set_column(
+            out.column_names.index("height"), "height", pa.array(heights, pa.int32())
+        )
 
 
 class FrameSample(MediaStage):
-    """video → sampled frame rows (flat_map shape: one row per frame).
-    STUB: deterministic byte-slices of the payload stand in for frames."""
+    """clip → sampled frame rows (flat_map shape: one row per frame).
+    PPM-sequence clips yield REAL parsed frames (re-encoded as standalone
+    PPM payloads); mp4 hits the stub boundary."""
 
     def __init__(self, frames_per_clip: int = 4, strict: bool = False):
         super().__init__(strict)
         self.k = frames_per_clip
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        self._stub("frame-sample")
         ids, fidx, frames = [], [], []
         for mid, mtype, p in zip(
             batch.column("media_id"),
             batch.column("media_type"),
             batch.column("payload"),
         ):
-            if mtype.as_py() != "video/mp4":
-                continue
-            b = p.as_py() or b""
-            step = max(1, len(b) // self.k)
-            for i in range(self.k):
-                ids.append(mid.as_py())
-                fidx.append(i)
-                frames.append(b[i * step : (i + 1) * step])  # FAKE frame bytes
+            mt = mtype.as_py()
+            if mt == CLIP_TYPE:
+                all_frames = clip_frames(p.as_py() or b"")
+                if not all_frames:
+                    continue
+                step = max(1, len(all_frames) // self.k)
+                for j, i in enumerate(range(0, len(all_frames), step)[: self.k]):
+                    ids.append(mid.as_py())
+                    fidx.append(j)
+                    frames.append(ppm_encode(all_frames[i]))
+            elif mt == "video/mp4":
+                self._stub("frame-sample", mt)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
