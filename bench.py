@@ -26,7 +26,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TURNS_PER_SF = 5_000_000  # sf0.1 -> 500k turns (headline bench)
-SCALE_TURNS_PER_SF = 20_000_000  # sf0.1 -> 2M turns (scaling runs need a
+SCALE_TURNS_PER_SF = int(os.environ.get("PGR_SCALE_TURNS", "20000000"))  # sf0.1 -> 2M turns (scaling runs need a
 # compute-dominated job — tens of CPU-seconds of encode vs ~2s fixed
 # pipeline cost — while keeping the 2-CPU leg inside the time budget)
 SEED = 42
