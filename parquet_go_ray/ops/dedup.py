@@ -352,16 +352,46 @@ def dedup_minhash(
     if verify not in ("sig", "jaccard"):
         raise ValueError(f"unknown verify mode {verify!r}")
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def sig_rows(batch: pa.Table) -> pa.Table:
         texts = [
-            t.encode() if isinstance(t, str) else t
+            t.encode() if isinstance(t, str) else (t or b"")
             for t in batch.column(text_col).to_pylist()
         ]
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, num_perm=num_perm, k=k)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1), pa.uint64()), num_perm
+                ),
+            }
+        )
+
+    def _sig_matrix(tab: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        ids = tab.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = (
+            tab.column("sig")
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(len(ids), num_perm)
+        )
+        return ids, sig
+
+    # Signatures are computed ONCE and materialized as a compact
+    # (id, 512B sig) dataset — ~1/3 the size of typical document text.
+    # Banding, candidate verification and the survivor filter all derive
+    # from it, so the source corpus is scanned exactly once and no
+    # signature is ever recomputed. (The object store spills the sig
+    # dataset at scale; it never rides a shuffle.)
+    sig_ds = ds.map_batches(
+        sig_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, sig = _sig_matrix(batch)
         bh = _band_hashes(sig, bands)
-        nd = len(ids)
-        band = np.repeat(np.arange(bands, dtype=np.int32), nd)
+        band = np.repeat(np.arange(bands, dtype=np.int32), len(ids))
         bh_flat = bh.T.reshape(-1)
         return pa.table(
             {
@@ -373,7 +403,7 @@ def dedup_minhash(
         )
 
     pairs = (
-        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        sig_ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pk")
         .map_groups(_bucket_pairs_ids, fn_kwargs={"id_col": id_col}, batch_format="pyarrow")
     )
@@ -403,33 +433,8 @@ def dedup_minhash(
         a, b = a[ok], b[ok]
     elif len(a):
         cand_ids = np.unique(np.concatenate([a, b]))
-
-        def sig_rows(batch: pa.Table) -> pa.Table:
-            texts = [
-                t.encode() if isinstance(t, str) else t
-                for t in batch.column(text_col).to_pylist()
-            ]
-            sig = minhash_signatures(texts, num_perm=num_perm, k=k)
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "sig": pa.FixedSizeListArray.from_arrays(
-                        pa.array(sig.reshape(-1), pa.uint64()), num_perm
-                    ),
-                }
-            )
-
-        cand = _fetch_candidate_rows(
-            ds, cand_ids, id_col, [id_col, text_col], transform=sig_rows
-        )
-        ids = cand.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        sig = (
-            cand.column("sig")
-            .combine_chunks()
-            .flatten()
-            .to_numpy(zero_copy_only=False)
-            .reshape(len(ids), num_perm)
-        )
+        cand = _fetch_candidate_rows(sig_ds, cand_ids, id_col, [id_col, "sig"])
+        ids, sig = _sig_matrix(cand)
         order = np.argsort(ids)
         ids_sorted, sig_sorted = ids[order], sig[order]
         ia = np.searchsorted(ids_sorted, a)
@@ -438,7 +443,7 @@ def dedup_minhash(
         ok = est >= threshold
         a, b = a[ok], b[ok]
     absorbed = connected_components_absorbed(a, b)
-    return _filter_absorbed(ds, absorbed, id_col)
+    return _filter_absorbed(sig_ds, absorbed, id_col)
 
 
 # ---------------------------------------------------------------------------
