@@ -307,16 +307,25 @@ def encode_column(
     arr: pa.Array | pa.ChunkedArray,
     codec: str,
     compression: str = "none",
+    page_rows: int | None = None,
 ) -> tuple[bytes, bytes, dict]:
     """Full column encode. Returns (validity_seg, value_seg, colmeta).
 
     value_seg is block-compressed with ``compression``; validity_seg is the
     RLE'd definition-level stream (empty when the column has no nulls).
+
+    ``page_rows``: split the column into independently decodable pages of
+    that many rows — the reference's page-within-chunk granularity
+    (/root/reference/layout/chunk.go:129-217): row-range reads touch only
+    overlapping pages, and each page carries its own min/max stats for
+    finer pruning. Pages nest the normal single-segment layout.
     """
     from .block import compress
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if page_rows and len(arr) > page_rows:
+        return _encode_column_paged(arr, codec, compression, page_rows)
     n = len(arr)
     null_count = arr.null_count
     if null_count:
@@ -569,14 +578,98 @@ def _decode_list_values(payload, typ: pa.DataType, count: int) -> pa.Array:
     return out
 
 
+def _encode_column_paged(
+    arr: pa.Array, codec: str, compression: str, page_rows: int
+) -> tuple[bytes, bytes, dict]:
+    n = len(arr)
+    pages = []
+    payload = bytearray()
+    null_count = 0
+    for start in range(0, n, page_rows):
+        page = arr.slice(start, page_rows)
+        v_seg, s_seg, meta = encode_column(page, codec, compression)
+        pages.append(
+            {
+                "rows": len(page),
+                "validity_off": len(payload),
+                "validity_len": len(v_seg),
+                "value_off": len(payload) + len(v_seg),
+                "value_len": len(s_seg),
+                "meta": meta,
+            }
+        )
+        payload += v_seg
+        payload += s_seg
+        null_count += meta["null_count"]
+    # Column-level stats roll up from the per-page stats.
+    mins = [p["meta"]["stats"].get("min") for p in pages if p["meta"].get("stats")]
+    maxs = [p["meta"]["stats"].get("max") for p in pages if p["meta"].get("stats")]
+    stats: dict = {}
+    try:
+        if mins and all(m is not None for m in mins):
+            stats = {"min": min(mins), "max": max(maxs)}
+            if any(p["meta"]["stats"].get("max_trunc") for p in pages):
+                stats["max_trunc"] = True
+    except TypeError:
+        stats = {}
+    colmeta = {
+        "codec": "paged",
+        "compression": "none",  # pages compress themselves
+        "rows": n,
+        "null_count": null_count,
+        "raw_len": len(payload),
+        "page_rows": page_rows,
+        "pages": pages,
+        "stats": stats,
+    }
+    return b"", bytes(payload), colmeta
+
+
+def _decode_column_paged(
+    value_seg: bytes,
+    colmeta: dict,
+    typ: pa.DataType,
+    row_offset: int = 0,
+    row_count: int | None = None,
+) -> pa.Array:
+    """Decode a paged column, touching only the pages overlapping
+    [row_offset, row_offset + row_count)."""
+    n = colmeta["rows"]
+    if row_count is None:
+        row_count = n - row_offset
+    end = min(n, row_offset + max(0, row_count))
+    mv = memoryview(value_seg)
+    out = []
+    pos = 0
+    for p in colmeta["pages"]:
+        p_rows = p["rows"]
+        p_start, p_end = pos, pos + p_rows
+        pos = p_end
+        if p_end <= row_offset or p_start >= end:
+            continue  # page skipped entirely — never sliced, never decoded
+        v = bytes(mv[p["validity_off"] : p["validity_off"] + p["validity_len"]])
+        s = bytes(mv[p["value_off"] : p["value_off"] + p["value_len"]])
+        arr = decode_column(v, s, p["meta"], typ)
+        lo = max(0, row_offset - p_start)
+        hi = min(p_rows, end - p_start)
+        out.append(arr.slice(lo, hi - lo))
+    if not out:
+        return pa.nulls(0, typ).cast(typ)
+    return pa.concat_arrays(out) if len(out) > 1 else out[0]
+
+
 def decode_column(
     validity_seg: bytes,
     value_seg: bytes,
     colmeta: dict,
     typ: pa.DataType,
+    row_offset: int = 0,
+    row_count: int | None = None,
 ) -> pa.Array:
     from .block import decompress
 
+    if colmeta["codec"] == "paged":
+        return _decode_column_paged(value_seg, colmeta, typ, row_offset, row_count)
     n = colmeta["rows"]
     null_count = colmeta["null_count"]
     payload = decompress(value_seg, colmeta["compression"], colmeta["raw_len"])
@@ -588,11 +681,14 @@ def decode_column(
         values = _decode_map_values(payload, typ, n - null_count)
     else:
         values = decode_values(payload, colmeta["codec"], typ, n - null_count)
-    if not null_count:
-        return values
-    valid_np, _ = hybrid_decode_sized(validity_seg, 1, n)
-    valid = valid_np.astype(bool)
-    # Nulls re-enter via a take with null indices (vectorized scatter).
-    idx = np.cumsum(valid, dtype=np.int64) - 1
-    indices = pa.array(idx, mask=~valid)
-    return values.take(indices)
+    if null_count:
+        valid_np, _ = hybrid_decode_sized(validity_seg, 1, n)
+        valid = valid_np.astype(bool)
+        # Nulls re-enter via a take with null indices (vectorized scatter).
+        idx = np.cumsum(valid, dtype=np.int64) - 1
+        indices = pa.array(idx, mask=~valid)
+        values = values.take(indices)
+    if row_offset or (row_count is not None and row_count < n - row_offset):
+        cnt = (n - row_offset) if row_count is None else row_count
+        values = values.slice(row_offset, max(0, cnt))
+    return values

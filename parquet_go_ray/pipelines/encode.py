@@ -49,6 +49,7 @@ def encode_pipeline(
     choices: dict | None = None,
     lineage_paths: bool = True,
     two_phase: bool = True,
+    page_rows: int | None = None,
 ) -> dict:
     """Run the encode job; returns the run summary (also written to
     ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
@@ -133,6 +134,7 @@ def encode_pipeline(
         "sort_keys": (key, turn_col),
         "choices": choices,
         "input_files": input_files,
+        "page_rows": page_rows,
     }
     if concurrency is None:
         # A (1, N) autoscaling pool ramps from ONE actor and leaves most

@@ -39,11 +39,13 @@ class EncoderActor:
         sort_keys: tuple[str, ...] = ("conv_id", "turn_idx"),
         choices: dict | None = None,
         input_files: list[str] | None = None,
+        page_rows: int | None = None,
     ):
         self.checkpoint_dir = checkpoint_dir
         self.sort_keys = [k for k in sort_keys]
         self.choices = choices
         self.input_files = input_files or []
+        self.page_rows = page_rows
         # Loaded once per actor; partitions completed by *previous runs*.
         self.completed = mf.completed_partitions(checkpoint_dir)
 
@@ -76,7 +78,7 @@ class EncoderActor:
             )
             group = group.take(idx)
         raw_bytes = group.nbytes
-        blob, meta = encode_table(group, choices=self.choices)
+        blob, meta = encode_table(group, choices=self.choices, page_rows=self.page_rows)
         mf.write_partition(
             self.checkpoint_dir,
             pid,
@@ -195,7 +197,7 @@ class MergeEncoderActor(EncoderActor):
             )
             merged = merged.take(idx)
         raw_bytes = int(pc.sum(group.column(FRAG_RAW_COL)).as_py() or 0)
-        blob, meta = encode_table(merged, choices=self.choices)
+        blob, meta = encode_table(merged, choices=self.choices, page_rows=self.page_rows)
         mf.write_partition(
             self.checkpoint_dir,
             pid,

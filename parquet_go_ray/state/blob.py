@@ -34,11 +34,15 @@ __all__ = ["encode_table", "decode_table", "read_header", "MAGIC"]
 def encode_table(
     table: pa.Table,
     choices: dict[str, tuple[str, str]] | None = None,
+    page_rows: int | None = None,
 ) -> tuple[bytes, dict]:
     """Encode a pyarrow Table into a blob.
 
     ``choices`` maps column name → (codec, compression); unlisted columns
-    go through the sampled-stats auto-selector. Returns (blob, meta) where
+    go through the sampled-stats auto-selector. ``page_rows`` splits each
+    column into independently decodable pages (the reference's
+    page-within-chunk granularity, layout/chunk.go:129-217) so row-range
+    decodes touch only the overlapping pages. Returns (blob, meta) where
     meta is the manifest-ready summary (rows, per-column codec/sizes/hash).
     """
     table = table.combine_chunks()
@@ -65,7 +69,9 @@ def encode_table(
             values = arr.drop_null()
             codec, compression, sel_stats = select_codec(values)
             sel_note = sel_stats.get("codec_note")
-        validity_seg, value_seg, colmeta = encode_column(arr, codec, compression)
+        validity_seg, value_seg, colmeta = encode_column(
+            arr, codec, compression, page_rows=page_rows
+        )
         colmeta["name"] = name
         if sel_note:
             colmeta["codec_note"] = sel_note
@@ -125,11 +131,18 @@ def read_header(blob: bytes) -> tuple[dict, int]:
     return header, 9 + hlen
 
 
-def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
+def decode_table(
+    blob: bytes,
+    columns: list[str] | None = None,
+    row_offset: int = 0,
+    row_count: int | None = None,
+) -> pa.Table:
     """Decode a blob, optionally projecting columns — the engine analogue
     of the reference's selected-column chunk skipping
     (/root/reference/schema/schema.go:212-232, layout/chunk.go:28-51):
-    unselected columns' segments are never touched."""
+    unselected columns' segments are never touched. ``row_offset`` /
+    ``row_count`` select a row range; paged columns decode only the
+    overlapping pages."""
     header, seg_base = read_header(blob)
     try:
         schema = pa.ipc.read_schema(
@@ -155,7 +168,16 @@ def decode_table(blob: bytes, columns: list[str] | None = None) -> pa.Table:
                     f"checksum mismatch in column {name!r}: blob is corrupt"
                 )
         field = schema.field(name)
-        arrays.append(decode_column(validity_seg, value_seg, colmeta, field.type))
+        arrays.append(
+            decode_column(
+                validity_seg,
+                value_seg,
+                colmeta,
+                field.type,
+                row_offset=row_offset,
+                row_count=row_count,
+            )
+        )
         fields.append(field)
     if columns is not None:
         missing = set(columns) - {f.name for f in fields}
