@@ -21,21 +21,12 @@ _OPS = {
 }
 
 
-def _partition_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
-    """Zone-map check: can any row of this partition satisfy (col op value)?
-    Uses the per-column min/max recorded in the lineage manifest — the
-    engine analogue of the reference's chunk statistics
-    (/root/reference/datastore/int32.go:47-67). Conservative: unknown
-    stats keep the partition."""
-    col, op, value = predicate
-    stats = entry.get("columns", {}).get(col, {}).get("stats") or {}
+def _stats_may_match(stats: dict, op: str, value) -> bool:
+    """Zone-map core: can any row with these min/max stats satisfy
+    (op value)? Conservative: unknown stats match."""
     mn, mx = stats.get("min"), stats.get("max")
     if mn is None or mx is None:
         return True
-    # A string max capped at 64 chars (functions/column.py _stats) is a
-    # prefix of — and thus smaller than — the true max, so it cannot
-    # exclude rows on the high side; keep the partition for max-side and
-    # equality predicates whenever the flag is set.
     max_trunc = bool(stats.get("max_trunc"))
     try:
         if op in (">", ">="):
@@ -47,6 +38,46 @@ def _partition_may_match(entry: dict, predicate: tuple[str, str, object]) -> boo
     except TypeError:
         return True
     return True
+
+
+def _partition_may_match(entry: dict, predicate: tuple[str, str, object]) -> bool:
+    """Zone-map check: can any row of this partition satisfy (col op value)?
+    Uses the per-column min/max recorded in the lineage manifest — the
+    engine analogue of the reference's chunk statistics
+    (/root/reference/datastore/int32.go:47-67). Conservative: unknown
+    stats keep the partition."""
+    col, op, value = predicate
+    stats = entry.get("columns", {}).get(col, {}).get("stats") or {}
+    # A string max capped at 64 chars (functions/column.py _stats) is a
+    # prefix of — and thus smaller than — the true max, so it cannot
+    # exclude rows on the high side; _stats_may_match keeps the partition
+    # for max-side and equality predicates whenever the flag is set.
+    return _stats_may_match(stats, op, value)
+
+
+def matching_page_spans(
+    header: dict, predicate: tuple[str, str, object]
+) -> list[tuple[int, int]] | None:
+    """Page-level zone maps: (row_offset, row_count) spans of the pages
+    whose stats may satisfy the predicate, merged when adjacent. Returns
+    None when the predicate column is not paged (no page stats to use);
+    an empty list means NO page can match. The blob analogue of the
+    reference's page-within-chunk statistics skipping."""
+    col, op, value = predicate
+    meta = next((c for c in header["columns"] if c["name"] == col), None)
+    if meta is None or meta.get("codec") != "paged":
+        return None
+    spans: list[tuple[int, int]] = []
+    pos = 0
+    for p in meta["pages"]:
+        rows = p["rows"]
+        if _stats_may_match(p["meta"].get("stats") or {}, op, value):
+            if spans and spans[-1][0] + spans[-1][1] == pos:
+                spans[-1] = (spans[-1][0], spans[-1][1] + rows)
+            else:
+                spans.append((pos, rows))
+        pos += rows
+    return spans
 
 
 def decode_pipeline(
@@ -110,10 +141,29 @@ class BlobDecoder:
         self.columns = columns
         self.predicate = predicate
 
+    def _decode_one(self, blob: bytes) -> pa.Table:
+        if self.predicate is None:
+            return decode_table(blob, columns=self.read_cols)
+        # Page-level zone maps: when the predicate column is paged, only
+        # the row spans whose page stats may match are decoded at all.
+        from ..state.blob import read_header
+
+        header, _ = read_header(blob)
+        spans = matching_page_spans(header, self.predicate)
+        if spans is None:
+            return decode_table(blob, columns=self.read_cols)
+        parts = [
+            decode_table(blob, columns=self.read_cols, row_offset=off, row_count=cnt)
+            for off, cnt in spans
+        ]
+        if not parts:
+            # Build a zero-row table with the right projected schema.
+            return decode_table(blob, columns=self.read_cols, row_count=0)
+        return pa.concat_tables(parts)
+
     def __call__(self, batch: pa.Table):
         tables = [
-            decode_table(blob.as_py(), columns=self.read_cols)
-            for blob in batch.column("bytes")
+            self._decode_one(blob.as_py()) for blob in batch.column("bytes")
         ]
         if not tables:
             # Zero-yield on an empty input batch: emitting pa.table({})

@@ -99,3 +99,47 @@ def test_paged_transcripts_projection():
             pages = c["pages"]
     assert pages and len(pages) >= 2
     assert all("stats" in p["meta"] for p in pages)
+
+
+def test_page_level_predicate_pruning(monkeypatch):
+    """Pages whose stats exclude the predicate are never decoded; the
+    surviving spans produce the exact filtered rows."""
+    from parquet_go_ray.pipelines.decode import BlobDecoder, matching_page_spans
+    from parquet_go_ray.state.blob import read_header
+
+    n = 1024
+    t = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),  # sorted: page stats disjoint
+            "v": pa.array([f"s{x}" for x in range(n)]),
+        }
+    )
+    blob, _ = encode_table(t, page_rows=128)
+    header, _ = read_header(blob)
+    spans = matching_page_spans(header, ("k", ">=", 900))
+    assert spans == [(896, 128)]  # only the last page can match
+    assert matching_page_spans(header, ("k", ">", 5000)) == []
+    # Through the BlobDecoder stage with a decode spy.
+    calls = []
+    real = col.decode_values
+
+    def spy(payload, codec, typ, count):
+        calls.append(count)
+        return real(payload, codec, typ, count)
+
+    monkeypatch.setattr(col, "decode_values", spy)
+    dec = BlobDecoder(predicate=("k", ">=", 900))
+    out = pa.concat_tables(list(dec(pa.table({"bytes": pa.array([blob])}))))
+    assert out.column("k").to_pylist() == list(range(900, 1024))
+    # Exactly one page span decoded (2 columns x 1 page), not 8 pages.
+    assert len(calls) == 2
+
+
+def test_page_pruning_unpaged_fallback():
+    from parquet_go_ray.pipelines.decode import BlobDecoder
+
+    t = pa.table({"k": pa.array(range(100), pa.int64())})
+    blob, _ = encode_table(t)  # unpaged
+    dec = BlobDecoder(predicate=("k", "<", 10))
+    out = pa.concat_tables(list(dec(pa.table({"bytes": pa.array([blob])}))))
+    assert out.column("k").to_pylist() == list(range(10))
