@@ -65,11 +65,17 @@ def encode_pipeline(
         total_rows = probe.count()  # parquet metadata only — no data read
         if num_buckets is None:
             num_buckets = max(1, -(-total_rows // rows_per_partition))
-        # Shuffle cost scales with block COUNT, not just bytes: target a few
-        # blocks per bucket and at least one per core, never thousands of
-        # tiny blocks (measured 4x end-to-end on the sf0.1 bench).
+        # Shuffle cost scales with block COUNT, not just bytes. Two-phase
+        # (compressed-fragment) exchange wants FEW, LARGE blocks — each
+        # block emits one IPC fragment per bucket, so block count drives
+        # both fragment count and all-to-all orchestration (measured
+        # 184k→270k turns/s going 124→32 blocks at 32 CPUs). The raw-row
+        # single-phase shuffle keeps the old 2-blocks-per-bucket shape.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        blocks = max(cpus, 2 * num_buckets)
+        if two_phase:
+            blocks = min(max(cpus, num_buckets // 4), 2 * cpus)
+        else:
+            blocks = max(cpus, 2 * num_buckets)
         blocks = min(blocks, max(1, total_rows // 5000))
         ds = ray.data.read_parquet(
             input_path,
