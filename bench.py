@@ -63,6 +63,7 @@ def run_encode(
     concurrency=None,
     rows_per_partition: int = 100_000,
     choices: dict | None = None,
+    read_blocks: int | None = None,
 ) -> dict:
     from parquet_go_ray.pipelines.encode import encode_pipeline
 
@@ -74,6 +75,7 @@ def run_encode(
             rows_per_partition=rows_per_partition,
             concurrency=concurrency,
             choices=choices,
+            read_blocks=read_blocks,
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -205,11 +207,14 @@ bench._quiet_ray_data()
 turns = bench.SCALE_TURNS_PER_SF // (4 if bench.SCALE_FSST else 1)
 tdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), turns)
 choices = {{"text": ("fsst", "none")}} if bench.SCALE_FSST else None
-bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices)  # warmup
+# Both legs run the IDENTICAL plan: a fixed block count (2x the high
+# leg's CPUs) so only the resources differ, as on a real N vs 4N cluster.
+blocks = 2 * {SCALE_HI}
+bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)  # warmup
 best = None
 for _ in range(2):  # best-of-2: shields against VM background noise
     t0 = time.time()
-    s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices)
+    s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)
     el = time.time() - t0
     if best is None or el < best:
         best = el

@@ -50,6 +50,7 @@ def encode_pipeline(
     lineage_paths: bool = True,
     two_phase: bool = True,
     page_rows: int | None = None,
+    read_blocks: int | None = None,
 ) -> dict:
     """Run the encode job; returns the run summary (also written to
     ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
@@ -72,7 +73,13 @@ def encode_pipeline(
         # 184k→270k turns/s going 124→32 blocks at 32 CPUs). The raw-row
         # single-phase shuffle keeps the old 2-blocks-per-bucket shape.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        if two_phase:
+        if read_blocks is not None:
+            # Fixed plan regardless of cluster size — the cluster-faithful
+            # setting (a real deployment's block count comes from the data
+            # layout, not the node count); scaling benchmarks use this so
+            # both legs run the identical task graph.
+            blocks = read_blocks
+        elif two_phase:
             blocks = min(max(cpus, num_buckets // 4), 2 * cpus)
         else:
             blocks = max(cpus, 2 * num_buckets)
