@@ -63,13 +63,13 @@ def ppm_encode(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def ppm_decode(data: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (h, w, 3) uint8. Raises ValueError on corrupt
-    input (same decoder error contract as the column codecs)."""
+def _ppm_header(data: bytes) -> tuple[int, int, int]:
+    """Parse a P6 header: magic, width, height, maxval — whitespace-
+    separated (comments allowed), then exactly one whitespace byte before
+    the pixel data. Returns (width, height, pixel_offset); raises
+    ValueError on corrupt input (the column-codec error contract)."""
     if not data.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
-    # Header: magic, width, height, maxval — whitespace-separated, then
-    # exactly one whitespace byte before the pixel data.
     fields: list[int] = []
     pos = 2
     while len(fields) < 3:
@@ -91,6 +91,12 @@ def ppm_decode(data: bytes) -> np.ndarray:
     w, h, maxval = fields
     if maxval != 255 or w <= 0 or h <= 0:
         raise ValueError(f"unsupported PPM (w={w} h={h} maxval={maxval})")
+    return w, h, pos
+
+
+def ppm_decode(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8."""
+    w, h, pos = _ppm_header(data)
     need = w * h * 3
     if len(data) - pos < need:
         raise ValueError("truncated PPM pixel data")
@@ -103,21 +109,8 @@ def ppm_decode(data: bytes) -> np.ndarray:
 
 def ppm_payload_size(data: bytes, pos: int = 0) -> int:
     """Byte length of the PPM frame starting at ``pos`` (for clip walks)."""
-    img = ppm_decode(data[pos:])  # validates; cheap for header-only? no —
-    # clip frames are small; reuse the decoder for exactness.
-    header_end = len(data) - pos - 0  # recompute precisely below
-    # Recompute: find pixel offset the same way the decoder does.
-    sub = data[pos:]
-    fields, p = [], 2
-    while len(fields) < 3:
-        while sub[p : p + 1].isspace():
-            p += 1
-        start = p
-        while p < len(sub) and not sub[p : p + 1].isspace():
-            p += 1
-        fields.append(int(sub[start:p]))
-    p += 1
-    return p + img.shape[0] * img.shape[1] * 3
+    w, h, px = _ppm_header(data[pos:])
+    return px + w * h * 3
 
 
 def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
