@@ -63,15 +63,17 @@ def ppm_encode(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def _ppm_header(data: bytes) -> tuple[int, int, int]:
-    """Parse a P6 header: magic, width, height, maxval — whitespace-
-    separated (comments allowed), then exactly one whitespace byte before
-    the pixel data. Returns (width, height, pixel_offset); raises
-    ValueError on corrupt input (the column-codec error contract)."""
-    if not data.startswith(b"P6"):
+def _ppm_header(data: bytes, pos: int = 0) -> tuple[int, int, int]:
+    """Parse a P6 header starting at byte offset ``pos``: magic, width,
+    height, maxval — whitespace-separated (comments allowed), then exactly
+    one whitespace byte before the pixel data. Returns (width, height,
+    absolute_pixel_offset); raises ValueError on corrupt input (the
+    column-codec error contract). Parsing at an offset avoids copying the
+    payload tail per frame in clip walks."""
+    if data[pos : pos + 2] != b"P6":
         raise ValueError("not a P6 PPM")
     fields: list[int] = []
-    pos = 2
+    pos += 2
     while len(fields) < 3:
         while pos < len(data) and data[pos : pos + 1].isspace():
             pos += 1
@@ -94,14 +96,14 @@ def _ppm_header(data: bytes) -> tuple[int, int, int]:
     return w, h, pos
 
 
-def ppm_decode(data: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (h, w, 3) uint8."""
-    w, h, pos = _ppm_header(data)
+def ppm_decode(data: bytes, pos: int = 0) -> np.ndarray:
+    """Binary PPM (P6) starting at ``pos`` → (h, w, 3) uint8."""
+    w, h, px = _ppm_header(data, pos)
     need = w * h * 3
-    if len(data) - pos < need:
+    if len(data) - px < need:
         raise ValueError("truncated PPM pixel data")
     return (
-        np.frombuffer(data, dtype=np.uint8, count=need, offset=pos)
+        np.frombuffer(data, dtype=np.uint8, count=need, offset=px)
         .reshape(h, w, 3)
         .copy()
     )
@@ -109,8 +111,8 @@ def ppm_decode(data: bytes) -> np.ndarray:
 
 def ppm_payload_size(data: bytes, pos: int = 0) -> int:
     """Byte length of the PPM frame starting at ``pos`` (for clip walks)."""
-    w, h, px = _ppm_header(data[pos:])
-    return px + w * h * 3
+    w, h, px = _ppm_header(data, pos)
+    return (px - pos) + w * h * 3
 
 
 def resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
@@ -158,8 +160,11 @@ def wav_decode_pcm16(data: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
-            if size < 16:
-                raise ValueError("short fmt chunk")
+            if size < 16 or len(body) < 16:
+                # len(body) < 16 ⇔ the declared size overruns the payload
+                # (truncated WAV): still a ValueError, not struct.error —
+                # the media stages' undecodable-row contract depends on it.
+                raise ValueError("short or truncated fmt chunk")
             fmt, channels, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
             if fmt != 1 or bits != 16:
                 raise ValueError(f"unsupported WAV (fmt={fmt}, bits={bits})")
@@ -179,13 +184,22 @@ def clip_encode(frames: list[np.ndarray]) -> bytes:
 
 
 def clip_frames(data: bytes) -> list[np.ndarray]:
-    """Parse every PPM frame of a clip payload."""
+    """Parse every PPM frame of a clip payload. Headers are parsed at an
+    offset into the shared buffer — no per-frame tail copy (O(total bytes)
+    for the whole walk, not O(frames × clip_bytes))."""
     out = []
     pos = 0
     while pos < len(data):
-        size = ppm_payload_size(data, pos)
-        out.append(ppm_decode(data[pos : pos + size]))
-        pos += size
+        w, h, px = _ppm_header(data, pos)
+        need = w * h * 3
+        if len(data) - px < need:
+            raise ValueError("truncated PPM pixel data")
+        out.append(
+            np.frombuffer(data, dtype=np.uint8, count=need, offset=px)
+            .reshape(h, w, 3)
+            .copy()
+        )
+        pos = px + need
     return out
 
 

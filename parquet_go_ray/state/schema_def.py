@@ -116,7 +116,10 @@ def field_from_definition(name: str, spec: dict) -> pa.Field:
         value = field_from_definition(
             "value", spec.get("value", {"type": "BYTE_ARRAY"})
         )
-        typ = pa.map_(key.type, value.type)
+        # Pass the full value FIELD so its repetition survives — a
+        # 'required' map value stays non-nullable in the Arrow type
+        # (pa.map_(key.type, value.type) would silently make it nullable).
+        typ = pa.map_(key.type, value)
     else:
         typ = _type_from_def(kind)
     if rep == "repeated":

@@ -73,6 +73,50 @@ def test_ppm_and_wav_codecs_roundtrip():
     back = clip_frames(clip_encode(frames))
     assert len(back) == 3 and all((a == b).all() for a, b in zip(frames, back))
 
+    # A fmt chunk whose declared size overruns the payload (truncated WAV)
+    # must raise ValueError — the media stages' undecodable-row contract —
+    # not leak struct.error and crash the whole map_batches task.
+    good = wav_encode_pcm16(s, 8000)
+    truncated = good[:20]  # RIFF + 'fmt ' header, body cut mid-fields
+    with pytest.raises(ValueError):
+        wav_decode_pcm16(truncated)
+
+
+def test_truncated_wav_marks_row_undecodable():
+    """One corrupt WAV payload must not crash the decode/feature stages."""
+    from parquet_go_ray.ops.multimodal import (
+        MEDIA_SCHEMA,
+        WAV_TYPE,
+        wav_encode_pcm16,
+    )
+
+    s = (np.sin(np.arange(800) / 9.0) * 15000).astype(np.int16)
+    good = wav_encode_pcm16(s, 8000)
+    t = pa.Table.from_pylist(
+        [
+            {"media_id": 0, "media_type": WAV_TYPE, "payload": good,
+             "width": 0, "height": 0, "duration_ms": 100},
+            {"media_id": 1, "media_type": WAV_TYPE, "payload": good[:20],
+             "width": 0, "height": 0, "duration_ms": 100},
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    d = MediaDecode()(t)
+    assert d.column("decode_ok").to_pylist() == [True, False]
+    f = MediaFeatures()(t)  # falls back to byte features, doesn't raise
+    assert f.num_rows == 2
+
+
+def test_clip_frames_offset_parse():
+    """Clip walk parses headers at offsets (no tail copy) incl. comments."""
+    from parquet_go_ray.ops.multimodal import ppm_decode, ppm_payload_size
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    with_comment = b"P6\n# hi\n5 4\n255\n" + img.tobytes()
+    blob = b"XX" + with_comment  # frame at a nonzero offset
+    assert ppm_payload_size(blob, 2) == len(with_comment)
+    assert (ppm_decode(blob, 2) == img).all()
+
 
 def test_real_decode_stage():
     t = synthetic_media_table(20, seed=4)

@@ -56,6 +56,12 @@ def test_types_and_repetition():
     assert s.field("tags").type == pa.list_(pa.field("item", pa.string(), nullable=False))
     assert pa.types.is_map(s.field("attrs").type)
     assert s.field("attrs").type.key_type == pa.string()
+    assert s.field("attrs").type.item_field.nullable  # declared optional
+    # A 'required' map value keeps its repetition in the Arrow type.
+    req_map = field_from_definition(
+        "m", {"type": "map", "key": {"type": "STRING"}, "value": {"type": "INT64"}}
+    )
+    assert not req_map.type.item_field.nullable
     assert s.field("uid").type == pa.binary(16)
     assert s.field("amount").type == pa.decimal128(10, 2)
     assert s.field("small").type == pa.uint16()
