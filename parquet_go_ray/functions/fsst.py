@@ -117,22 +117,27 @@ class _Matcher:
             return matched_len, matched_code
         # room[i] = bytes left in the value at position i, clipped to the
         # max symbol length; a length-L match needs room >= L (also kills
-        # matches on the end-of-buffer padding).
+        # matches on the end-of-buffer padding). int32 end offsets halve
+        # the memory traffic of this pass (callers chunk below 2**31).
         room = np.minimum(
-            boundary_end - np.arange(n, dtype=boundary_end.dtype), MAX_SYM_LEN
+            boundary_end.astype(np.int32, copy=False)
+            - np.arange(n, dtype=np.int32),
+            MAX_SYM_LEN,
         ).astype(np.int8)
+        w8 = _window_keys(data)  # shared by the 2-byte and 3+-byte probes
         code = self.lut1[data]
         hit = code >= 0  # a 1-byte match always fits (room >= 1)
         matched_len[hit] = 1
         matched_code[hit] = code[hit]
         if n >= 2:
-            k2 = (data[:-1].astype(np.uint32) << 8) | data[1:]
+            # The top two window bytes ARE the 2-byte key — no separate
+            # shift-or construction pass.
+            k2 = (w8 >> np.uint64(48)).astype(np.uint16)
             code = self.lut2[k2]
-            hit = (code >= 0) & (room[: n - 1] >= 2)
-            matched_len[: n - 1][hit] = 2
-            matched_code[: n - 1][hit] = code[hit]
+            hit = (code >= 0) & (room >= 2)
+            matched_len[hit] = 2
+            matched_code[hit] = code[hit]
         if self.has3:
-            w8 = _window_keys(data)
             h = ((w8 >> np.uint64(40)) * _HASH_MULT) >> np.uint64(
                 64 - _TABLE_BITS
             )
@@ -148,29 +153,58 @@ class _Matcher:
         return matched_len, matched_code
 
 
-def _greedy_positions(jump: np.ndarray) -> np.ndarray:
-    """Positions visited by `i = 0; while i < n: i += jump[i]` —
-    computed with pointer doubling in O(log n) vectorized rounds.
-    int32 throughout: callers chunk the input well below 2**31."""
+def _greedy_positions(jump: np.ndarray, value_offsets: np.ndarray) -> np.ndarray:
+    """Positions visited by the greedy scan `i = start; while i < end:
+    i += jump[i]` run independently for every value.
+
+    Greedy jumps never cross a value boundary, so each value's walk is
+    independent — ALL values walk in parallel: the frontier holds each
+    still-active value's current position and one gather advances every
+    value by one token. Total work is O(total tokens) plus one final sort
+    (round 2's pointer-doubling did n·log n gathers — 10× slower on
+    realistic value lengths). int32 throughout: callers chunk the input
+    well below 2**31."""
     n = len(jump)
     if n == 0:
         return np.empty(0, dtype=np.int32)
     f = np.empty(n + 1, dtype=np.int32)
-    np.minimum(
-        np.arange(n, dtype=np.int32) + jump.astype(np.int32), n, out=f[:n]
-    )
-    f[n] = n
-    visited = [np.zeros(1, dtype=np.int32)]
-    frontier = np.zeros(1, dtype=np.int32)
-    fk = f
-    while True:
-        nxt = fk[frontier]
-        nxt = nxt[nxt < n]
-        if len(nxt) == 0:
-            break
-        visited.append(nxt)
-        frontier = np.concatenate([frontier, nxt])
-        fk = fk[fk]
+    f[:n] = np.arange(n, dtype=np.int32)
+    f[:n] += jump.astype(np.int32)
+    f[n] = n  # sentinel: finished walkers park here (f[n] == n)
+    np.minimum(f, n, out=f)
+    cur = value_offsets[:-1].astype(np.int32)
+    ends = value_offsets[1:].astype(np.int32)
+    alive = cur < ends  # skip zero-length values
+    cur, ends = cur[alive], ends[alive]
+    visited = []
+    raw: list[tuple[np.ndarray, np.ndarray]] = []
+    step = 0
+    while len(cur):
+        if len(cur) >= 256:
+            # Wide phase: filter finished values every round (cheap while
+            # the frontier is large — one gather advances every value).
+            visited.append(cur)
+            cur = f[cur]
+            alive = cur < ends
+            if not alive.all():
+                cur, ends = cur[alive], ends[alive]
+        else:
+            # Tail phase (a few long values walking alone): batch 32
+            # unfiltered steps between compactions so per-round Python
+            # overhead doesn't dominate — finished walkers park on the
+            # clamped last slot and are dropped by the post-filter.
+            raw.append((cur, ends))
+            cur = f[cur]
+            step += 1
+            if step % 32 == 0:
+                alive = cur < ends
+                cur, ends = cur[alive], ends[alive]
+    if raw:
+        rc = np.concatenate([c for c, _ in raw])
+        re_ = np.concatenate([e for _, e in raw])
+        visited.append(rc[rc < re_])
+    if not visited:
+        return np.empty(0, dtype=np.int32)
     out = np.concatenate(visited)
     out.sort()
     return out
@@ -190,7 +224,7 @@ def _encode_tokens(
     boundary_end = np.repeat(value_offsets[1:], np.diff(value_offsets))
     matched_len, matched_code = matcher.match(data, boundary_end)
     jump = np.maximum(matched_len, 1)
-    pos = _greedy_positions(jump)
+    pos = _greedy_positions(jump, value_offsets)
     return pos, matched_len[pos], matched_code[pos]
 
 
@@ -239,13 +273,23 @@ def build_symbol_table(
                 cand_keys.append(mk)
                 cand_lens.append(ml)
         keys = np.concatenate(cand_keys)
-        lens_all = np.concatenate(cand_lens).astype(np.uint64)
-        # Count per (len, key) pair; an 8-byte key uses all 64 bits so the
-        # pair cannot be packed into one word — unique over both columns.
-        pairs = np.stack([lens_all, keys], axis=1)
-        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
-        u_len = uniq[:, 0].astype(np.int64)
-        u_key = uniq[:, 1]
+        lens_all = np.concatenate(cand_lens).astype(np.int64)
+        # Count per (len, key) pair. An 8-byte key uses all 64 bits, so the
+        # pair can't pack into one word — but a len-partitioned unique (8
+        # plain uint64 sorts) beats np.unique(axis=0)'s void-dtype row sort
+        # by ~20× (it was 88% of round 2's table-build time).
+        u_len_parts, u_key_parts, count_parts = [], [], []
+        for L in range(1, MAX_SYM_LEN + 1):
+            kl = keys[lens_all == L]
+            if not len(kl):
+                continue
+            u, c = np.unique(kl, return_counts=True)
+            u_key_parts.append(u)
+            count_parts.append(c)
+            u_len_parts.append(np.full(len(u), L, dtype=np.int64))
+        u_len = np.concatenate(u_len_parts)
+        u_key = np.concatenate(u_key_parts)
+        counts = np.concatenate(count_parts)
         gain = counts * u_len
         order = np.argsort(-gain, kind="stable")[:MAX_SYMBOLS]
         symbols = [
@@ -264,6 +308,20 @@ def fsst_encode(lengths: np.ndarray, data: np.ndarray) -> bytes:
     symbols = build_symbol_table(lengths, data)
     matcher = _Matcher(symbols)
     offsets = np.concatenate(([0], np.cumsum(lengths)))
+
+    # Native single-pass scan when the C kernel is available (byte-
+    # identical output to the numpy path below — pinned by test).
+    from . import _fsst_native
+
+    native = _fsst_native.scan(data, offsets, matcher)
+    if native is not None:
+        out_buf, enc_lens64 = native
+        header = bytearray()
+        header += uvarint_encode(len(symbols))
+        header += bytes(len(s) for s in symbols)
+        header += b"".join(symbols)
+        header += delta_encode(enc_lens64.astype(np.int32), dtype=np.int32)
+        return bytes(header) + out_buf.tobytes()
 
     # Chunk the scan at VALUE boundaries (greedy jumps never cross a value
     # boundary, so per-chunk restarts are exact) — bounds the working set
@@ -344,6 +402,16 @@ def fsst_decode(data, count: int, pos: int = 0):
     n = len(buf)
     if n == 0:
         return enc_lens, np.empty(0, dtype=np.uint8), pos
+
+    # Native expansion (same escape-run-parity semantics; raises the same
+    # ValueError on out-of-range codes).
+    from . import _fsst_native
+
+    enc_off_n = np.concatenate(([0], np.cumsum(enc_lens)))
+    native = _fsst_native.unscan(buf, enc_off_n, sym_data, sym_off, sym_lens)
+    if native is not None:
+        out_n, out_lens_n = native
+        return out_lens_n, out_n, pos
 
     # Classify escape runs by parity: inside each maximal run of ESC bytes,
     # even offsets are control escapes, odd offsets are escaped literals.

@@ -141,12 +141,26 @@ _SPEED_RANK = {
     "rle": 4,
     "dict": 3,
     "delta_prefix": 2,
-    "fsst": 1,  # ~8 MB/s/core measured (numpy single-probe matcher, r2);
-    # EXPLICIT DEMOTION: delta_length+zstd compresses transcript text
-    # comparably at >40 MB/s, so FSST only wins when its size advantage
-    # exceeds the 5% near-tie band. Recorded per column in the manifest
-    # as codec_note="fsst_demoted_for_speed" when that demotion fires.
+    "fsst": 1,  # numpy fallback: ~10 MB/s/core (vectorized matcher ceiling,
+    # profiled in NOTES_r3) — demoted below dict/delta_length. When the
+    # native C kernel is available (67 MB/s encode / 68 MB/s decode
+    # measured on transcript text, byte-identical streams) the rank is
+    # lifted to dict-level at import time below: FSST then competes on
+    # size alone and the r2 "fsst_demoted_for_speed" note no longer fires.
 }
+
+
+def _maybe_undemote_fsst() -> None:
+    try:
+        from ._fsst_native import lib
+
+        if lib() is not None:
+            _SPEED_RANK["fsst"] = 3
+    except Exception:
+        pass
+
+
+_maybe_undemote_fsst()
 # Cap FSST's trial sample so selection stays cheap per partition.
 _FSST_TRIAL_ROWS = 512
 
