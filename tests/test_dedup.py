@@ -172,3 +172,81 @@ def test_band_rows_ship_no_signatures(ray_session):
     )
     per_band_row = shuffled.nbytes / shuffled.num_rows
     assert per_band_row <= 32, per_band_row  # 4+4+8+8 payload + padding
+
+
+class TestDistributed:
+    """The sharded verify/CC path (VERDICT r2 #2): identical results to
+    the driver path, with NO driver-side pair/text collection."""
+
+    def _no_driver_collect(self, monkeypatch):
+        import parquet_go_ray.ops.dedup as dd
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "driver-side candidate collection used on the distributed path"
+            )
+
+        monkeypatch.setattr(dd, "_collect_pairs", boom)
+        monkeypatch.setattr(dd, "_fetch_candidate_rows", boom)
+
+    def test_minhash_distributed_matches(self, ray_session, monkeypatch):
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_minhash
+
+        t, expected = planted_mutated_documents(groups=20, clones_per_group=5)
+        ds = ray.data.from_arrow(t)
+        self._no_driver_collect(monkeypatch)
+        assert _ids(dedup_minhash(ds, threshold=0.6, distributed=True)) == expected
+
+    def test_jaccard_distributed_matches(self, ray_session, monkeypatch):
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_minhash
+
+        ds = ray.data.from_arrow(planted_clone_documents(300, 30))
+        self._no_driver_collect(monkeypatch)
+        got = _ids(
+            dedup_minhash(ds, threshold=0.7, verify="jaccard", distributed=True)
+        )
+        assert got == list(range(30))
+
+    def test_embedding_distributed_matches(self, ray_session, monkeypatch):
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_embedding
+
+        ds = ray.data.from_arrow(planted_embeddings(400))
+        self._no_driver_collect(monkeypatch)
+        got = _ids(dedup_embedding(ds, threshold=0.95, distributed=True))
+        assert got == [g * g for g in range(20)]
+
+    def test_high_duplication_no_driver_texts(self, ray_session, monkeypatch):
+        """50%-duplicate 100k-doc corpus (VERDICT r2 #2 done-criterion):
+        candidates are O(dup rows); the distributed path must verify and
+        cluster them without _collect_pairs/_fetch_candidate_rows, and
+        the survivor set must still be exact.
+
+        Group tokens are hash-derived (not decimal group numbers):
+        ``planted_clone_documents`` texts for adjacent group numbers share
+        digit-prefix shingles, and at 50k groups some cross-group pairs are
+        GENUINE near-dups (exact 5-gram Jaccard('...t999q...', '...t9999q...')
+        = 0.76 ≥ 0.7), which breaks the closed-form ground truth."""
+        import hashlib
+
+        import ray
+
+        from parquet_go_ray.ops.dedup import dedup_minhash
+
+        n, groups = 100_000, 50_000  # every group has exactly 2 clones
+        toks = [
+            hashlib.md5(str(g).encode()).hexdigest()[:12] for g in range(groups)
+        ]
+        texts = [f"doc {toks[i % groups]} " + (f"w{toks[i % groups]} " * 8) for i in range(n)]
+        t = pa.table(
+            {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}
+        )
+        ds = ray.data.from_arrow(t).repartition(16)
+        self._no_driver_collect(monkeypatch)
+        ids = _ids(dedup_minhash(ds, threshold=0.7, distributed=True))
+        assert ids == list(range(groups))
