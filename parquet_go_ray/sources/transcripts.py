@@ -200,14 +200,40 @@ def _build_text_array(
     return arr.cast(pa.string())
 
 
+# Per-generation slice: the vectorized text build allocates ~4x the
+# output bytes in int64 scratch (repeat/arange gathers), so an unsliced
+# multi-million-turn shard swaps (measured: 500k turns 7.7s, 2.5M turns
+# 117s — superlinear from memory pressure, 16 shards in parallel). Slices
+# of 500k keep scratch ~2 GB per task and restore linear scaling.
+_SHARD_SLICE_TURNS = 500_000
+
+
 def _write_shard(path: str, shard: int, per: int, seed: int) -> str:
     import os
 
     import pyarrow.parquet as pq
 
-    table = generate_transcripts(per, seed=seed, start_conv=shard * 10_000_000)
     p = os.path.join(path, f"transcripts-{shard:04d}.parquet")
-    pq.write_table(table, p, row_group_size=65536)
+    base_conv = shard * 10_000_000
+    writer = None
+    try:
+        done = 0
+        part = 0
+        while done < per:
+            step = min(_SHARD_SLICE_TURNS, per - done)
+            # Disjoint conv-id ranges per slice (ids are formatted from
+            # start_conv; a slice never produces more convs than turns).
+            table = generate_transcripts(
+                step, seed=seed, start_conv=base_conv + part * 1_000_000
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(p, table.schema)
+            writer.write_table(table, row_group_size=65536)
+            done += step
+            part += 1
+    finally:
+        if writer is not None:
+            writer.close()
     return p
 
 

@@ -15,6 +15,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray as _ray
+
 from ..state import manifest as mf
 from ..state.blob import decode_table, encode_table
 from .salt import BUCKET_COL
@@ -163,11 +165,112 @@ def encode_fragments(batch: pa.Table) -> pa.Table:
     )
 
 
+@_ray.remote(num_cpus=0)
+class FragmentRefHolder:
+    """Pins fragment objects for the ref-based exchange.
+
+    ``encode_fragments_refs`` puts each fragment's bytes into the object
+    store with this actor as the object's OWNER and registers the ref
+    here, so the fragment outlives the producing map task (a ref
+    serialized inside an Arrow column is out-of-band — Ray's refcounting
+    can't see it). The pipeline kills the holder after the run, releasing
+    every fragment at once."""
+
+    def __init__(self):
+        self.refs = []
+
+    def add(self, refs) -> int:
+        self.refs.extend(refs)
+        return len(self.refs)
+
+    def clear(self) -> None:
+        self.refs = []
+
+
+# Buckets per put: one ray.put(_owner=...) costs ~4ms (an ownership
+# handshake with the holder — measured vs 0.45ms plain), so per-fragment
+# puts add seconds per block and serialize through the holder. Chunking
+# K consecutive buckets per object cuts puts 16x. Cost model: locally a
+# chunk is read zero-copy from plasma whatever its size; on a multi-node
+# cluster a chunk is transferred to at most min(K, nodes-that-merge-its-
+# buckets) nodes, so K bounds the over-fetch factor of the exchange.
+FRAG_CHUNK_BUCKETS = 16
+FRAG_IDX_COL = "_frag_idx"
+
+
+def encode_fragments_refs(batch: pa.Table, holder) -> pa.Table:
+    """Ref-based phase 1 (round 3): identical fragment bytes to
+    ``encode_fragments``, but the all-to-all ships a ~200-byte
+    cloudpickled ObjectRef (+ intra-chunk index) per fragment instead of
+    the fragment itself. Payload bytes move point-to-point — producing
+    worker's plasma store → consuming merge actor's ``ray.get`` — with
+    no sort-barrier copy chain in between. On a multi-node cluster this
+    is the difference between an O(data) exchange through the shuffle
+    and an O(partitions) metadata shuffle plus direct peer pulls."""
+    from ray import cloudpickle
+
+    out = encode_fragments(batch)
+    frags = [f.as_py() for f in out.column(FRAG_COL)]
+    n = len(frags)
+    blobs: list[bytes] = []
+    idxs: list[int] = []
+    refs = []
+    for s in range(0, n, FRAG_CHUNK_BUCKETS):
+        chunk = frags[s : s + FRAG_CHUNK_BUCKETS]
+        # Chunk layout: (uint8 buffer, int64 offsets) numpy pair — NOT a
+        # list of bytes. ray.get returns numpy arrays as ZERO-COPY plasma
+        # views, so a consumer that needs fragment i of 16 touches only
+        # its slice; a list[bytes] chunk is heap-copied whole into every
+        # consumer (measured: 21 µs/turn merge CPU and 4x busy-CPU
+        # inflation at 32 CPUs from exactly that copy amplification).
+        buf = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+        offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum([len(c) for c in chunk], out=offs[1:])
+        r = _ray.put((buf, offs), _owner=holder)
+        refs.append(r)
+        rb = cloudpickle.dumps(r)
+        blobs.extend([rb] * len(chunk))
+        idxs.extend(range(len(chunk)))
+    holder.add.remote(refs)  # in-band borrow until registered; see class doc
+    i = out.schema.get_field_index(FRAG_COL)
+    out = out.set_column(i, FRAG_COL, pa.array(blobs, pa.large_binary()))
+    return out.append_column(FRAG_IDX_COL, pa.array(idxs, pa.int32()))
+
+
 class MergeEncoderActor(EncoderActor):
     """Phase 2: one shuffle group = all IPC fragments of one partition.
     Decode fragments, merge, sort-within-partition (the per-conversation
     merge that preserves the stable turn ordering invariant), then run
-    the real per-column encode exactly as the single-phase path."""
+    the real per-column encode exactly as the single-phase path.
+
+    ``fragment_refs=True`` (the ref exchange): the fragment column holds
+    cloudpickled ObjectRefs; the actor pulls its partition's payloads
+    from the object store directly."""
+
+    def __init__(self, *args, fragment_refs: bool = False, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fragment_refs = fragment_refs
+
+    def _fragment_tables(self, group: pa.Table) -> list[pa.Table]:
+        if not self.fragment_refs:
+            return [_ipc_read_bytes(f.as_py()) for f in group.column(FRAG_COL)]
+        from ray import cloudpickle
+
+        blobs = [f.as_py() for f in group.column(FRAG_COL)]
+        idxs = group.column(FRAG_IDX_COL).to_pylist()
+        uniq: dict[bytes, int] = {}
+        refs = []
+        for b in blobs:
+            if b not in uniq:
+                uniq[b] = len(refs)
+                refs.append(cloudpickle.loads(b))
+        chunks = _ray.get(refs)  # zero-copy plasma views, one pull per chunk
+        out = []
+        for b, i in zip(blobs, idxs):
+            buf, offs = chunks[uniq[b]]
+            frag = buf[offs[i] : offs[i + 1]]  # view — no chunk-wide copy
+            out.append(_ipc_read_bytes(pa.py_buffer(frag)))
+        return out
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
@@ -178,9 +281,7 @@ class MergeEncoderActor(EncoderActor):
             entry = mf.read_entry(self.checkpoint_dir, pid)
             return self._summary(pid, entry["rows"], entry.get("raw_bytes") or 0,
                                  entry["blob_bytes"], skipped=True)
-        tables = [
-            _ipc_read_bytes(f.as_py()) for f in group.column(FRAG_COL)
-        ]
+        tables = self._fragment_tables(group)
         merged = pa.concat_tables(tables).combine_chunks()
         fragments = [f"bucket={bucket}"]
         srcs = sorted(

@@ -205,3 +205,34 @@ def test_fragment_exchange_compresses_shuffled_bytes():
     frags = encode_fragments(batch)
     frag_bytes = sum(len(f.as_py()) for f in frags.column(FRAG_COL))
     assert frag_bytes < t.nbytes / 2, (frag_bytes, t.nbytes)
+
+
+def test_blobs_byte_identical_across_exchange_modes(
+    ray_session, transcripts_parquet, tmp_path
+):
+    """Pin the invariant (VERDICT r2 #6): single-phase, two-phase inline
+    fragments, and the ref-based exchange all produce byte-identical
+    partition blobs — exchange topology must never leak into the stored
+    format. (Holds when the sort keys are unique per row, as in
+    transcripts; pc.sort_indices is stable, so fragment arrival order
+    cancels out.)"""
+    import hashlib
+
+    from parquet_go_ray.pipelines.encode import encode_pipeline
+
+    input_dir, _ = transcripts_parquet
+
+    def blob_hashes(ckpt: str, **kw) -> dict[str, str]:
+        encode_pipeline(input_dir, ckpt, rows_per_partition=2000,
+                        concurrency=(1, 2), **kw)
+        out = {}
+        for name in os.listdir(os.path.join(ckpt, "blobs")):
+            if name.endswith(".blob"):
+                with open(os.path.join(ckpt, "blobs", name), "rb") as f:
+                    out[name] = hashlib.sha256(f.read()).hexdigest()
+        return out
+
+    single = blob_hashes(str(tmp_path / "c1"), two_phase=False)
+    inline = blob_hashes(str(tmp_path / "c2"), two_phase=True, fragment_refs=False)
+    refs = blob_hashes(str(tmp_path / "c3"), two_phase=True, fragment_refs=True)
+    assert single and single == inline == refs
