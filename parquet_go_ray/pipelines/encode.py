@@ -35,6 +35,61 @@ from ..state import manifest as mf
 DEFAULT_ROWS_PER_PARTITION = 250_000
 
 
+def _list_parquet_files(input_path: str | list[str]) -> list[str]:
+    """Expand dir / file / list-of-either into a sorted file list
+    (local filesystem; remote URIs take the unfused read path)."""
+    paths = [input_path] if isinstance(input_path, str) else list(input_path)
+    out: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            out += sorted(
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        else:
+            out.append(p)
+    return out
+
+
+def _read_footers(input_files: list[str]) -> list[list[int]]:
+    """Per-file row-group row counts. Footers are read driver-side in a
+    small thread pool — one ~8 KB tail read per file; at real scale this
+    planning would itself shard over files, but it is metadata-only."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    def rg_rows(p: str) -> list[int]:
+        md = pq.ParquetFile(p).metadata
+        return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+    with ThreadPoolExecutor(max(1, min(16, len(input_files)))) as ex:
+        return list(ex.map(rg_rows, input_files))
+
+
+def _plan_read_splits(
+    per_file: list[list[int]], total_rows: int, target_splits: int
+) -> list[dict]:
+    """Row-group-aligned read splits of ~equal row counts (the fused
+    analogue of the reference's row-group iterator walk,
+    file-reader.go:193-253)."""
+    per_split = max(1, total_rows // max(1, target_splits))
+    items: list[dict] = []
+    for src, rows in enumerate(per_file):
+        cur: list[int] = []
+        cur_rows = 0
+        for g, n in enumerate(rows):
+            cur.append(g)
+            cur_rows += n
+            if cur_rows >= per_split:
+                items.append({"_src": src, "_rgs": cur, "_rows": cur_rows})
+                cur, cur_rows = [], 0
+        if cur:
+            items.append({"_src": src, "_rgs": cur, "_rows": cur_rows})
+    return items
+
+
 def encode_pipeline(
     input_path: str | list[str] | ray.data.Dataset,
     checkpoint_dir: str,
@@ -50,6 +105,8 @@ def encode_pipeline(
     lineage_paths: bool = True,
     two_phase: bool = True,
     fragment_refs: bool = True,
+    fused_read: bool = True,
+    exchange: str | None = None,
     page_rows: int | None = None,
     read_blocks: int | None = None,
 ) -> dict:
@@ -63,16 +120,34 @@ def encode_pipeline(
     plasma write + one pull) instead of riding through the sort
     barrier's copy chain. Measured at 8M turns / 2 CPUs: the exchange
     operator's wall drops from ~26s to sub-second, and blobs stay
-    byte-identical across all three exchange modes (pinned test)."""
+    byte-identical across all exchange modes (pinned test).
+
+    ``fused_read`` (default; local-path inputs with ``two_phase``):
+    parquet decode + bucket assignment + fragment encode run in ONE
+    task per row-group-aligned split, so raw rows never materialize in
+    the object store — see ``stages/encoder.py:fused_read_fragments``
+    for the measured kernel-contention rationale."""
     t0 = time.time()
+    read_items = None
     if isinstance(input_path, ray.data.Dataset):
+        fused_read = False
         ds = input_path
         input_files = ds.input_files()
         total_rows = ds.count()
     else:
-        probe = ray.data.read_parquet(input_path, columns=columns)
-        input_files = probe.input_files()
-        total_rows = probe.count()  # parquet metadata only — no data read
+        if fused_read and two_phase:
+            files = _list_parquet_files(input_path)
+            fused_read = bool(files) and all(os.path.exists(p) for p in files)
+        else:
+            fused_read = False
+        if fused_read:
+            input_files = files
+            per_file = _read_footers(files)
+            total_rows = sum(sum(r) for r in per_file)
+        else:
+            probe = ray.data.read_parquet(input_path, columns=columns)
+            input_files = probe.input_files()
+            total_rows = probe.count()  # parquet metadata only — no data read
         if num_buckets is None:
             num_buckets = max(1, -(-total_rows // rows_per_partition))
         # Shuffle cost scales with block COUNT, not just bytes. Two-phase
@@ -93,13 +168,20 @@ def encode_pipeline(
         else:
             blocks = max(cpus, 2 * num_buckets)
         blocks = min(blocks, max(1, total_rows // 5000))
-        ds = ray.data.read_parquet(
-            input_path,
-            columns=columns,
-            override_num_blocks=blocks,
-            # per-partition lineage (compacted to int32 in the salt stage)
-            include_paths=lineage_paths,
-        )
+        if fused_read:
+            # Fused source: read splits become descriptor rows; the
+            # parquet decode happens inside the fragment task (see
+            # stages/encoder.py:fused_read_fragments) so raw rows never
+            # enter the object store.
+            read_items = _plan_read_splits(per_file, total_rows, blocks)
+        else:
+            ds = ray.data.read_parquet(
+                input_path,
+                columns=columns,
+                override_num_blocks=blocks,
+                # per-partition lineage (compacted to int32 in the salt stage)
+                include_paths=lineage_paths,
+            )
     if num_buckets is None:
         num_buckets = max(1, -(-total_rows // rows_per_partition))
 
@@ -126,30 +208,35 @@ def encode_pipeline(
 
     completed = mf.completed_partitions(checkpoint_dir)
 
-    path_index = {p: i for i, p in enumerate(input_files)} if lineage_paths else None
-    ds = ds.map_batches(
-        assign_buckets,
-        fn_kwargs={
-            "num_buckets": num_buckets,
-            "key": key,
-            "turn_col": turn_col,
-            "turns_per_salt": turns_per_salt,
-            "path_index": path_index,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    if completed:
-        done_ids = {int(p) for p in completed}
+    if read_items is None:
+        path_index = (
+            {p: i for i, p in enumerate(input_files)} if lineage_paths else None
+        )
+        ds = ds.map_batches(
+            assign_buckets,
+            fn_kwargs={
+                "num_buckets": num_buckets,
+                "key": key,
+                "turn_col": turn_col,
+                "turns_per_salt": turns_per_salt,
+                "path_index": path_index,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        if completed:
+            done_ids = {int(p) for p in completed}
 
-        def _drop_done(batch: pa.Table) -> pa.Table:
-            import numpy as np
+            def _drop_done(batch: pa.Table) -> pa.Table:
+                import numpy as np
 
-            b = batch.column(BUCKET_COL).to_numpy(zero_copy_only=False)
-            mask = ~np.isin(b, list(done_ids))
-            return batch.filter(pa.array(mask))
+                b = batch.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+                mask = ~np.isin(b, list(done_ids))
+                return batch.filter(pa.array(mask))
 
-        ds = ds.map_batches(_drop_done, batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                _drop_done, batch_format="pyarrow", zero_copy_batch=True
+            )
 
     actor_kwargs = {
         "checkpoint_dir": checkpoint_dir,
@@ -187,6 +274,7 @@ def encode_pipeline(
             MergeEncoderActor,
             encode_fragments,
             encode_fragments_refs,
+            fused_read_fragments,
         )
 
         if fragment_refs:
@@ -194,17 +282,78 @@ def encode_pipeline(
             # ray.put(_owner=holder) needs a LIVE owner: block until the
             # actor is scheduled ("worker_id is empty" race otherwise).
             ray.get(holder.add.remote([]))
+            actor_kwargs = {**actor_kwargs, "fragment_refs": True}
+        if exchange is None:
+            # Auto: the ref exchange ships only metadata through the
+            # all-to-all, so the direct (map-output-tracker) exchange
+            # replaces the sort shuffle's fixed coordination barrier
+            # with a driver-side dict + elastic merge tasks.
+            exchange = "direct" if fragment_refs else "sort"
+        if exchange == "direct" and not fragment_refs:
+            raise ValueError(
+                "exchange='direct' requires fragment_refs=True — inline "
+                "fragments would materialize the data on the driver"
+            )
+        if read_items is not None:
+            ds = ray.data.from_items(
+                read_items, override_num_blocks=len(read_items)
+            ).map_batches(
+                fused_read_fragments,
+                fn_kwargs={
+                    "paths": input_files,
+                    "columns": columns,
+                    "num_buckets": num_buckets,
+                    "key": key,
+                    "turn_col": turn_col,
+                    "turns_per_salt": turns_per_salt,
+                    "lineage": lineage_paths,
+                    "done_ids": sorted(int(p) for p in completed) or None,
+                    "holder": holder,
+                },
+                batch_size=1,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        elif holder is not None:
             ds = ds.map_batches(
                 encode_fragments_refs,
                 fn_kwargs={"holder": holder},
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            actor_kwargs = {**actor_kwargs, "fragment_refs": True}
         else:
             ds = ds.map_batches(
                 encode_fragments, batch_format="pyarrow", zero_copy_batch=True
             )
+        if exchange == "direct":
+            from ..stages.encoder import merge_encode_task
+
+            # Map-output tracker: collect the METADATA-ONLY ref tables
+            # (~250 B per (split, bucket) fragment), group by bucket on
+            # the driver, launch one merge task per partition. Fragment
+            # BYTES never touch the driver — merge tasks pull them
+            # peer-to-peer from plasma (see merge_encode_task).
+            meta_rows = ds.take_all()
+            phase1_stats = ds.stats()
+            by_bucket: dict[int, list[dict]] = {}
+            for r in meta_rows:
+                by_bucket.setdefault(int(r[BUCKET_COL]), []).append(r)
+            futs = [
+                merge_encode_task.remote(rows_b, actor_kwargs)
+                for _, rows_b in sorted(by_bucket.items())
+            ]
+            try:
+                rows = ray.get(futs)
+            finally:
+                if holder is not None:
+                    ray.kill(holder)
+                    holder = None
+            try:
+                with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:
+                    f.write(phase1_stats)
+            except Exception:
+                pass
+            return _finish(checkpoint_dir, rows, t0, num_buckets)
         summaries = ds.groupby(BUCKET_COL).map_groups(
             MergeEncoderActor,
             fn_constructor_kwargs=actor_kwargs,
@@ -233,7 +382,11 @@ def encode_pipeline(
             f.write(summaries.stats())
     except Exception:
         pass
+    return _finish(checkpoint_dir, rows, t0, num_buckets)
 
+
+def _finish(checkpoint_dir: str, rows: list[dict], t0: float,
+            num_buckets: int) -> dict:
     encoded_rows = sum(r["rows"] for r in rows if not r["skipped"])
     blob_bytes = sum(r["blob_bytes"] for r in rows)
     raw_bytes = sum(r["raw_bytes"] for r in rows)

@@ -1,0 +1,459 @@
+"""Engine-native reader for real Parquet column-chunk page streams.
+
+The engine's wire codecs (hybrid RLE/bit-pack, dictionary, delta,
+plain) are Parquet-compatible at the stream level; this module proves
+it end-to-end by reading ACTUAL Parquet files written by standard
+writers (pyarrow et al.) through those codecs — the capability the
+reference implements in ``file-reader.go:193-253`` (footer walk),
+``layout/chunk.go:129-217`` (page walk) and ``layout/page-v1.go:69-116``
+(level + value streams).
+
+Division of labour (SURVEY §2.3 delegates the *container*, not the
+*wire*): pyarrow's footer metadata supplies column-chunk offsets,
+physical types and level depths — the thrift-heavy container walk —
+while every byte of the page stream itself (thrift-compact page
+headers, v1/v2 level streams, dictionary pages, data page payloads) is
+parsed HERE with the engine's own decoders:
+
+- page headers: a ~100-line thrift compact-protocol struct reader
+  (the subset the 11k-LoC generated ``parquet/parquet.go`` covers for
+  ``PageHeader`` in the reference);
+- definition levels: ``hybrid_decode_sized`` (v1) / ``hybrid_decode``
+  (v2, unframed) — ref ``layout/page-v1.go:69-77``;
+- RLE_DICTIONARY / PLAIN_DICTIONARY indices: bit-width byte + hybrid
+  runs, bounds-checked against the dictionary — ref
+  ``types/dict.go:61-117``;
+- PLAIN values incl. BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY / BOOLEAN /
+  INT96 — ref ``types/*.go`` plain paths;
+- DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY —
+  ref ``encoding/delta-binary-packed-*.go``.
+
+Scope: flat columns (max_repetition_level == 0) of any physical type;
+v1 and v2 data pages; UNCOMPRESSED / SNAPPY / ZSTD / GZIP / BROTLI
+codecs. Nested columns raise ``NotImplementedError`` — record assembly
+over real Parquet rep levels stays delegated to pyarrow (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.block import decompress
+from ..functions.bytearray import (
+    delta_length_decode,
+    delta_prefix_decode,
+    parts_to_arrow_strings,
+    plain_decode_bytes,
+)
+from ..functions.delta import delta_decode
+from ..functions.hybrid import hybrid_decode, hybrid_decode_sized
+from ..functions.plain import (
+    int96_decode_timestamps,
+    plain_decode_bool,
+    plain_decode_numeric,
+)
+
+# --- thrift compact protocol (PageHeader subset) -----------------------
+
+_T_STOP = 0
+_T_TRUE = 1
+_T_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_DOUBLE = 7
+_T_BINARY = 8
+_T_LIST = 9
+_T_SET = 10
+_T_MAP = 11
+_T_STRUCT = 12
+
+
+class _Compact:
+    """Minimal thrift compact-protocol reader: returns structs as
+    ``{field_id: value}`` dicts (nested structs recurse). Covers every
+    type that can appear in ``PageHeader`` and its children."""
+
+    def __init__(self, buf, pos: int = 0):
+        self.b = buf
+        self.p = pos
+
+    def varint(self) -> int:
+        out = 0
+        shift = 0
+        while True:
+            if self.p >= len(self.b):
+                raise ValueError("truncated thrift varint")
+            byte = self.b[self.p]
+            self.p += 1
+            out |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                return out
+            shift += 7
+            if shift > 63:
+                raise ValueError("thrift varint overflow")
+
+    def zigzag(self) -> int:
+        v = self.varint()
+        return (v >> 1) ^ -(v & 1)
+
+    def read_struct(self) -> dict:
+        out: dict = {}
+        last_fid = 0
+        while True:
+            if self.p >= len(self.b):
+                raise ValueError("truncated thrift struct")
+            head = self.b[self.p]
+            self.p += 1
+            if head == _T_STOP:
+                return out
+            delta = head >> 4
+            typ = head & 0x0F
+            fid = last_fid + delta if delta else self.zigzag()
+            last_fid = fid
+            out[fid] = self.read_val(typ)
+
+    def read_val(self, typ: int):
+        if typ == _T_TRUE:
+            return True
+        if typ == _T_FALSE:
+            return False
+        if typ == _T_BYTE:
+            v = self.b[self.p]
+            self.p += 1
+            return v
+        if typ in (_T_I16, _T_I32, _T_I64):
+            return self.zigzag()
+        if typ == _T_DOUBLE:
+            v = np.frombuffer(bytes(self.b[self.p : self.p + 8]), "<f8")[0]
+            self.p += 8
+            return float(v)
+        if typ == _T_BINARY:
+            n = self.varint()
+            v = bytes(self.b[self.p : self.p + n])
+            if len(v) < n:
+                raise ValueError("truncated thrift binary")
+            self.p += n
+            return v
+        if typ in (_T_LIST, _T_SET):
+            head = self.b[self.p]
+            self.p += 1
+            size = head >> 4
+            etype = head & 0x0F
+            if size == 0xF:
+                size = self.varint()
+            return [self.read_val(etype) for _ in range(size)]
+        if typ == _T_MAP:
+            size = self.varint()
+            if size == 0:
+                return {}
+            kv = self.b[self.p]
+            self.p += 1
+            kt, vt = kv >> 4, kv & 0x0F
+            return {self.read_val(kt): self.read_val(vt) for _ in range(size)}
+        if typ == _T_STRUCT:
+            return self.read_struct()
+        raise ValueError(f"unsupported thrift compact type {typ}")
+
+
+# PageType / Encoding enums (parquet.thrift)
+DATA_PAGE = 0
+DICTIONARY_PAGE = 2
+DATA_PAGE_V2 = 3
+
+PLAIN = 0
+PLAIN_DICTIONARY = 2
+RLE = 3
+DELTA_BINARY_PACKED = 5
+DELTA_LENGTH_BYTE_ARRAY = 6
+DELTA_BYTE_ARRAY = 7
+RLE_DICTIONARY = 8
+
+
+def read_page_header(buf, pos: int) -> tuple[dict, int]:
+    """Parse one thrift-compact ``PageHeader``; returns a normalized
+    dict and the stream position of the page payload."""
+    r = _Compact(buf, pos)
+    s = r.read_struct()
+    hdr = {
+        "type": s.get(1),
+        "uncompressed_size": s.get(2),
+        "compressed_size": s.get(3),
+        "crc": s.get(4),
+    }
+    if 5 in s:  # DataPageHeader
+        d = s[5]
+        hdr.update(
+            num_values=d.get(1),
+            encoding=d.get(2),
+            def_encoding=d.get(3),
+            rep_encoding=d.get(4),
+        )
+    if 7 in s:  # DictionaryPageHeader
+        d = s[7]
+        hdr.update(num_values=d.get(1), encoding=d.get(2))
+    if 8 in s:  # DataPageHeaderV2
+        d = s[8]
+        hdr.update(
+            num_values=d.get(1),
+            num_nulls=d.get(2),
+            num_rows=d.get(3),
+            encoding=d.get(4),
+            def_levels_len=d.get(5, 0),
+            rep_levels_len=d.get(6, 0),
+            values_compressed=d.get(7, True),
+        )
+    return hdr, r.p
+
+
+# --- value decoding per physical type ----------------------------------
+
+_NUMERIC_DTYPES = {
+    "INT32": np.dtype("<i4"),
+    "INT64": np.dtype("<i8"),
+    "FLOAT": np.dtype("<f4"),
+    "DOUBLE": np.dtype("<f8"),
+}
+
+
+def _decode_plain(data, phys: int | str, count: int, type_length: int):
+    phys = str(phys)
+    if phys in _NUMERIC_DTYPES:
+        return pa.array(plain_decode_numeric(data, _NUMERIC_DTYPES[phys], count))
+    if phys == "BOOLEAN":
+        return pa.array(plain_decode_bool(data, count))
+    if phys == "BYTE_ARRAY":
+        lens, blob = plain_decode_bytes(data, count)
+        return parts_to_arrow_strings(lens, blob, binary=True)
+    if phys == "FIXED_LEN_BYTE_ARRAY":
+        raw = bytes(data[: count * type_length])
+        if len(raw) < count * type_length:
+            raise ValueError("truncated FIXED_LEN_BYTE_ARRAY page")
+        vals = [raw[i * type_length : (i + 1) * type_length] for i in range(count)]
+        return pa.array(vals, pa.binary(type_length))
+    if phys == "INT96":
+        return pa.array(int96_decode_timestamps(data, count))
+    raise NotImplementedError(f"physical type {phys}")
+
+
+def _bit_width(max_level: int) -> int:
+    return int(max_level).bit_length()
+
+
+class _ChunkReader:
+    """Decodes one column chunk's page stream into a pyarrow array."""
+
+    def __init__(self, phys: str, type_length: int, max_def: int, codec: str):
+        self.phys = str(phys)
+        self.type_length = type_length or 0
+        self.max_def = max_def
+        self.codec = codec
+        self.dictionary: pa.Array | None = None
+        self.values: list[pa.Array] = []
+        self.validity: list[np.ndarray] = []
+
+    def _decompress(self, payload, uncompressed: int) -> bytes:
+        if self.codec == "none":
+            return bytes(payload)
+        return decompress(bytes(payload), self.codec, uncompressed)
+
+    def _decode_values(self, enc: int, data, nn: int) -> pa.Array:
+        if enc in (PLAIN_DICTIONARY, RLE_DICTIONARY):
+            if self.dictionary is None:
+                raise ValueError("dictionary-encoded page before dictionary page")
+            width = data[0]
+            idx, _ = hybrid_decode(data, width, nn, 1)
+            if nn and int(idx.max()) >= len(self.dictionary):
+                raise ValueError("dictionary index out of range")
+            return self.dictionary.take(pa.array(idx.astype(np.int64)))
+        if enc == PLAIN:
+            return _decode_plain(data, self.phys, nn, self.type_length)
+        if enc == DELTA_BINARY_PACKED:
+            dt = np.int32 if self.phys == "INT32" else np.int64
+            vals, _ = delta_decode(data, 0, dtype=dt, expect=nn)
+            return pa.array(vals)
+        if enc == DELTA_LENGTH_BYTE_ARRAY:
+            lens, blob, _ = delta_length_decode(data, nn)
+            return parts_to_arrow_strings(lens, blob, binary=True)
+        if enc == DELTA_BYTE_ARRAY:
+            lens, blob, _ = delta_prefix_decode(data, nn)
+            return parts_to_arrow_strings(lens, blob, binary=True)
+        if enc == RLE and self.phys == "BOOLEAN":
+            # Boolean RLE data pages carry a 4-byte-size-framed hybrid
+            # stream of 1-bit values (same framing as v1 levels).
+            bits, _ = hybrid_decode_sized(data, 1, nn)
+            return pa.array(bits.astype(bool))
+        raise NotImplementedError(f"encoding {enc} for {self.phys}")
+
+    def add_page(self, hdr: dict, payload) -> None:
+        typ = hdr["type"]
+        if typ == DICTIONARY_PAGE:
+            data = self._decompress(payload, hdr["uncompressed_size"])
+            self.dictionary = _decode_plain(
+                data, self.phys, hdr["num_values"], self.type_length
+            )
+            return
+        if typ == DATA_PAGE:
+            data = self._decompress(payload, hdr["uncompressed_size"])
+            n = hdr["num_values"]
+            pos = 0
+            if self.max_def > 0:
+                # v1 order: repetition levels first (absent: flat), then
+                # definition levels, both 4-byte-size-framed hybrid.
+                defs, pos = hybrid_decode_sized(
+                    data, _bit_width(self.max_def), n, pos
+                )
+                valid = defs == self.max_def
+            else:
+                valid = np.ones(n, dtype=bool)
+            nn = int(valid.sum())
+            self.values.append(self._decode_values(hdr["encoding"], data[pos:], nn))
+            self.validity.append(valid)
+            return
+        if typ == DATA_PAGE_V2:
+            n = hdr["num_values"]
+            dl = hdr.get("def_levels_len") or 0
+            rl = hdr.get("rep_levels_len") or 0
+            if rl:
+                raise NotImplementedError("nested columns (rep levels)")
+            # v2: level streams sit OUTSIDE the compressed region,
+            # unframed (lengths live in the header).
+            levels = payload[rl : rl + dl]
+            if self.max_def > 0 and dl:
+                defs, _ = hybrid_decode(levels, _bit_width(self.max_def), n)
+                valid = defs == self.max_def
+            else:
+                valid = np.ones(n, dtype=bool)
+            body = payload[rl + dl :]
+            if hdr.get("values_compressed", True):
+                body = self._decompress(
+                    body, hdr["uncompressed_size"] - dl - rl
+                )
+            else:
+                body = bytes(body)
+            nn = int(valid.sum())
+            self.values.append(self._decode_values(hdr["encoding"], body, nn))
+            self.validity.append(valid)
+            return
+        # INDEX_PAGE etc.: skip.
+
+    def finish(self) -> pa.Array:
+        if not self.values:
+            return pa.array([], pa.null())
+        values = pa.concat_arrays(
+            [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+             for v in self.values]
+        )
+        valid = np.concatenate(self.validity)
+        if bool(valid.all()):
+            return values
+        # Scatter non-null values back to row positions, then mask.
+        idx = np.where(valid, np.cumsum(valid) - 1, 0)
+        taken = values.take(pa.array(idx, pa.int64()))
+        return pc.if_else(
+            pa.array(valid), taken, pa.nulls(len(valid), values.type)
+        )
+
+
+_CODEC_MAP = {
+    "UNCOMPRESSED": "none",
+    "SNAPPY": "snappy",
+    "ZSTD": "zstd",
+    "GZIP": "gzip",
+    "BROTLI": "brotli",
+}
+
+
+def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
+    """Read one column chunk of a real Parquet file through the engine's
+    page/wire decoders. Returns the physical-typed array (logical-type
+    casts are the caller's concern)."""
+    pf = pq.ParquetFile(path)
+    md = pf.metadata.row_group(row_group).column(column)
+    sch = pf.schema.column(column)
+    if sch.max_repetition_level > 0:
+        raise NotImplementedError("nested columns (rep levels)")
+    codec = _CODEC_MAP.get(md.compression)
+    if codec is None:
+        raise NotImplementedError(f"codec {md.compression}")
+    start = md.data_page_offset
+    if md.dictionary_page_offset is not None:
+        start = min(start, md.dictionary_page_offset)
+    with open(path, "rb") as f:
+        f.seek(start)
+        buf = f.read(md.total_compressed_size)
+    rdr = _ChunkReader(
+        md.physical_type,
+        getattr(sch, "length", 0),
+        sch.max_definition_level,
+        codec,
+    )
+    pos = 0
+    rows = 0
+    while rows < md.num_values and pos < len(buf):
+        hdr, pos = read_page_header(buf, pos)
+        payload = buf[pos : pos + hdr["compressed_size"]]
+        if len(payload) < hdr["compressed_size"]:
+            raise ValueError("truncated page payload")
+        pos += hdr["compressed_size"]
+        rdr.add_page(hdr, payload)
+        if hdr["type"] in (DATA_PAGE, DATA_PAGE_V2):
+            rows += hdr["num_values"]
+    return rdr.finish()
+
+
+def read_row_group_native(path: str, row_group: int,
+                          columns: list[str] | None = None) -> pa.Table:
+    """Read one row group natively; columns cast to the file's Arrow
+    schema (timestamps, dictionary-free strings, …) so output matches
+    ``pq.read_table`` for flat schemas."""
+    pf = pq.ParquetFile(path)
+    arrow_schema = pf.schema_arrow
+    names = [
+        pf.metadata.row_group(row_group).column(i).path_in_schema
+        for i in range(pf.metadata.num_columns)
+    ]
+    want = [i for i, n in enumerate(names) if columns is None or n in columns]
+    out = {}
+    for i in want:
+        arr = read_column_chunk(path, row_group, i)
+        field = arrow_schema.field(names[i])
+        try:
+            arr = arr.cast(field.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass  # keep physical representation
+        out[names[i]] = arr
+    return pa.table(out)
+
+
+def read_parquet_native(paths, columns: list[str] | None = None,
+                        concurrency: int | None = None):
+    """Distributed engine-native Parquet read: one Ray Data task per
+    (file, row_group) — the Dataset-idiomatic shape of the reference's
+    row-group iterator (``file-reader.go:193-253``). Each task touches
+    only its row group's byte range and requested columns."""
+    import ray
+
+    if isinstance(paths, str):
+        paths = [paths]
+    items = []
+    for p in paths:
+        n = pq.ParquetFile(p).metadata.num_row_groups
+        items.extend({"path": p, "row_group": g} for g in range(n))
+
+    def _read(batch: pa.Table):
+        for p, g in zip(
+            batch.column("path").to_pylist(),
+            batch.column("row_group").to_pylist(),
+        ):
+            yield read_row_group_native(p, g, columns)
+
+    ds = ray.data.from_items(items)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(
+        _read, batch_size=1, batch_format="pyarrow", zero_copy_batch=True, **kw
+    )

@@ -237,6 +237,74 @@ def encode_fragments_refs(batch: pa.Table, holder) -> pa.Table:
     return out.append_column(FRAG_IDX_COL, pa.array(idxs, pa.int32()))
 
 
+def fused_read_fragments(
+    batch: pa.Table,
+    *,
+    paths: list[str],
+    columns: list[str] | None,
+    num_buckets: int,
+    key: str,
+    turn_col: str,
+    turns_per_salt: int,
+    lineage: bool = True,
+    done_ids: list[int] | None = None,
+    holder=None,
+):
+    """Fused phase-1 source (round 3): parquet row-groups → bucket
+    assignment → compressed fragments inside ONE task, so RAW ROWS NEVER
+    ENTER THE OBJECT STORE — only ~3x-compressed fragment chunks do.
+
+    Why: materializing the raw Arrow blocks into plasma costs kernel
+    time that scales superlinearly with writer concurrency on a single
+    node (measured on the 20M-turn bench input: the unfused read's
+    /proc stime is 28 CPU-s at 8-way but 307 CPU-s at 32-way — shm
+    page-fault/TLB contention — while utime stays ~28 CPU-s). Fusing
+    read→salt→fragment keeps the raw table in the task heap, cutting
+    object-store traffic to the compressed fragments and removing the
+    driver's metadata-probe job. Single-thread parquet decode per task
+    (``use_threads=False``): Ray supplies the parallelism, and per-task
+    arrow thread pools would oversubscribe the node.
+
+    Batch rows are read-split descriptors: ``_src`` (input-file index)
+    + ``_rgs`` (row-group list). Yields one fragment table per split.
+    """
+    import pyarrow.parquet as pq
+
+    from .salt import BUCKET_COL, SRC_COL, assign_buckets
+
+    done_arr = (
+        np.asarray(sorted(done_ids), dtype=np.int64)
+        if done_ids
+        else None
+    )
+    for src, rgs in zip(
+        batch.column("_src").to_pylist(), batch.column("_rgs").to_pylist()
+    ):
+        pf = pq.ParquetFile(paths[src])
+        t = pf.read_row_groups(list(rgs), columns=columns, use_threads=False)
+        if lineage:
+            t = t.append_column(
+                SRC_COL, pa.array(np.full(t.num_rows, src, dtype=np.int32))
+            )
+        t = assign_buckets(
+            t,
+            num_buckets,
+            key=key,
+            turn_col=turn_col,
+            turns_per_salt=turns_per_salt,
+        )
+        if done_arr is not None:
+            b = t.column(BUCKET_COL).to_numpy(zero_copy_only=False)
+            t = t.filter(pa.array(~np.isin(b, done_arr)))
+            if t.num_rows == 0:
+                continue
+        yield (
+            encode_fragments_refs(t, holder)
+            if holder is not None
+            else encode_fragments(t)
+        )
+
+
 class MergeEncoderActor(EncoderActor):
     """Phase 2: one shuffle group = all IPC fragments of one partition.
     Decode fragments, merge, sort-within-partition (the per-conversation
@@ -308,6 +376,27 @@ class MergeEncoderActor(EncoderActor):
             raw_bytes=raw_bytes,
         )
         return self._summary(pid, merged.num_rows, raw_bytes, len(blob), False)
+
+
+@_ray.remote(num_cpus=1)
+def merge_encode_task(rows: list[dict], actor_kwargs: dict) -> dict:
+    """Direct-exchange merge: one plain Ray task per partition.
+
+    With the ref-based exchange the all-to-all's payload is ~250 bytes
+    of metadata per (split, bucket) fragment, so the exchange reduces to
+    the classic map-output-tracker pattern: the driver collects the tiny
+    ref tables, groups them by bucket in a dict, and launches one merge
+    task per partition — no sort shuffle (a fixed multi-second
+    coordination barrier at any data size), no actor-pool sizing (tasks
+    pack the cluster elastically as soon as fragments are ready).
+
+    At 100-TB scale the tracker is O(splits × buckets) rows of
+    metadata; beyond ~10^7 entries it would shard by bucket range over a
+    tree of tracker tasks — documented trade-off, same shape as Spark's
+    MapOutputTracker."""
+    group = pa.Table.from_pylist(rows)
+    summary = MergeEncoderActor(**actor_kwargs)(group)
+    return summary.to_pylist()[0]
 
 
 class DecoderActor:

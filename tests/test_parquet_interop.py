@@ -1,0 +1,288 @@
+"""Wire-compatibility against REAL Parquet files (VERDICT r2 item 4).
+
+Every test writes a file with ``pyarrow.parquet`` (encodings forced)
+and reads it back through the ENGINE's page walker + wire decoders
+(``sources/parquet_pages.py``) — hybrid levels, RLE_DICTIONARY
+indices, PLAIN / DELTA_* values — asserting byte-level agreement with
+``pq.read_table``. This is the interop proof the golden vectors only
+sample: the reference reads these same streams at
+``layout/page-v1.go:69-116`` / ``types/dict.go:61-117``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.sources.parquet_pages import (
+    read_page_header,
+    read_parquet_native,
+    read_row_group_native,
+)
+
+
+def roundtrip(tmp_path, table: pa.Table, name="t.parquet", **write_kw):
+    path = str(tmp_path / name)
+    pq.write_table(table, path, **write_kw)
+    expect = pq.read_table(path)
+    pf = pq.ParquetFile(path)
+    got = pa.concat_tables(
+        read_row_group_native(path, g)
+        for g in range(pf.metadata.num_row_groups)
+    )
+    return got, expect
+
+
+def assert_tables_equal(got: pa.Table, expect: pa.Table):
+    assert got.num_rows == expect.num_rows
+    for name in expect.column_names:
+        g = got.column(name).combine_chunks()
+        e = expect.column(name).combine_chunks()
+        if pa.types.is_dictionary(e.type):
+            e = e.cast(e.type.value_type)
+        if g.type != e.type:
+            g = g.cast(e.type)
+        assert g.equals(e), name
+
+
+@pytest.fixture()
+def mixed_table(rng):
+    n = 5_000
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    text = [
+        " ".join(rng.choice(words, size=rng.integers(1, 8)))
+        for _ in range(n)
+    ]
+    return pa.table(
+        {
+            "i32": pa.array(rng.integers(-(2**28), 2**28, n), pa.int32()),
+            "i64": pa.array(rng.integers(-(2**40), 2**40, n), pa.int64()),
+            "f64": pa.array(rng.normal(size=n)),
+            "f32": pa.array(rng.normal(size=n).astype(np.float32)),
+            "b": pa.array(rng.random(n) < 0.5),
+            "s": pa.array(text),
+        }
+    )
+
+
+def test_dictionary_pages_v1(tmp_path, mixed_table):
+    """RLE_DICTIONARY indices + PLAIN dict pages, v1 data pages, two
+    row groups, multiple pages per chunk."""
+    got, expect = roundtrip(
+        tmp_path,
+        mixed_table,
+        use_dictionary=True,
+        compression="NONE",
+        data_page_version="1.0",
+        row_group_size=3_000,
+        data_page_size=4_096,
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_plain_pages_v1(tmp_path, mixed_table):
+    got, expect = roundtrip(
+        tmp_path,
+        mixed_table,
+        use_dictionary=False,
+        compression="NONE",
+        data_page_version="1.0",
+    )
+    assert_tables_equal(got, expect)
+
+
+@pytest.mark.parametrize("codec", ["SNAPPY", "ZSTD", "GZIP"])
+def test_compressed_pages(tmp_path, mixed_table, codec):
+    got, expect = roundtrip(
+        tmp_path, mixed_table, use_dictionary=True, compression=codec
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_nulls_v1(tmp_path, rng):
+    """Definition levels (4-byte-framed hybrid) scatter values back to
+    row positions."""
+    n = 4_000
+    mask = rng.random(n) < 0.3
+    t = pa.table(
+        {
+            "x": pa.array(
+                np.where(mask, None, rng.integers(0, 1000, n)).tolist(),
+                pa.int64(),
+            ),
+            "s": pa.array(
+                [None if m else f"v{i % 97}" for i, m in enumerate(mask)]
+            ),
+        }
+    )
+    got, expect = roundtrip(
+        tmp_path, t, use_dictionary=True, compression="NONE",
+        data_page_version="1.0",
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_data_page_v2(tmp_path, mixed_table, rng):
+    """v2 pages: unframed level streams outside the compressed region."""
+    n = mixed_table.num_rows
+    mask = rng.random(n) < 0.25
+    t = mixed_table.set_column(
+        0,
+        "i32",
+        pa.array(
+            np.where(mask, None, np.arange(n)).tolist(), pa.int32()
+        ),
+    )
+    got, expect = roundtrip(
+        tmp_path,
+        t,
+        use_dictionary=True,
+        compression="ZSTD",
+        data_page_version="2.0",
+        data_page_size=8_192,
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_delta_binary_packed(tmp_path, rng):
+    """DELTA_BINARY_PACKED column written by pyarrow, decoded by the
+    engine's delta_decode (ref encoding/delta-binary-packed-*.go)."""
+    n = 10_000
+    t = pa.table(
+        {
+            "ts": pa.array(
+                np.cumsum(rng.integers(0, 1000, n)).astype(np.int64)
+            ),
+            "small": pa.array(rng.integers(-50, 50, n), pa.int32()),
+        }
+    )
+    got, expect = roundtrip(
+        tmp_path,
+        t,
+        use_dictionary=False,
+        compression="NONE",
+        column_encoding={"ts": "DELTA_BINARY_PACKED",
+                         "small": "DELTA_BINARY_PACKED"},
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_delta_byte_array(tmp_path):
+    """DELTA_BYTE_ARRAY (front coding) + DELTA_LENGTH_BYTE_ARRAY."""
+    n = 3_000
+    t = pa.table(
+        {
+            "path": pa.array([f"/data/shard={i % 17:04d}/file-{i:06d}" for i in range(n)]),
+            "raw": pa.array([f"payload-{i * 7919 % 1000}" for i in range(n)]),
+        }
+    )
+    got, expect = roundtrip(
+        tmp_path,
+        t,
+        use_dictionary=False,
+        compression="NONE",
+        column_encoding={"path": "DELTA_BYTE_ARRAY",
+                         "raw": "DELTA_LENGTH_BYTE_ARRAY"},
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_dict_fallback_to_plain(tmp_path, rng):
+    """High-cardinality strings overflow the dict-page budget: later
+    pages switch to PLAIN mid-chunk; the reader follows per-page
+    encodings."""
+    n = 20_000
+    t = pa.table(
+        {"u": pa.array([f"user-{rng.integers(0, 10**9):012d}-{i}" for i in range(n)])}
+    )
+    got, expect = roundtrip(
+        tmp_path,
+        t,
+        use_dictionary=True,
+        compression="NONE",
+        dictionary_pagesize_limit=16_384,
+        data_page_size=16_384,
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_int96_timestamps(tmp_path):
+    """INT96 decode-only path (SURVEY §1.2) against a real writer."""
+    ts = pa.array(
+        np.arange(0, 10**6, 1000, dtype="datetime64[us]").astype("datetime64[ns]")
+    )
+    t = pa.table({"ts": ts})
+    got, expect = roundtrip(
+        tmp_path, t, use_deprecated_int96_timestamps=True, compression="NONE"
+    )
+    assert_tables_equal(got, expect)
+
+
+def test_fixed_len_byte_array(tmp_path, rng):
+    vals = [bytes(rng.integers(0, 256, 16, dtype=np.uint8)) for _ in range(500)]
+    t = pa.table({"h": pa.array(vals, pa.binary(16))})
+    got, expect = roundtrip(tmp_path, t, use_dictionary=False, compression="NONE")
+    assert_tables_equal(got, expect)
+
+
+def test_page_header_parser_roundtrip(tmp_path, mixed_table):
+    """The thrift-compact header parser agrees with pyarrow's metadata
+    about the first data page of each chunk."""
+    path = str(tmp_path / "h.parquet")
+    pq.write_table(mixed_table, path, compression="NONE", use_dictionary=False)
+    pf = pq.ParquetFile(path)
+    for i in range(pf.metadata.num_columns):
+        md = pf.metadata.row_group(0).column(i)
+        with open(path, "rb") as f:
+            f.seek(md.data_page_offset)
+            buf = f.read(min(md.total_compressed_size, 1 << 20))
+        hdr, pos = read_page_header(buf, 0)
+        assert hdr["type"] == 0  # DATA_PAGE
+        assert hdr["compressed_size"] > 0
+        assert hdr["num_values"] > 0
+        assert pos > 0
+
+
+def test_nested_raises(tmp_path):
+    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    path = str(tmp_path / "n.parquet")
+    pq.write_table(t, path)
+    with pytest.raises(NotImplementedError):
+        read_row_group_native(path, 0)
+
+
+def test_native_read_distributed(ray_session, tmp_path, mixed_table):
+    """read_parquet_native: one Ray task per row group, same rows as
+    pq.read_table."""
+    path = str(tmp_path / "d.parquet")
+    pq.write_table(mixed_table, path, row_group_size=1_000)
+    ds = read_parquet_native(path)
+    got = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    got = got.sort_by("i64")
+    expect = pq.read_table(path).sort_by("i64")
+    assert_tables_equal(got, expect)
+
+
+def test_native_read_testdata_events(ray_session):
+    """Real driver-generated table (sf0.001 events) through the native
+    page reader, hash-compared to pyarrow's own read."""
+    import os
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    if not os.path.exists(path):
+        pytest.skip("testdata missing")
+    ds = read_parquet_native(path)
+    got = pa.concat_tables(
+        b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    expect = pq.read_table(path)
+    got = got.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                       ("event_type", "ascending"), ("value", "ascending")])
+    expect = expect.sort_by([("user_id", "ascending"), ("ts", "ascending"),
+                             ("event_type", "ascending"), ("value", "ascending")])
+    assert_tables_equal(got, expect)

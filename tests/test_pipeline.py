@@ -233,6 +233,12 @@ def test_blobs_byte_identical_across_exchange_modes(
         return out
 
     single = blob_hashes(str(tmp_path / "c1"), two_phase=False)
-    inline = blob_hashes(str(tmp_path / "c2"), two_phase=True, fragment_refs=False)
-    refs = blob_hashes(str(tmp_path / "c3"), two_phase=True, fragment_refs=True)
-    assert single and single == inline == refs
+    inline = blob_hashes(str(tmp_path / "c2"), two_phase=True,
+                         fragment_refs=False, fused_read=False)
+    refs = blob_hashes(str(tmp_path / "c3"), two_phase=True,
+                       fragment_refs=True, fused_read=False)
+    fused = blob_hashes(str(tmp_path / "c4"), two_phase=True,
+                        fragment_refs=True, fused_read=True)
+    fused_inline = blob_hashes(str(tmp_path / "c5"), two_phase=True,
+                               fragment_refs=False, fused_read=True)
+    assert single and single == inline == refs == fused == fused_inline
