@@ -283,6 +283,37 @@ def _q_ann(sf_dir: str):
     )
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate ANN vs the exact scan: per-query
+    recall@10 (VERDICT r2 #9). Deterministic: centroids come from a
+    seeded mini-kmeans over the head sample, data is the fixed table."""
+    from parquet_go_ray.ops.ann import _emb_matrix, ann_ivf, ann_topk
+
+    k = 10
+    ds = _read(sf_dir, "embeddings")
+    head = ds.take_batch(10, batch_format="pyarrow")
+    queries = _emb_matrix(head, "embedding")
+    qids = head.column("vec_id").to_numpy(zero_copy_only=False)
+    exact = ann_topk(_read(sf_dir, "embeddings"), queries, k=k)
+    approx = ann_ivf(
+        _read(sf_dir, "embeddings"), queries, k=k, n_clusters=16, n_probe=6
+    )
+    ex: dict[int, set] = {}
+    for r in exact.to_pylist():
+        ex.setdefault(r["query_id"], set()).add(r["vec_id"])
+    ap: dict[int, set] = {}
+    for r in approx.to_pylist():
+        ap.setdefault(r["query_id"], set()).add(r["vec_id"])
+    rows = [
+        {
+            "query_id": int(qids[q]),
+            "recall_at_10": len(ex[q] & ap.get(q, set())) / max(1, len(ex[q])),
+        }
+        for q in sorted(ex)
+    ]
+    return pa.Table.from_pylist(rows)
+
+
 def _q_dedup_minhash(sf_dir: str):
     from parquet_go_ray.ops.dedup import dedup_minhash
 
@@ -572,6 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filter_click": _q_events_filter,
         "decode_filter_events": _q_decode_filter_events,
         "ann_cosine_embeddings": _q_ann,
+        "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
         "top_documents_by_chars": _q_top_documents,
         "distinct_users_events": _q_distinct_users,

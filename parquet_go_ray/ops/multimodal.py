@@ -16,9 +16,12 @@ REAL decode paths (pure numpy, no external media libraries needed):
   deterministic stand-in clip container); frame sampling parses and
   returns REAL frames.
 
-Library-dependent formats (png/jpeg/mp4) remain an explicit stub
-boundary: ``strict=True`` raises NotImplementedError, otherwise the
-stages mark the row undecodable — honest, not fake-successful.
+Library-dependent formats: png/jpeg decode/resize/features use Pillow
+WHEN IMPORTABLE (optional-dependency probe, once per actor — see
+``pil_image_module``); without it, and always for mp4, the explicit
+stub boundary applies: ``strict=True`` raises NotImplementedError,
+otherwise the stages mark the row undecodable — honest, not
+fake-successful.
 
 At 100 TB: media batches are large; callers should pass a small
 ``batch_size`` (bytes dominate rows) and size ``concurrency`` so
@@ -49,6 +52,27 @@ MEDIA_SCHEMA = pa.schema(
 PPM_TYPE = "image/x-portable-pixmap"
 WAV_TYPE = "audio/wav"
 CLIP_TYPE = "video/x-ppm-seq"
+
+_PIL_IMAGE = None
+_PIL_TRIED = False
+
+
+def pil_image_module():
+    """Optional-dependency probe: Pillow's ``Image`` module when
+    importable, else ``None`` (probed once per process). When present,
+    the media stages decode/resize png+jpeg for real; when absent, the
+    explicit stub boundary stays authoritative — a deployment gets real
+    decode simply by installing Pillow, with no hard dependency here."""
+    global _PIL_IMAGE, _PIL_TRIED
+    if not _PIL_TRIED:
+        _PIL_TRIED = True
+        try:
+            from PIL import Image  # type: ignore
+
+            _PIL_IMAGE = Image
+        except ImportError:
+            _PIL_IMAGE = None
+    return _PIL_IMAGE
 
 
 # ---------------------------------------------------------------------------
@@ -273,8 +297,23 @@ class MediaStage:
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # Real deployments load extra decoders/models here, once per actor.
+        # Optional decoders probe ONCE per actor (the actor-pool __init__
+        # pattern); per-batch work never re-imports.
+        self._pil = pil_image_module()
         self._setup_done = True
+
+    def _pil_decode(self, b: bytes) -> np.ndarray | None:
+        """png/jpeg bytes → (h, w, 3) uint8 via Pillow, or None if the
+        payload is not decodable (Pillow raises a zoo of exception types
+        on corrupt input; all map to the row-level undecodable mark)."""
+        if self._pil is None:
+            return None
+        import io
+
+        try:
+            return np.asarray(self._pil.open(io.BytesIO(b)).convert("RGB"))
+        except Exception:
+            return None
 
     def _stub(self, what: str, media_type: str):
         if self.strict:
@@ -324,6 +363,11 @@ class MediaDecode(MediaStage):
                     heights.append(frames[0].shape[0] if frames else 0)
                     widths.append(frames[0].shape[1] if frames else 0)
                     ok.append(bool(frames))
+                elif mt in ("image/png", "image/jpeg") and self._pil is not None:
+                    img = self._pil_decode(b)
+                    heights.append(img.shape[0] if img is not None else 0)
+                    widths.append(img.shape[1] if img is not None else 0)
+                    ok.append(img is not None)
                 else:
                     self._stub("decode", mt)
                     widths.append(0)
@@ -394,6 +438,13 @@ class MediaFeatures(MediaStage):
                         if frames
                         else self._byte_features(b)
                     )
+                elif mt in ("image/png", "image/jpeg") and self._pil is not None:
+                    img = self._pil_decode(b)
+                    v = (
+                        self._image_features(img)
+                        if img is not None
+                        else self._byte_features(b)
+                    )
                 else:
                     self._stub("feature-extract", mt)
                     v = self._byte_features(b)
@@ -437,6 +488,20 @@ class MediaResize(MediaStage):
                 except ValueError:
                     pass
             elif mt in ("image/png", "image/jpeg"):
+                img = self._pil_decode(b)
+                if img is not None:
+                    # Re-encode via Pillow in the ORIGINAL format so the
+                    # payload stays self-describing under its media_type.
+                    import io
+
+                    fmt = "PNG" if mt == "image/png" else "JPEG"
+                    pimg = self._pil.fromarray(resize_nearest(img, tw, th))
+                    sink = io.BytesIO()
+                    pimg.save(sink, format=fmt)
+                    payloads.append(sink.getvalue())
+                    widths.append(tw)
+                    heights.append(th)
+                    continue
                 self._stub("resize", mt)
             payloads.append(b)
             widths.append(w0.as_py())

@@ -346,7 +346,7 @@ def encode_pipeline(
                 rows = ray.get(futs)
             finally:
                 if holder is not None:
-                    ray.kill(holder)
+                    _release_holder(holder)
                     holder = None
             try:
                 with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:
@@ -376,13 +376,27 @@ def encode_pipeline(
         if holder is not None:
             # Release every pinned fragment object at once. The blobs are
             # on disk by now; nothing downstream reads the fragments.
-            ray.kill(holder)
+            _release_holder(holder)
     try:  # per-stage wall/UDF times for throughput tuning (observability)
         with open(os.path.join(checkpoint_dir, "stats.txt"), "w") as f:
             f.write(summaries.stats())
     except Exception:
         pass
     return _finish(checkpoint_dir, rows, t0, num_buckets)
+
+
+def _release_holder(holder) -> None:
+    """Release the fragment objects pinned by the holder actor.
+
+    Graceful (``clear()`` + handle drop → normal actor exit), NOT
+    ``ray.kill``: abruptly killing an actor that owns objects while
+    late fire-and-forget ``add`` replies are still in flight has been
+    observed to corrupt driver task-manager state in this Ray build
+    (fatal ``CompletePendingTask`` check during later datasets)."""
+    try:
+        ray.get(holder.clear.remote(), timeout=30)
+    except Exception:
+        ray.kill(holder)  # last resort: reclaim the pinned memory
 
 
 def _finish(checkpoint_dir: str, rows: list[dict], t0: float,

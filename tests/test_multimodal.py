@@ -216,3 +216,92 @@ def test_bpe_tokenizer_actor(ray_session):
     direct = BpeishTokenCounter()(t).column("n_bpe_tokens").to_pylist()
     assert counts == direct
     assert counts[0] > 5 and counts[1] == 0
+
+
+def test_pil_probe_absent_keeps_stub_boundary():
+    """Without Pillow (this container), png/jpeg stay at the explicit
+    stub boundary: probe returns None, rows marked undecodable."""
+    import parquet_go_ray.ops.multimodal as mm
+
+    if mm.pil_image_module() is not None:
+        pytest.skip("Pillow present in this environment")
+    t = synthetic_media_table(30, seed=7)
+    d = MediaDecode()(t)
+    mask = np.array(
+        [m in ("image/png", "image/jpeg") for m in t.column("media_type").to_pylist()]
+    )
+    ok = np.array(d.column("decode_ok").to_pylist())
+    assert not ok[mask].any()
+
+
+def test_pil_probe_plumbing_with_fake_module(monkeypatch):
+    """Drive the Pillow code path end-to-end with a minimal fake Image
+    module whose wire format is PPM — verifies decode/resize/feature
+    plumbing (open/convert/fromarray/save calls, dimension flow) without
+    the real dependency. With real Pillow installed the same code path
+    runs against real png/jpeg (covered by the absent-path test's skip
+    symmetry)."""
+    import io
+
+    import parquet_go_ray.ops.multimodal as mm
+
+    class FakePilImage:
+        def __init__(self, arr):
+            self.arr = arr
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self.arr
+
+        def save(self, sink, format=None):
+            assert format in ("PNG", "JPEG")
+            sink.write(mm.ppm_encode(self.arr))
+
+    class FakeImageModule:
+        @staticmethod
+        def open(fp):
+            return FakePilImage(mm.ppm_decode(fp.read()))
+
+        @staticmethod
+        def fromarray(arr):
+            return FakePilImage(np.asarray(arr))
+
+    monkeypatch.setattr(mm, "_PIL_TRIED", True)
+    monkeypatch.setattr(mm, "_PIL_IMAGE", FakeImageModule)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 255, (20, 30, 3), dtype=np.uint8)
+    t = pa.Table.from_pylist(
+        [
+            {
+                "media_id": 1,
+                "media_type": "image/png",
+                "payload": mm.ppm_encode(img),
+                "width": 30,
+                "height": 20,
+                "duration_ms": 0,
+            },
+            {
+                "media_id": 2,
+                "media_type": "image/jpeg",
+                "payload": b"\x00corrupt",
+                "width": 1,
+                "height": 1,
+                "duration_ms": 0,
+            },
+        ],
+        schema=mm.MEDIA_SCHEMA,
+    )
+    d = MediaDecode()(t)
+    assert d.column("decode_ok").to_pylist() == [True, False]
+    assert d.column("decoded_w").to_pylist()[0] == 30
+    assert d.column("decoded_h").to_pylist()[0] == 20
+
+    r = mm.MediaResize(target=(8, 6))(t)
+    out = mm.ppm_decode(r.column("payload")[0].as_py())
+    assert out.shape == (6, 8, 3)
+    assert r.column("width").to_pylist() == [8, 1]  # corrupt row untouched
+
+    f = MediaFeatures()(t)
+    v = np.array(f.column("features")[0].as_py(), dtype=np.float32)
+    assert np.isfinite(v).all() and abs(np.linalg.norm(v) - 1.0) < 1e-5
