@@ -25,6 +25,7 @@ __all__ = [
     "rle_encode_bool",
     "rle_decode_bool",
     "int96_decode_timestamps",
+    "int96_encode_timestamps",
 ]
 
 _JULIAN_UNIX_EPOCH = 2440588  # Julian day number of 1970-01-01
@@ -44,6 +45,29 @@ def int96_decode_timestamps(data, count: int) -> np.ndarray:
     nanos = raw[:, :8].copy().view("<u8").reshape(count)
     days = raw[:, 8:].copy().view("<u4").reshape(count).astype(np.int64)
     return (days - _JULIAN_UNIX_EPOCH) * _NS_PER_DAY + nanos.astype(np.int64)
+
+
+def int96_encode_timestamps(values: np.ndarray) -> bytes:
+    """Encode int64 epoch-nanoseconds as legacy INT96 (12 LE bytes per
+    value: 8 bytes in-day nanoseconds + 4 bytes Julian day number).
+
+    The reference implements both directions
+    (/root/reference/types/int96.go:13-37 encoder, :40-75 decoder);
+    SURVEY §1.2 keeps the engine's own blobs INT96-free (never
+    auto-selected), so this exists for wire parity and interop tests
+    only. Floor division keeps pre-1970 timestamps correct: the day
+    rounds down and the in-day nanos stay non-negative, matching the
+    spec's day-number + nanos-within-day convention.
+    """
+    v = np.ascontiguousarray(values, dtype=np.int64)
+    days = v // _NS_PER_DAY
+    nanos = (v - days * _NS_PER_DAY).astype("<u8")
+    out = np.empty((len(v), 12), dtype=np.uint8)
+    out[:, :8] = nanos.view(np.uint8).reshape(len(v), 8)
+    out[:, 8:] = (
+        (days + _JULIAN_UNIX_EPOCH).astype("<u4").view(np.uint8).reshape(len(v), 4)
+    )
+    return out.tobytes()
 
 
 def plain_encode_numeric(values: np.ndarray) -> bytes:

@@ -1,0 +1,511 @@
+"""Engine-native writer for real Parquet files.
+
+The round-3 page reader (``parquet_pages.py``) proved the engine's wire
+codecs read what standard writers emit; this module closes the loop in
+the other direction: it EMITS standard Parquet files — thrift-compact
+``PageHeader``/``FileMetaData``, v1 data pages, dictionary pages — from
+the engine's own encoders (``hybrid_encode_sized`` levels,
+``hybrid_encode`` dictionary indices, ``plain_*``/``delta_encode``
+values), verified by pyarrow and DuckDB reading them back bit-equal
+(``tests/test_parquet_write.py``).
+
+This goes past the reference, whose file writer is unfinished
+(``layout/rowgroup.go`` is empty and ``PageWriter`` is unimplemented at
+``layout/page.go:24-27``); the page shapes follow what its reader
+expects (``layout/page-v1.go:69-116`` level+value streams,
+``types/dict.go:61-117`` dictionary indices) so a parquet-go user gets
+the write half the reference never shipped.
+
+Scope (mirrors the native reader): FLAT columns —
+bool / int32 / int64 / float / double / string / binary /
+fixed-size-binary / date32 / timestamp(ms|us|ns), nullable via v1
+definition levels. Encodings per column: ``plain``,
+``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page) or
+``delta`` (DELTA_BINARY_PACKED, integer columns). Page compression:
+any ``functions/block.py`` codec that Parquet names (snappy / gzip /
+brotli / zstd) or none. Nested columns stay delegated to pyarrow
+(SURVEY §2.3) — the engine's own blob container handles nesting.
+
+At scale the writer is a Ray Data sink: ``write_parquet_files_native``
+maps one file per input block (resumable layout — a rerun skips
+existing shard files), so 100 TB writes stream with no driver
+involvement beyond the task graph.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.block import compress
+from ..functions.bytearray import arrow_strings_to_parts, plain_encode_bytes
+from ..functions.delta import delta_encode
+from ..functions.hybrid import hybrid_encode, hybrid_encode_sized
+from ..functions.plain import plain_encode_numeric
+
+__all__ = ["write_parquet_native", "write_parquet_files_native"]
+
+MAGIC = b"PAR1"
+
+# --- thrift compact protocol writer (inverse of parquet_pages._Compact) --
+
+_T_TRUE = 1
+_T_FALSE = 2
+_T_BYTE = 3
+_T_I16 = 4
+_T_I32 = 5
+_T_I64 = 6
+_T_BINARY = 8
+_T_LIST = 9
+_T_STRUCT = 12
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> bytes:
+    return _uvarint((v << 1) ^ (v >> 63))
+
+
+class _CompactWriter:
+    """Emits thrift compact structs from ``[(field_id, type, value)]``
+    lists, sorted by field id as the protocol's delta encoding wants.
+    Covers exactly the types Parquet footers use."""
+
+    def __init__(self):
+        self.buf = bytearray()
+
+    def struct(self, fields: list[tuple[int, int, object]]) -> None:
+        last = 0
+        for fid, typ, val in sorted(fields, key=lambda f: f[0]):
+            if val is None:
+                continue
+            wire = typ
+            if typ == _T_TRUE:  # bool value lives in the field header
+                wire = _T_TRUE if val else _T_FALSE
+            delta = fid - last
+            if 0 < delta <= 15:
+                self.buf.append((delta << 4) | wire)
+            else:
+                self.buf.append(wire)
+                self.buf += _zigzag(fid)
+            last = fid
+            if typ != _T_TRUE:
+                self.value(typ, val)
+        self.buf.append(0)  # STOP
+
+    def value(self, typ: int, val) -> None:
+        if typ in (_T_BYTE,):
+            self.buf.append(val & 0xFF)
+        elif typ in (_T_I16, _T_I32, _T_I64):
+            self.buf += _zigzag(int(val))
+        elif typ == _T_BINARY:
+            raw = val.encode() if isinstance(val, str) else bytes(val)
+            self.buf += _uvarint(len(raw))
+            self.buf += raw
+        elif typ == _T_LIST:
+            etype, items = val  # (element thrift type, list)
+            n = len(items)
+            if n < 15:
+                self.buf.append((n << 4) | etype)
+            else:
+                self.buf.append(0xF0 | etype)
+                self.buf += _uvarint(n)
+            for it in items:
+                if etype == _T_STRUCT:
+                    self.struct(it)
+                else:
+                    self.value(etype, it)
+        elif typ == _T_STRUCT:
+            self.struct(val)
+        else:
+            raise ValueError(f"unsupported thrift type {typ}")
+
+
+def _struct_bytes(fields: list[tuple[int, int, object]]) -> bytes:
+    w = _CompactWriter()
+    w.struct(fields)
+    return bytes(w.buf)
+
+
+# --- parquet enums (parquet.thrift) --------------------------------------
+
+BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
+PLAIN, PLAIN_DICT, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY = 0, 2, 3, 5, 8
+DATA_PAGE, DICTIONARY_PAGE = 0, 2
+REQUIRED, OPTIONAL = 0, 1
+
+_CODEC_ENUM = {"none": 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
+
+# converted_type enum values (legacy, still what DuckDB keys logical
+# strings/timestamps off) + LogicalType union field ids.
+_CT_UTF8, _CT_DATE = 0, 6
+_CT_TS_MILLIS, _CT_TS_MICROS = 9, 10
+
+
+def _timestamp_logical(unit: str, utc: bool) -> list:
+    unit_field = {"ms": 1, "us": 2, "ns": 3}[unit]
+    # TIMESTAMP = union field 8: {1: isAdjustedToUTC, 2: TimeUnit}.
+    # isAdjustedToUTC mirrors Arrow tz-awareness: tz-aware columns are
+    # instants (true), tz-naive columns are local semantics (false).
+    return [(8, _T_STRUCT, [
+        (1, _T_TRUE, utc),
+        (2, _T_STRUCT, [(unit_field, _T_STRUCT, [])]),
+    ])]
+
+
+def _column_plan(field: pa.Field) -> dict:
+    """Physical type + schema annotations for one Arrow field."""
+    t = field.type
+    plan = {"phys": None, "type_length": None, "converted": None,
+            "logical": None, "cast": None}
+    if pa.types.is_boolean(t):
+        plan["phys"] = BOOLEAN
+    elif pa.types.is_int32(t):
+        plan["phys"] = INT32
+    elif pa.types.is_int64(t):
+        plan["phys"] = INT64
+    elif pa.types.is_float32(t):
+        plan["phys"] = FLOAT
+    elif pa.types.is_float64(t):
+        plan["phys"] = DOUBLE
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        plan["phys"] = BYTE_ARRAY
+        plan["converted"] = _CT_UTF8
+        plan["logical"] = [(1, _T_STRUCT, [])]  # STRING
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        plan["phys"] = BYTE_ARRAY
+    elif pa.types.is_fixed_size_binary(t):
+        plan["phys"] = FLBA
+        plan["type_length"] = t.byte_width
+    elif pa.types.is_date32(t):
+        plan["phys"] = INT32
+        plan["converted"] = _CT_DATE
+        plan["logical"] = [(6, _T_STRUCT, [])]  # DATE
+    elif pa.types.is_timestamp(t):
+        plan["phys"] = INT64
+        plan["logical"] = _timestamp_logical(t.unit, utc=t.tz is not None)
+        # Legacy converted_type has no UTC flag and most readers take it
+        # as instant semantics — only emit it for tz-aware columns.
+        if t.unit == "ms" and t.tz is not None:
+            plan["converted"] = _CT_TS_MILLIS
+        elif t.unit == "us" and t.tz is not None:
+            plan["converted"] = _CT_TS_MICROS
+        elif t.unit not in ("ms", "us", "ns"):
+            raise NotImplementedError(f"timestamp unit {t.unit}")
+    else:
+        raise NotImplementedError(
+            f"column {field.name}: type {t} (nested/other types are "
+            "delegated to pyarrow per SURVEY §2.3)"
+        )
+    return plan
+
+
+# --- value encoding -------------------------------------------------------
+
+_NP_BY_PHYS = {INT32: np.int32, INT64: np.int64, FLOAT: np.float32,
+               DOUBLE: np.float64}
+
+
+def _plain_values(arr: pa.Array, phys: int, type_length: int | None) -> bytes:
+    """PLAIN-encode a null-free array."""
+    if phys == BOOLEAN:
+        bits = arr.to_numpy(zero_copy_only=False)
+        return np.packbits(bits.astype(np.uint8), bitorder="little").tobytes()
+    if phys == BYTE_ARRAY:
+        lens, data = arrow_strings_to_parts(arr)
+        return plain_encode_bytes(lens, data)
+    if phys == FLBA:
+        lens, data = arrow_strings_to_parts(arr)
+        if len(arr) and not (lens == type_length).all():
+            raise ValueError("fixed-size-binary length mismatch")
+        return data.tobytes()
+    np_vals = arr.to_numpy(zero_copy_only=False)
+    return plain_encode_numeric(np_vals.astype(_NP_BY_PHYS[phys], copy=False))
+
+
+def _auto_encoding(arr: pa.Array, phys: int) -> str:
+    if phys == BOOLEAN:
+        return "plain"
+    n = len(arr)
+    if n == 0:
+        return "plain"
+    nunique = pc.count_distinct(arr).as_py()
+    return "dict" if nunique <= max(1, n // 2) else "plain"
+
+
+class _ColumnChunkWriter:
+    """Accumulates the page stream + metadata for one column chunk."""
+
+    def __init__(self, name: str, plan: dict, encoding: str, codec: str,
+                 nullable: bool):
+        self.name = name
+        self.plan = plan
+        self.encoding = encoding
+        self.codec = codec
+        self.nullable = nullable
+        self.pages = bytearray()
+        self.dict_page_len = 0
+        self.num_values = 0
+        self.uncompressed = 0
+        self.encodings: list[int] = []
+
+    def _page(self, header_fields: list, payload: bytes) -> None:
+        comp = compress(payload, self.codec) if self.codec != "none" else payload
+        # compress() may return the input unchanged marker-free; Parquet
+        # requires the declared codec's framing, so fall back to "none"
+        # only at the chunk level (codec fixed per chunk) — here comp is
+        # always the declared codec's stream.
+        hdr = _struct_bytes(header_fields + [
+            (2, _T_I32, len(payload)),
+            (3, _T_I32, len(comp)),
+        ])
+        self.pages += hdr
+        self.pages += comp
+        self.uncompressed += len(hdr) + len(payload)
+
+    def write_dictionary(self, dictionary: pa.Array) -> None:
+        payload = _plain_values(
+            dictionary, self.plan["phys"], self.plan["type_length"]
+        )
+        before = len(self.pages)
+        self._page(
+            [(1, _T_I32, DICTIONARY_PAGE),
+             (7, _T_STRUCT, [(1, _T_I32, len(dictionary)),
+                             (2, _T_I32, PLAIN)])],
+            payload,
+        )
+        self.dict_page_len = len(self.pages) - before
+
+    def write_data_page(self, arr: pa.Array, value_bytes: bytes,
+                        enc: int) -> None:
+        n = len(arr)
+        body = bytearray()
+        if self.nullable:
+            valid = np.ones(n, dtype=np.uint8) if arr.null_count == 0 else (
+                ~np.asarray(pc.is_null(arr))).astype(np.uint8)
+            body += hybrid_encode_sized(valid, 1)
+        body += value_bytes
+        self._page(
+            [(1, _T_I32, DATA_PAGE),
+             (5, _T_STRUCT, [(1, _T_I32, n), (2, _T_I32, enc),
+                             (3, _T_I32, RLE), (4, _T_I32, RLE)])],
+            bytes(body),
+        )
+        self.num_values += n
+        if enc not in self.encodings:
+            self.encodings.append(enc)
+
+    def add_rows(self, arr: pa.Array, page_rows: int) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        enc_name = self.encoding
+        phys = self.plan["phys"]
+        if enc_name == "auto":
+            enc_name = _auto_encoding(arr, phys)
+        if enc_name == "dict":
+            # One dictionary for the whole chunk (Parquet requirement:
+            # the dictionary page precedes all data pages).
+            denc = pc.dictionary_encode(
+                arr.cast(pa.large_string())
+                if pa.types.is_string(arr.type) else arr
+            )
+            dictionary = denc.dictionary
+            if pa.types.is_large_string(dictionary.type):
+                dictionary = dictionary.cast(pa.string())
+            self.write_dictionary(dictionary)
+            idx = denc.indices
+            width = max(1, (max(1, len(dictionary)) - 1).bit_length())
+            for s in range(0, max(1, len(arr)), page_rows):
+                sl = arr.slice(s, page_rows)
+                isl = idx.slice(s, page_rows)
+                ivals = np.asarray(isl.drop_null(), dtype=np.uint64)
+                self.write_data_page(
+                    sl, bytes([width]) + hybrid_encode(ivals, width),
+                    RLE_DICTIONARY,
+                )
+            return
+        for s in range(0, max(1, len(arr)), page_rows):
+            sl = arr.slice(s, page_rows)
+            dense = sl.drop_null()
+            if enc_name == "delta":
+                if phys not in (INT32, INT64):
+                    raise ValueError("delta encoding needs int32/int64")
+                vals = np.asarray(
+                    dense.to_numpy(zero_copy_only=False),
+                    dtype=_NP_BY_PHYS[phys],
+                )
+                self.write_data_page(
+                    sl, delta_encode(vals), DELTA_BINARY_PACKED
+                )
+            elif enc_name == "plain":
+                self.write_data_page(
+                    sl,
+                    _plain_values(dense, phys, self.plan["type_length"]),
+                    PLAIN,
+                )
+            else:
+                raise ValueError(f"unknown encoding {enc_name!r}")
+
+    def metadata_fields(self, file_offset: int) -> list:
+        encs = [RLE] + self.encodings + (
+            [PLAIN] if self.dict_page_len else []
+        )
+        fields = [
+            (1, _T_I32, self.plan["phys"]),
+            (2, _T_LIST, (_T_I32, encs)),
+            (3, _T_LIST, (_T_BINARY, [self.name])),
+            (4, _T_I32, _CODEC_ENUM[self.codec]),
+            (5, _T_I64, self.num_values),
+            (6, _T_I64, self.uncompressed),
+            (7, _T_I64, len(self.pages)),
+            (9, _T_I64, file_offset + self.dict_page_len),
+        ]
+        if self.dict_page_len:
+            fields.append((11, _T_I64, file_offset))
+        return fields
+
+
+def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
+    root = [(4, _T_BINARY, "schema"), (5, _T_I32, len(schema))]
+    out = [root]
+    for field, plan in zip(schema, plans):
+        el = [
+            (1, _T_I32, plan["phys"]),
+            (3, _T_I32, OPTIONAL if field.nullable else REQUIRED),
+            (4, _T_BINARY, field.name),
+        ]
+        if plan["type_length"] is not None:
+            el.append((2, _T_I32, plan["type_length"]))
+        if plan["converted"] is not None:
+            el.append((6, _T_I32, plan["converted"]))
+        if plan["logical"] is not None:
+            el.append((10, _T_STRUCT, plan["logical"]))
+        out.append(el)
+    return out
+
+
+def write_parquet_native(
+    table: pa.Table,
+    path: str,
+    *,
+    codec: str = "zstd",
+    encodings: dict[str, str] | None = None,
+    row_group_rows: int = 1_000_000,
+    data_page_rows: int = 20_000,
+) -> dict:
+    """Write ``table`` as a standard Parquet file using the engine's
+    wire encoders. ``encodings`` maps column name → ``plain`` / ``dict``
+    / ``delta`` (default ``auto``: dictionary when ≤50% unique).
+    Returns ``{path, rows, bytes, row_groups}``."""
+    if codec not in _CODEC_ENUM:
+        raise ValueError(f"parquet has no codec {codec!r}")
+    plans = [_column_plan(f) for f in table.schema]
+    encodings = encodings or {}
+    row_groups: list[list] = []
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        offset = len(MAGIC)
+        for rg_start in range(0, max(1, table.num_rows), row_group_rows):
+            rg = table.slice(rg_start, row_group_rows)
+            chunk_fields = []
+            total_comp = 0
+            rg_offset = offset
+            for i, field in enumerate(table.schema):
+                cw = _ColumnChunkWriter(
+                    field.name, plans[i],
+                    encodings.get(field.name, "auto"), codec,
+                    field.nullable,
+                )
+                cw.add_rows(rg.column(i), data_page_rows)
+                meta = cw.metadata_fields(offset)
+                chunk_fields.append([
+                    (2, _T_I64, offset),
+                    (3, _T_STRUCT, meta),
+                ])
+                f.write(cw.pages)
+                offset += len(cw.pages)
+                total_comp += len(cw.pages)
+            row_groups.append([
+                (1, _T_LIST, (_T_STRUCT, chunk_fields)),
+                (2, _T_I64, sum(
+                    fld[2] for ch in chunk_fields
+                    for fld in ch[1][2] if fld[0] == 6
+                )),
+                (3, _T_I64, rg.num_rows),
+                (5, _T_I64, rg_offset),
+                (6, _T_I64, total_comp),
+            ])
+        footer = _struct_bytes([
+            (1, _T_I32, 2),  # format version
+            (2, _T_LIST, (_T_STRUCT, _schema_elements(table.schema, plans))),
+            (3, _T_I64, table.num_rows),
+            (4, _T_LIST, (_T_STRUCT, row_groups)),
+            (6, _T_BINARY, "parquet_go_ray native writer"),
+        ])
+        f.write(footer)
+        f.write(len(footer).to_bytes(4, "little"))
+        f.write(MAGIC)
+        size = f.tell()
+    return {"path": path, "rows": table.num_rows, "bytes": size,
+            "row_groups": len(row_groups)}
+
+
+def write_parquet_files_native(
+    ds,
+    out_dir: str,
+    *,
+    codec: str = "zstd",
+    encodings: dict[str, str] | None = None,
+    data_page_rows: int = 20_000,
+):
+    """Ray Data sink: one engine-written Parquet file per input block.
+
+    Shard names are deterministic per (block content hash), so a rerun
+    over the same input skips files that already exist — the same
+    resumable-output contract as the blob pipeline. Returns a Dataset of
+    ``{path, rows, bytes}`` manifest rows."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64()),
+                             "bytes": pa.array([], pa.int64())})
+        h = hashlib.sha1()
+        for col in batch.columns:
+            for buf in col.combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+        name = f"part-{h.hexdigest()[:16]}.parquet"
+        path = os.path.join(out_dir, name)
+        if not os.path.exists(path):
+            tmp = path + ".tmp"
+            info = write_parquet_native(
+                batch, tmp, codec=codec, encodings=encodings,
+                data_page_rows=data_page_rows,
+            )
+            os.replace(tmp, path)
+            size = info["bytes"]
+        else:
+            size = os.path.getsize(path)
+        return pa.table({"path": [path], "rows": [batch.num_rows],
+                         "bytes": [size]})
+
+    return ds.map_batches(
+        _write, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None,
+    )

@@ -1,0 +1,181 @@
+"""Engine-native Parquet WRITER interop: files emitted by
+``sources/parquet_write.py`` must read back bit-equal through pyarrow,
+DuckDB, and the engine's own native page reader — the write-direction
+counterpart of tests/test_parquet_interop.py (reference writer is
+unfinished: layout/rowgroup.go empty, PageWriter stub page.go:24-27)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+
+def sample_table(n=1000, seed=1) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    ints = rng.integers(-(2**40), 2**40, n)
+    mask = rng.random(n) < 0.15
+    strs = [
+        None if m else f"doc-{v % 97}" for m, v in zip(mask, ints)
+    ]
+    return pa.table(
+        {
+            "i32": pa.array(rng.integers(-(2**31), 2**31, n, dtype=np.int64).astype(np.int32)),
+            "i64": pa.array(ints),
+            "f32": pa.array(rng.random(n, dtype=np.float32)),
+            "f64": pa.array(rng.normal(size=n)),
+            "flag": pa.array(rng.random(n) < 0.5),
+            "text": pa.array(strs, pa.string()),
+            "raw": pa.array([bytes([i % 256, (i * 7) % 256]) for i in range(n)], pa.binary()),
+            "ts": pa.array(
+                rng.integers(0, 2**44, n), pa.int64()
+            ).cast(pa.timestamp("us")),
+        }
+    )
+
+
+def roundtrip(table: pa.Table, tmp_path, **kw) -> pa.Table:
+    path = str(tmp_path / "native.parquet")
+    info = write_parquet_native(table, path, **kw)
+    assert info["rows"] == table.num_rows
+    got = pq.read_table(path)
+    return got
+
+
+@pytest.mark.parametrize("codec", ["none", "zstd", "snappy", "gzip"])
+def test_pyarrow_reads_native_file(tmp_path, codec):
+    t = sample_table()
+    got = roundtrip(t, tmp_path, codec=codec)
+    assert got.schema.equals(t.schema), (got.schema, t.schema)
+    assert got.equals(t)
+
+
+def test_forced_encodings(tmp_path):
+    t = sample_table()
+    got = roundtrip(
+        t,
+        tmp_path,
+        encodings={"i64": "delta", "text": "dict", "f64": "plain",
+                   "i32": "plain"},
+    )
+    assert got.equals(t)
+    # Encoding enums visible in the footer metadata.
+    path = str(tmp_path / "native.parquet")
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    by_name = {
+        md.column(i).path_in_schema: md.column(i).encodings
+        for i in range(md.num_columns)
+    }
+    assert "DELTA_BINARY_PACKED" in by_name["i64"]
+    assert "RLE_DICTIONARY" in by_name["text"] or "PLAIN_DICTIONARY" in by_name["text"]
+
+
+def test_timestamp_tz_awareness(tmp_path):
+    # tz-aware -> isAdjustedToUTC=true (reads back tz=UTC); naive -> false.
+    vals = pa.array([0, 10**12, None], pa.int64())
+    t = pa.table({
+        "utc": vals.cast(pa.timestamp("us", tz="UTC")),
+        "naive": vals.cast(pa.timestamp("ms")),
+        "ns": vals.cast(pa.timestamp("ns", tz="UTC")),
+    })
+    got = roundtrip(t, tmp_path)
+    assert got.schema.equals(t.schema), (got.schema, t.schema)
+    assert got.equals(t)
+
+
+def test_duckdb_reads_native_file(tmp_path):
+    duckdb = pytest.importorskip("duckdb")
+    t = sample_table()
+    path = str(tmp_path / "native.parquet")
+    write_parquet_native(t, path)
+    con = duckdb.connect()
+    n, s, tot = con.execute(
+        f"SELECT count(*), count(text), sum(i64) FROM read_parquet('{path}')"
+    ).fetchone()
+    assert n == t.num_rows
+    assert s == t.num_rows - t.column("text").null_count
+    assert tot == sum(v for v in t.column("i64").to_pylist())
+
+
+def test_native_reader_reads_native_file(tmp_path):
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    t = sample_table()
+    path = str(tmp_path / "native.parquet")
+    write_parquet_native(t, path, codec="zstd")
+    got = read_row_group_native(path, 0)
+    assert got.num_rows == t.num_rows
+    for name in t.column_names:
+        g = got.column(name).combine_chunks()
+        e = t.column(name).combine_chunks()
+        assert g.equals(e), name
+
+
+def test_multiple_row_groups_and_pages(tmp_path):
+    t = sample_table(5000, seed=3)
+    path = str(tmp_path / "native.parquet")
+    write_parquet_native(t, path, row_group_rows=1200, data_page_rows=300)
+    pf = pq.ParquetFile(path)
+    assert pf.metadata.num_row_groups == 5  # ceil(5000/1200)
+    assert pq.read_table(path).equals(t)
+
+
+def test_all_null_and_empty_columns(tmp_path):
+    t = pa.table(
+        {
+            "a": pa.array([None, None, None], pa.string()),
+            "b": pa.array([1, None, 3], pa.int64()),
+        }
+    )
+    assert roundtrip(t, tmp_path).equals(t)
+    empty = pa.table({"a": pa.array([], pa.string()), "b": pa.array([], pa.int64())})
+    got = roundtrip(empty, tmp_path)
+    assert got.num_rows == 0
+    assert got.schema.equals(empty.schema)
+
+
+def test_date_and_fixed_binary(tmp_path):
+    t = pa.table(
+        {
+            "d": pa.array([0, 1, 18262, None], pa.date32()),
+            "fb": pa.array([b"abcd", b"efgh", b"ijkl", None], pa.binary(4)),
+        }
+    )
+    assert roundtrip(t, tmp_path).equals(t)
+
+
+def test_required_columns_have_no_levels(tmp_path):
+    t = pa.table(
+        {"k": pa.array([1, 2, 3], pa.int64())},
+        schema=pa.schema([pa.field("k", pa.int64(), nullable=False)]),
+    )
+    got = roundtrip(t, tmp_path)
+    assert got.column("k").to_pylist() == [1, 2, 3]
+    assert not got.schema.field("k").nullable
+
+
+def test_ray_sink_resumable(ray_session, tmp_path):
+    import ray
+
+    from parquet_go_ray.sources.parquet_write import write_parquet_files_native
+
+    t = sample_table(4000, seed=9)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = str(tmp_path / "sink")
+    manifest = write_parquet_files_native(ds, out).take_all()
+    assert sum(r["rows"] for r in manifest) == 4000
+    paths = sorted(r["path"] for r in manifest)
+    back = pq.read_table(paths)
+    assert back.num_rows == 4000
+    assert sum(back.column("i64").to_pylist()) == sum(t.column("i64").to_pylist())
+    # Rerun: deterministic shard names -> all files skipped, none rewritten.
+    mtimes = {p: __import__("os").path.getmtime(p) for p in paths}
+    manifest2 = write_parquet_files_native(
+        ray.data.from_arrow(t).repartition(4), out
+    ).take_all()
+    assert sorted(r["path"] for r in manifest2) == paths
+    for p in paths:
+        assert __import__("os").path.getmtime(p) == mtimes[p]

@@ -79,6 +79,30 @@ def test_int96_decode():
     assert int96_decode_timestamps(raw2, 1)[0] == 0
 
 
+def test_int96_encode_roundtrip():
+    """INT96 wire parity both directions (ref types/int96.go:13-75);
+    pre-1970 values exercise the floor-division day split."""
+    import numpy as np
+
+    from parquet_go_ray.functions.plain import int96_encode_timestamps
+
+    ns_day = 86_400_000_000_000
+    vals = np.array(
+        [0, 5, ns_day + 5, -1, -ns_day, -ns_day - 7, 3 * ns_day // 2],
+        dtype=np.int64,
+    )
+    raw = int96_encode_timestamps(vals)
+    assert len(raw) == 12 * len(vals)
+    back = int96_decode_timestamps(raw, len(vals))
+    assert (back == vals).all()
+    # Golden: epoch+5ns encodes as nanos=5, julian day 2440588.
+    one = int96_encode_timestamps(np.array([5], dtype=np.int64))
+    assert one == (5).to_bytes(8, "little") + (2440588).to_bytes(4, "little")
+    # -1 ns = last nanosecond of the PREVIOUS julian day.
+    neg = int96_encode_timestamps(np.array([-1], dtype=np.int64))
+    assert neg == (ns_day - 1).to_bytes(8, "little") + (2440587).to_bytes(4, "little")
+
+
 class TestZoneMapPruning:
     @pytest.fixture(scope="class")
     def ckpt(self, tmp_path_factory):
