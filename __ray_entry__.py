@@ -583,6 +583,33 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_native_read_lineitem(sf_dir: str):
+    """Engine-native Parquet page reader over the REAL pyarrow-written
+    lineitem file: one Ray task per row group, every page decoded by the
+    engine's hybrid/dict/delta/plain codecs (not pyarrow's reader).
+    Oracle = SELECT * — bit-exact wire-compat gate on live testdata."""
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+
+    return read_parquet_native(
+        os.path.join(sf_dir, "lineitem.parquet")
+    )
+
+
+def _q_native_write_events(sf_dir: str):
+    """Engine-native Parquet WRITER round-trip: the events table streams
+    through the resumable Ray sink (`write_parquet_files_native`, one
+    engine-written file per block), then reads back through pyarrow via
+    ray.data.read_parquet. Oracle = SELECT * — proves standard readers
+    see exactly what went in."""
+    from parquet_go_ray.sources.parquet_write import write_parquet_files_native
+
+    out = tempfile.mkdtemp(prefix="pgr_native_write_")
+    ds = _read(sf_dir, "events")
+    manifest = write_parquet_files_native(ds, out)
+    paths = [r["path"] for r in manifest.take_all()]
+    return ray.data.read_parquet(paths)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -602,6 +629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": _q_lineitem_agg,
         "events_filter_click": _q_events_filter,
         "decode_filter_events": _q_decode_filter_events,
+        "native_read_lineitem": _q_native_read_lineitem,
+        "native_write_events": _q_native_write_events,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -706,6 +735,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, event_type, value FROM events"
             " WHERE value > 75.0"
         ),
+        "native_read_lineitem": "SELECT * FROM lineitem",
+        "native_write_events": "SELECT * FROM events",
         "top_documents_by_chars": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
             " FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
