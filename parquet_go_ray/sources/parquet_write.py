@@ -26,6 +26,12 @@ any ``functions/block.py`` codec that Parquet names (snappy / gzip /
 brotli / zstd) or none. Nested columns stay delegated to pyarrow
 (SURVEY §2.3) — the engine's own blob container handles nesting.
 
+Each column chunk carries footer ``Statistics`` (min_value / max_value
+/ null_count under declared TypeDefinedOrder) mirroring the engine's
+blob stats policy (booleans excluded, NaN disables float stats), so
+standard readers prune row groups of engine-written files — the
+write-side counterpart of the blob zone maps (``pipelines/decode.py``).
+
 At scale the writer is a Ray Data sink: ``write_parquet_files_native``
 maps one file per input block (resumable layout — a rerun skips
 existing shard files), so 100 TB writes stream with no driver
@@ -234,6 +240,57 @@ def _plain_values(arr: pa.Array, phys: int, type_length: int | None) -> bytes:
     return plain_encode_numeric(np_vals.astype(_NP_BY_PHYS[phys], copy=False))
 
 
+def _stat_bytes(val, phys: int) -> bytes:
+    """Plain-encode one statistics value (parquet Statistics min_value /
+    max_value convention: LE numerics, raw bytes for BYTE_ARRAY/FLBA)."""
+    if phys in _NP_BY_PHYS:
+        return np.asarray([val], dtype=_NP_BY_PHYS[phys]).tobytes()
+    raw = val.encode() if isinstance(val, str) else bytes(val)
+    return raw
+
+
+def _chunk_statistics(arr: pa.Array, phys: int) -> dict | None:
+    """min/max/null_count for one column chunk, mirroring the engine's
+    blob stats policy (functions/column.py: booleans excluded, NaN
+    disables numeric stats) plus parquet-specific guards: ±0.0
+    normalized to (-0.0 min, +0.0 max), long string min/max omitted
+    rather than truncated (a truncated max is not an upper bound)."""
+    null_count = arr.null_count
+    stats = {"null_count": null_count, "min": None, "max": None}
+    if phys == BOOLEAN or len(arr) == null_count:
+        return stats
+    dense = arr.drop_null()
+    if phys in (FLOAT, DOUBLE):
+        vals = dense.to_numpy(zero_copy_only=False)
+        if np.isnan(vals).any():
+            return stats
+        lo, hi = vals.min(), vals.max()
+        if lo == 0.0:
+            lo = -0.0
+        if hi == 0.0:
+            hi = 0.0
+        stats["min"], stats["max"] = _stat_bytes(lo, phys), _stat_bytes(hi, phys)
+        return stats
+    if phys in (INT32, INT64):
+        # Work on the physical representation (date32 -> int32,
+        # timestamp -> int64): stats bytes are physical-type plain values.
+        dense = dense.cast(pa.int32() if phys == INT32 else pa.int64())
+        vals = dense.to_numpy(zero_copy_only=False)
+        stats["min"] = _stat_bytes(vals.min(), phys)
+        stats["max"] = _stat_bytes(vals.max(), phys)
+        return stats
+    # BYTE_ARRAY / FLBA: unsigned byte-wise order == Arrow's codepoint
+    # order for UTF-8; cap at 64 bytes (omit, never truncate).
+    mm = pc.min_max(dense)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return stats
+    lo_b, hi_b = _stat_bytes(lo, phys), _stat_bytes(hi, phys)
+    if len(lo_b) <= 64 and len(hi_b) <= 64:
+        stats["min"], stats["max"] = lo_b, hi_b
+    return stats
+
+
 def _auto_encoding(arr: pa.Array, phys: int) -> str:
     if phys == BOOLEAN:
         return "plain"
@@ -259,6 +316,7 @@ class _ColumnChunkWriter:
         self.num_values = 0
         self.uncompressed = 0
         self.encodings: list[int] = []
+        self.stats: dict | None = None
 
     def _page(self, header_fields: list, payload: bytes) -> None:
         comp = compress(payload, self.codec) if self.codec != "none" else payload
@@ -311,6 +369,7 @@ class _ColumnChunkWriter:
             arr = arr.combine_chunks()
         enc_name = self.encoding
         phys = self.plan["phys"]
+        self.stats = _chunk_statistics(arr, phys)
         if enc_name == "auto":
             enc_name = _auto_encoding(arr, phys)
         if enc_name == "dict":
@@ -373,6 +432,16 @@ class _ColumnChunkWriter:
         ]
         if self.dict_page_len:
             fields.append((11, _T_I64, file_offset))
+        if self.stats is not None:
+            # Statistics struct: 3=null_count, 5=max_value, 6=min_value
+            # (the modern TYPE_DEFINED_ORDER pair; legacy 1/2 omitted —
+            # readers that predate min_value/max_value assumed an
+            # ill-defined sort order for them).
+            st = [(3, _T_I64, self.stats["null_count"])]
+            if self.stats["min"] is not None:
+                st.append((5, _T_BINARY, self.stats["max"]))
+                st.append((6, _T_BINARY, self.stats["min"]))
+            fields.append((12, _T_STRUCT, st))
         return fields
 
 
@@ -452,6 +521,11 @@ def write_parquet_native(
             (3, _T_I64, table.num_rows),
             (4, _T_LIST, (_T_STRUCT, row_groups)),
             (6, _T_BINARY, "parquet_go_ray native writer"),
+            # column_orders: TYPE_ORDER for every leaf — without this,
+            # readers must ignore Statistics min_value/max_value.
+            (7, _T_LIST, (_T_STRUCT, [
+                [(1, _T_STRUCT, [])] for _ in plans
+            ])),
         ])
         f.write(footer)
         f.write(len(footer).to_bytes(4, "little"))

@@ -73,6 +73,66 @@ def test_forced_encodings(tmp_path):
     assert "RLE_DICTIONARY" in by_name["text"] or "PLAIN_DICTIONARY" in by_name["text"]
 
 
+def test_column_chunk_statistics(tmp_path):
+    """Footer Statistics (min_value/max_value/null_count) are emitted per
+    column chunk and read back by pyarrow — the zone-map contract that
+    lets standard readers prune row groups of engine-written files."""
+    t = sample_table(5000, seed=3)
+    path = str(tmp_path / "native.parquet")
+    write_parquet_native(t, path, row_group_rows=1000)
+    pf = pq.ParquetFile(path)
+    import pyarrow.compute as pc
+
+    for rg in range(pf.metadata.num_row_groups):
+        sl = t.slice(rg * 1000, 1000)
+        md = pf.metadata.row_group(rg)
+        for i, name in enumerate(t.column_names):
+            col = sl.column(name)
+            st = md.column(i).statistics
+            assert st is not None, name
+            assert st.null_count == col.null_count, name
+            if name == "flag":  # booleans excluded, as the engine's blobs
+                assert not st.has_min_max
+                continue
+            assert st.has_min_max, name
+            mm = pc.min_max(col)
+            assert st.min == mm["min"].as_py(), name
+            assert st.max == mm["max"].as_py(), name
+
+    # DuckDB prunes row groups off these stats: a selective filter on a
+    # sorted column still returns exactly the right rows.
+    duckdb = pytest.importorskip("duckdb")
+    srt = t.sort_by("i64")
+    path2 = str(tmp_path / "sorted.parquet")
+    write_parquet_native(srt, path2, row_group_rows=1000)
+    lo = srt.column("i64")[4800].as_py()
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{path2}') WHERE i64 >= {lo}"
+    ).fetchone()[0]
+    assert n == 200
+    stats_seen = duckdb.sql(
+        f"SELECT count(*) FROM parquet_metadata('{path2}')"
+        " WHERE stats_min_value IS NOT NULL AND stats_max_value IS NOT NULL"
+    ).fetchone()[0]
+    assert stats_seen >= 5 * 7  # every non-bool column chunk
+
+    # NaN disables float stats; all-null chunks carry only null_count.
+    import numpy as np
+
+    weird = pa.table({
+        "f": pa.array([1.0, float("nan"), 2.0], pa.float64()),
+        "z": pa.array([None, None, None], pa.int64()),
+        "s": pa.array(["x" * 100, "y"], pa.string()).take([0, 1, 1]),
+    })
+    path3 = str(tmp_path / "weird.parquet")
+    write_parquet_native(weird, path3)
+    md = pq.ParquetFile(path3).metadata.row_group(0)
+    by = {md.column(i).path_in_schema: md.column(i).statistics for i in range(3)}
+    assert not by["f"].has_min_max
+    assert by["z"].null_count == 3 and not by["z"].has_min_max
+    assert not by["s"].has_min_max  # >64-byte min omitted, never truncated
+
+
 def test_timestamp_tz_awareness(tmp_path):
     # tz-aware -> isAdjustedToUTC=true (reads back tz=UTC); naive -> false.
     vals = pa.array([0, 10**12, None], pa.int64())
