@@ -610,6 +610,34 @@ def _q_native_write_events(sf_dir: str):
     return ray.data.read_parquet(paths)
 
 
+def _q_native_roundtrip_embeddings(sf_dir: str):
+    """Full native Parquet loop on a LIST column: the embeddings table
+    is written by the engine's writer (3-level LIST groups, v1 rep/def
+    streams) and read back by the engine's page reader (rep-level
+    record assembly) — pyarrow touches neither direction. Projection is
+    hash-friendly (ids, labels, dims; list cells aren't hashable by the
+    driver comparator — exact element equality is pinned in pytest)."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_files_native
+
+    out = tempfile.mkdtemp(prefix="pgr_native_emb_")
+    manifest = write_parquet_files_native(_read(sf_dir, "embeddings"), out)
+    paths = [r["path"] for r in manifest.take_all()]
+    ds = read_parquet_native(paths)
+
+    def project(batch: pa.Table) -> pa.Table:
+        dim = pc.list_value_length(batch.column("embedding")).cast(pa.int64())
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "embedding_dim": dim,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -631,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decode_filter_events": _q_decode_filter_events,
         "native_read_lineitem": _q_native_read_lineitem,
         "native_write_events": _q_native_write_events,
+        "native_roundtrip_embeddings": _q_native_roundtrip_embeddings,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -737,6 +766,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "native_read_lineitem": "SELECT * FROM lineitem",
         "native_write_events": "SELECT * FROM events",
+        "native_roundtrip_embeddings": (
+            "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
+            " AS embedding_dim FROM embeddings"
+        ),
         "top_documents_by_chars": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
             " FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"

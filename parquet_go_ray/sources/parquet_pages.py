@@ -28,10 +28,13 @@ parsed HERE with the engine's own decoders:
 - DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY —
   ref ``encoding/delta-binary-packed-*.go``.
 
-Scope: flat columns (max_repetition_level == 0) of any physical type;
-v1 and v2 data pages; UNCOMPRESSED / SNAPPY / ZSTD / GZIP / BROTLI
-codecs. Nested columns raise ``NotImplementedError`` — record assembly
-over real Parquet rep levels stays delegated to pyarrow (SURVEY §2.3).
+Scope: flat columns (max_repetition_level == 0) of any physical type
+plus one-level lists (max_repetition_level == 1: 3-level LIST groups —
+rep-level record assembly vectorized over the whole chunk, null/empty
+lists and null elements included); v1 and v2 data pages; UNCOMPRESSED
+/ SNAPPY / ZSTD / GZIP / BROTLI codecs. Deeper nesting raises
+``NotImplementedError`` — multi-level record assembly over real
+Parquet rep levels stays delegated to pyarrow (SURVEY §2.3).
 """
 
 from __future__ import annotations
@@ -247,14 +250,19 @@ def _bit_width(max_level: int) -> int:
 class _ChunkReader:
     """Decodes one column chunk's page stream into a pyarrow array."""
 
-    def __init__(self, phys: str, type_length: int, max_def: int, codec: str):
+    def __init__(self, phys: str, type_length: int, max_def: int, codec: str,
+                 max_rep: int = 0, elem_nullable: bool = False):
         self.phys = str(phys)
         self.type_length = type_length or 0
         self.max_def = max_def
         self.codec = codec
+        self.max_rep = max_rep
+        self.elem_nullable = elem_nullable
         self.dictionary: pa.Array | None = None
         self.values: list[pa.Array] = []
         self.validity: list[np.ndarray] = []
+        self.reps: list[np.ndarray] = []
+        self.defs: list[np.ndarray] = []
 
     def _decompress(self, payload, uncompressed: int) -> bytes:
         if self.codec == "none":
@@ -301,13 +309,20 @@ class _ChunkReader:
             data = self._decompress(payload, hdr["uncompressed_size"])
             n = hdr["num_values"]
             pos = 0
+            if self.max_rep > 0:
+                # v1 order: repetition levels first, 4-byte-size-framed.
+                reps, pos = hybrid_decode_sized(
+                    data, _bit_width(self.max_rep), n, pos
+                )
+                self.reps.append(reps)
             if self.max_def > 0:
-                # v1 order: repetition levels first (absent: flat), then
-                # definition levels, both 4-byte-size-framed hybrid.
+                # then definition levels, same framing.
                 defs, pos = hybrid_decode_sized(
                     data, _bit_width(self.max_def), n, pos
                 )
                 valid = defs == self.max_def
+                if self.max_rep > 0:
+                    self.defs.append(defs)
             else:
                 valid = np.ones(n, dtype=bool)
             nn = int(valid.sum())
@@ -318,16 +333,30 @@ class _ChunkReader:
             n = hdr["num_values"]
             dl = hdr.get("def_levels_len") or 0
             rl = hdr.get("rep_levels_len") or 0
-            if rl:
-                raise NotImplementedError("nested columns (rep levels)")
+            if rl and self.max_rep == 0:
+                raise ValueError("rep levels on a flat column")
             # v2: level streams sit OUTSIDE the compressed region,
             # unframed (lengths live in the header).
+            if self.max_rep > 0:
+                if rl:
+                    reps, _ = hybrid_decode(
+                        payload[:rl], _bit_width(self.max_rep), n
+                    )
+                else:
+                    reps = np.zeros(n, dtype=np.uint64)
+                self.reps.append(reps)
             levels = payload[rl : rl + dl]
             if self.max_def > 0 and dl:
                 defs, _ = hybrid_decode(levels, _bit_width(self.max_def), n)
                 valid = defs == self.max_def
-            else:
+            elif self.max_def > 0:
+                defs = np.full(n, self.max_def, dtype=np.uint64)
                 valid = np.ones(n, dtype=bool)
+            else:
+                defs = np.zeros(n, dtype=np.uint64)
+                valid = np.ones(n, dtype=bool)
+            if self.max_rep > 0:
+                self.defs.append(defs)
             body = payload[rl + dl :]
             if hdr.get("values_compressed", True):
                 body = self._decompress(
@@ -341,6 +370,40 @@ class _ChunkReader:
             return
         # INDEX_PAGE etc.: skip.
 
+    def _finish_list(self, values: pa.Array) -> pa.Array:
+        """Record assembly for one repetition level (list<primitive>):
+        rep==0 starts a row; def distinguishes present element / null
+        element / empty list / null list (ref layout/chunk.go rep-scan
+        reassembly, vectorized over the whole chunk)."""
+        defs = np.concatenate(self.defs) if self.defs else np.empty(0, np.uint64)
+        reps = np.concatenate(self.reps) if self.reps else np.empty(0, np.uint64)
+        def_empty = self.max_def - (2 if self.elem_nullable else 1)
+        starts = np.flatnonzero(reps == 0)
+        elem_slot = defs > def_empty
+        if len(starts):
+            counts = np.add.reduceat(elem_slot.astype(np.int64), starts)
+            list_valid = defs[starts] >= def_empty
+        else:
+            counts = np.empty(0, np.int64)
+            list_valid = np.empty(0, bool)
+        # Scatter dense values into element slots (null elements when
+        # the element is optional and def == max_def - 1).
+        evalid = defs[elem_slot] == self.max_def
+        if bool(evalid.all()):
+            elems = values
+        else:
+            idx = np.where(evalid, np.cumsum(evalid) - 1, 0)
+            taken = values.take(pa.array(idx, pa.int64()))
+            elems = pc.if_else(
+                pa.array(evalid), taken, pa.nulls(len(evalid), values.type)
+            )
+        offsets = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(counts, out=offsets[1:])
+        mask = None if bool(list_valid.all()) else pa.array(~list_valid)
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), elems, mask=mask
+        )
+
     def finish(self) -> pa.Array:
         if not self.values:
             return pa.array([], pa.null())
@@ -348,6 +411,8 @@ class _ChunkReader:
             [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
              for v in self.values]
         )
+        if self.max_rep > 0:
+            return self._finish_list(values)
         valid = np.concatenate(self.validity)
         if bool(valid.all()):
             return values
@@ -375,8 +440,16 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
     pf = pq.ParquetFile(path)
     md = pf.metadata.row_group(row_group).column(column)
     sch = pf.schema.column(column)
-    if sch.max_repetition_level > 0:
-        raise NotImplementedError("nested columns (rep levels)")
+    elem_nullable = False
+    if sch.max_repetition_level > 1:
+        raise NotImplementedError("multiply-nested columns (rep level > 1)")
+    if sch.max_repetition_level == 1:
+        top = md.path_in_schema.split(".")[0]
+        ft = pf.schema_arrow.field(top).type
+        if not (pa.types.is_list(ft) or pa.types.is_large_list(ft)
+                or pa.types.is_fixed_size_list(ft)):
+            raise NotImplementedError(f"repeated non-list column {ft}")
+        elem_nullable = ft.value_field.nullable
     codec = _CODEC_MAP.get(md.compression)
     if codec is None:
         raise NotImplementedError(f"codec {md.compression}")
@@ -391,6 +464,8 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
         getattr(sch, "length", 0),
         sch.max_definition_level,
         codec,
+        max_rep=sch.max_repetition_level,
+        elem_nullable=elem_nullable,
     )
     pos = 0
     rows = 0
@@ -414,7 +489,8 @@ def read_row_group_native(path: str, row_group: int,
     pf = pq.ParquetFile(path)
     arrow_schema = pf.schema_arrow
     names = [
-        pf.metadata.row_group(row_group).column(i).path_in_schema
+        # top-level field name (list leaves read "f.list.element")
+        pf.metadata.row_group(row_group).column(i).path_in_schema.split(".")[0]
         for i in range(pf.metadata.num_columns)
     ]
     want = [i for i, n in enumerate(names) if columns is None or n in columns]

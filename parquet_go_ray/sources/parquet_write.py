@@ -16,10 +16,13 @@ expects (``layout/page-v1.go:69-116`` level+value streams,
 ``types/dict.go:61-117`` dictionary indices) so a parquet-go user gets
 the write half the reference never shipped.
 
-Scope (mirrors the native reader): FLAT columns —
+Scope (mirrors the native reader): flat columns —
 bool / int32 / int64 / float / double / string / binary /
 fixed-size-binary / date32 / timestamp(ms|us|ns), nullable via v1
-definition levels. Encodings per column: ``plain``,
+definition levels — plus one-level ``list<primitive>`` columns as
+standard 3-level LIST groups (v1 rep+def level streams computed
+vectorized from the Arrow offsets; deeper nesting delegated to
+pyarrow). Encodings per column: ``plain``,
 ``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page) or
 ``delta`` (DELTA_BINARY_PACKED, integer columns). Page compression:
 any ``functions/block.py`` codec that Parquet names (snappy / gzip /
@@ -174,7 +177,7 @@ def _column_plan(field: pa.Field) -> dict:
     """Physical type + schema annotations for one Arrow field."""
     t = field.type
     plan = {"phys": None, "type_length": None, "converted": None,
-            "logical": None, "cast": None}
+            "logical": None, "cast": None, "list": None}
     if pa.types.is_boolean(t):
         plan["phys"] = BOOLEAN
     elif pa.types.is_int32(t):
@@ -209,6 +212,20 @@ def _column_plan(field: pa.Field) -> dict:
             plan["converted"] = _CT_TS_MICROS
         elif t.unit not in ("ms", "us", "ns"):
             raise NotImplementedError(f"timestamp unit {t.unit}")
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        # Standard 3-level LIST group; one level of repetition over a
+        # primitive element (deeper nesting delegated to pyarrow).
+        elem = t.value_field
+        if pa.types.is_nested(elem.type):
+            raise NotImplementedError(
+                f"column {field.name}: nested element type {elem.type}"
+            )
+        plan["list"] = _column_plan(elem)
+        plan["list_elem_nullable"] = elem.nullable
+        plan["phys"] = plan["list"]["phys"]
+        plan["type_length"] = plan["list"]["type_length"]
+        plan["converted"] = 3  # LIST
+        plan["logical"] = [(3, _T_STRUCT, [])]  # LIST
     else:
         raise NotImplementedError(
             f"column {field.name}: type {t} (nested/other types are "
@@ -311,6 +328,9 @@ class _ColumnChunkWriter:
         self.encoding = encoding
         self.codec = codec
         self.nullable = nullable
+        self.nullable_elem = bool(plan.get("list_elem_nullable", False))
+        self.path = ([name, "list", "element"] if plan.get("list")
+                     else [name])
         self.pages = bytearray()
         self.dict_page_len = 0
         self.num_values = 0
@@ -364,11 +384,105 @@ class _ColumnChunkWriter:
         if enc not in self.encodings:
             self.encodings.append(enc)
 
+    def _add_list_rows(self, arr, page_rows: int) -> None:
+        """Shred a one-level list column into v1 pages: rep levels +
+        def levels (both 4-byte-size-framed hybrid) + PLAIN dense
+        element values. Level semantics per the 3-level LIST group:
+        def = max for a present element, max-1 for a null element (when
+        the element is optional), then empty list, then null list."""
+        elem_opt = self.nullable_elem
+        max_def = (1 if self.nullable else 0) + 1 + (1 if elem_opt else 0)
+        def_empty = max_def - 1 - (1 if elem_opt else 0)
+        def_width = max(1, int(max_def).bit_length())
+        phys = self.plan["phys"]
+
+        offsets = np.asarray(arr.offsets, dtype=np.int64)
+        list_valid = (
+            np.ones(len(arr), dtype=bool) if arr.null_count == 0
+            else ~np.asarray(pc.is_null(arr))
+        )
+        lens = offsets[1:] - offsets[:-1]
+        lens_eff = np.where(list_valid, lens, 0)
+        child = arr.values
+
+        n_rows = len(arr)
+        for s in range(0, max(1, n_rows), page_rows):
+            e = min(s + page_rows, n_rows)
+            pl = lens_eff[s:e]
+            pvalid = list_valid[s:e]
+            slots = np.maximum(pl, 1)
+            total = int(slots.sum())
+            starts = np.zeros(len(slots), dtype=np.int64)
+            np.cumsum(slots[:-1], out=starts[1:])
+            rep = np.ones(total, dtype=np.uint8)
+            rep[starts] = 0
+            row_id = np.repeat(np.arange(len(slots)), slots)
+            elem_slot = pl[row_id] > 0  # rows with >=1 element fill all slots
+
+            # Gather this page's elements (valid, non-empty lists only).
+            m = pvalid & (pl > 0)
+            lm = pl[m]
+            if lm.size:
+                base = np.repeat(offsets[s:e][m], lm)
+                intra = np.arange(int(lm.sum())) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lm[:-1]))), lm
+                )
+                elems = child.take(pa.array(base + intra, pa.int64()))
+            else:
+                elems = child.slice(0, 0)
+
+            defs = np.empty(total, dtype=np.uint8)
+            defs[~elem_slot] = np.where(
+                pvalid, def_empty, max(def_empty - 1, 0)
+            )[row_id[~elem_slot]]
+            if elem_opt:
+                evalid = (
+                    np.ones(len(elems), dtype=np.uint8)
+                    if elems.null_count == 0
+                    else (~np.asarray(pc.is_null(elems))).astype(np.uint8)
+                )
+                defs[elem_slot] = (max_def - 1) + evalid
+            else:
+                if elems.null_count:
+                    raise ValueError("null element in non-nullable list")
+                defs[elem_slot] = max_def
+
+            body = bytearray()
+            body += hybrid_encode_sized(rep, 1)
+            body += hybrid_encode_sized(defs, def_width)
+            dense = elems.drop_null()
+            body += _plain_values(dense, phys, self.plan["type_length"])
+            self._page(
+                [(1, _T_I32, DATA_PAGE),
+                 (5, _T_STRUCT, [(1, _T_I32, total), (2, _T_I32, PLAIN),
+                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
+                bytes(body),
+            )
+            self.num_values += total
+            if PLAIN not in self.encodings:
+                self.encodings.append(PLAIN)
+
     def add_rows(self, arr: pa.Array, page_rows: int) -> None:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         enc_name = self.encoding
         phys = self.plan["phys"]
+        if self.plan["list"] is not None:
+            if pa.types.is_large_list(arr.type):
+                arr = arr.cast(pa.list_(arr.type.value_field))
+            flat = arr.flatten()
+            st = _chunk_statistics(flat, phys)
+            # Parquet null_count over a repeated leaf counts every level
+            # entry that carries no value (null/empty lists included).
+            n_entries = int(np.maximum(
+                np.diff(np.asarray(arr.offsets, dtype=np.int64))
+                * (~np.asarray(pc.is_null(arr)) if arr.null_count else 1),
+                1,
+            ).sum()) if len(arr) else 0
+            st["null_count"] = n_entries - (len(flat) - flat.null_count)
+            self.stats = st
+            self._add_list_rows(arr, page_rows)
+            return
         self.stats = _chunk_statistics(arr, phys)
         if enc_name == "auto":
             enc_name = _auto_encoding(arr, phys)
@@ -423,7 +537,7 @@ class _ColumnChunkWriter:
         fields = [
             (1, _T_I32, self.plan["phys"]),
             (2, _T_LIST, (_T_I32, encs)),
-            (3, _T_LIST, (_T_BINARY, [self.name])),
+            (3, _T_LIST, (_T_BINARY, self.path)),
             (4, _T_I32, _CODEC_ENUM[self.codec]),
             (5, _T_I64, self.num_values),
             (6, _T_I64, self.uncompressed),
@@ -445,22 +559,45 @@ class _ColumnChunkWriter:
         return fields
 
 
+REPEATED = 2
+
+
+def _leaf_element(name: str, repetition: int, plan: dict) -> list:
+    el = [
+        (1, _T_I32, plan["phys"]),
+        (3, _T_I32, repetition),
+        (4, _T_BINARY, name),
+    ]
+    if plan["type_length"] is not None:
+        el.append((2, _T_I32, plan["type_length"]))
+    if plan["converted"] is not None:
+        el.append((6, _T_I32, plan["converted"]))
+    if plan["logical"] is not None:
+        el.append((10, _T_STRUCT, plan["logical"]))
+    return el
+
+
 def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
     root = [(4, _T_BINARY, "schema"), (5, _T_I32, len(schema))]
     out = [root]
     for field, plan in zip(schema, plans):
-        el = [
-            (1, _T_I32, plan["phys"]),
-            (3, _T_I32, OPTIONAL if field.nullable else REQUIRED),
-            (4, _T_BINARY, field.name),
-        ]
-        if plan["type_length"] is not None:
-            el.append((2, _T_I32, plan["type_length"]))
-        if plan["converted"] is not None:
-            el.append((6, _T_I32, plan["converted"]))
-        if plan["logical"] is not None:
-            el.append((10, _T_STRUCT, plan["logical"]))
-        out.append(el)
+        rep = OPTIONAL if field.nullable else REQUIRED
+        if plan["list"] is not None:
+            # optional group f (LIST) { repeated group list {
+            #   optional/required element } }  — LogicalTypes.md 3-level
+            out.append([
+                (3, _T_I32, rep),
+                (4, _T_BINARY, field.name),
+                (5, _T_I32, 1),
+                (6, _T_I32, plan["converted"]),
+                (10, _T_STRUCT, plan["logical"]),
+            ])
+            out.append([(3, _T_I32, REPEATED), (4, _T_BINARY, "list"),
+                        (5, _T_I32, 1)])
+            elem_rep = OPTIONAL if plan["list_elem_nullable"] else REQUIRED
+            out.append(_leaf_element("element", elem_rep, plan["list"]))
+        else:
+            out.append(_leaf_element(field.name, rep, plan))
     return out
 
 

@@ -246,12 +246,41 @@ def test_page_header_parser_roundtrip(tmp_path, mixed_table):
         assert pos > 0
 
 
-def test_nested_raises(tmp_path):
-    t = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+def test_deeply_nested_raises(tmp_path):
+    t = pa.table({
+        "l": pa.array([[[1], [2]], [[3]]], pa.list_(pa.list_(pa.int64())))
+    })
     path = str(tmp_path / "n.parquet")
     pq.write_table(t, path)
     with pytest.raises(NotImplementedError):
         read_row_group_native(path, 0)
+
+
+@pytest.mark.parametrize("version,use_dict", [("1.0", True), ("1.0", False),
+                                              ("2.6", True), ("2.6", False)])
+def test_list_columns_pyarrow_written(tmp_path, version, use_dict):
+    """One-level lists from a standard writer (v1 + v2 pages, dict and
+    plain element encodings): rep-level record assembly matches
+    pq.read_table, incl. null/empty lists and null elements."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "emb": pa.array(
+            [[1.0, 2.0], [], None, [3.5], [None, 4.0, 5.0]],
+            pa.list_(pa.float32()),
+        ),
+        "tags": pa.array(
+            [["a", "b"], None, [], ["c"], ["d", "d", "d"]],
+            pa.list_(pa.string()),
+        ),
+    })
+    path = str(tmp_path / "l.parquet")
+    pq.write_table(t, path, version=version, use_dictionary=use_dict,
+                   compression="snappy", data_page_size=64)
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), (version, use_dict, name)
 
 
 def test_native_read_distributed(ray_session, tmp_path, mixed_table):

@@ -73,6 +73,85 @@ def test_forced_encodings(tmp_path):
     assert "RLE_DICTIONARY" in by_name["text"] or "PLAIN_DICTIONARY" in by_name["text"]
 
 
+def list_table() -> pa.Table:
+    return pa.table({
+        "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "emb": pa.array(
+            [[1.0, 2.0], [], None, [3.5], [None, 4.0, 5.0]],
+            pa.list_(pa.float32()),
+        ),
+        "tags": pa.array(
+            [["a", "b"], None, [], ["c"], ["d", "e", "f"]],
+            pa.list_(pa.string()),
+        ),
+    })
+
+
+@pytest.mark.parametrize("codec", ["none", "zstd"])
+def test_list_columns_roundtrip(tmp_path, codec):
+    """3-level LIST groups: null/empty lists, null elements, page splits
+    mid-column — read back by pyarrow, DuckDB and the native reader."""
+    t = list_table()
+    path = str(tmp_path / "lists.parquet")
+    write_parquet_native(t, path, codec=codec, data_page_rows=2)
+    assert pq.read_table(path).equals(t)
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = duckdb.sql(
+        f"SELECT emb, tags FROM read_parquet('{path}') ORDER BY id"
+    ).fetchall()
+    assert rows[0] == ([1.0, 2.0], ["a", "b"])
+    assert rows[1] == ([], None)
+    assert rows[2] == (None, [])
+    assert rows[4][1] == ["d", "e", "f"]
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
+def test_list_required_elements_and_large_list(tmp_path):
+    t = pa.table({
+        "v": pa.array(
+            [[1, 2], [3]],
+            pa.large_list(pa.field("element", pa.int64(), nullable=False)),
+        ),
+    })
+    path = str(tmp_path / "req.parquet")
+    write_parquet_native(t, path)
+    back = pq.read_table(path)
+    assert back.column("v").to_pylist() == [[1, 2], [3]]
+    assert not back.schema.field("v").type.value_field.nullable
+
+
+def test_embeddings_table_native_loop(tmp_path):
+    """The real driver-written embeddings file: native read of the
+    pyarrow file, native write, pyarrow + native read of our file."""
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    t = pq.read_table(src)
+    got = read_row_group_native(src, 0)
+    n0 = pq.ParquetFile(src).metadata.row_group(0).num_rows
+    sl = t.slice(0, n0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            sl.column(name).combine_chunks()
+        ), name
+    path = str(tmp_path / "emb.parquet")
+    write_parquet_native(t, path)
+    assert pq.read_table(path).equals(t)
+    got2 = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got2.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
 def test_column_chunk_statistics(tmp_path):
     """Footer Statistics (min_value/max_value/null_count) are emitted per
     column chunk and read back by pyarrow — the zone-map contract that
