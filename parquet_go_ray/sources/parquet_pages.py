@@ -31,8 +31,10 @@ parsed HERE with the engine's own decoders:
 Scope: flat columns (max_repetition_level == 0) of any physical type
 plus one-level lists (max_repetition_level == 1: 3-level LIST groups —
 rep-level record assembly vectorized over the whole chunk, null/empty
-lists and null elements included); v1 and v2 data pages; UNCOMPRESSED
-/ SNAPPY / ZSTD / GZIP / BROTLI codecs. Deeper nesting raises
+lists and null elements included) and one-level structs (per-leaf def
+levels distinguish struct-null from child-null; children reassembled
+into a StructArray); v1 and v2 data pages; UNCOMPRESSED / SNAPPY /
+ZSTD / GZIP / BROTLI codecs. Deeper nesting raises
 ``NotImplementedError`` — multi-level record assembly over real
 Parquet rep levels stays delegated to pyarrow (SURVEY §2.3).
 """
@@ -251,13 +253,15 @@ class _ChunkReader:
     """Decodes one column chunk's page stream into a pyarrow array."""
 
     def __init__(self, phys: str, type_length: int, max_def: int, codec: str,
-                 max_rep: int = 0, elem_nullable: bool = False):
+                 max_rep: int = 0, elem_nullable: bool = False,
+                 keep_defs: bool = False):
         self.phys = str(phys)
         self.type_length = type_length or 0
         self.max_def = max_def
         self.codec = codec
         self.max_rep = max_rep
         self.elem_nullable = elem_nullable
+        self.keep_defs = keep_defs
         self.dictionary: pa.Array | None = None
         self.values: list[pa.Array] = []
         self.validity: list[np.ndarray] = []
@@ -321,10 +325,12 @@ class _ChunkReader:
                     data, _bit_width(self.max_def), n, pos
                 )
                 valid = defs == self.max_def
-                if self.max_rep > 0:
+                if self.max_rep > 0 or self.keep_defs:
                     self.defs.append(defs)
             else:
                 valid = np.ones(n, dtype=bool)
+                if self.keep_defs:
+                    self.defs.append(np.zeros(n, dtype=np.uint64))
             nn = int(valid.sum())
             self.values.append(self._decode_values(hdr["encoding"], data[pos:], nn))
             self.validity.append(valid)
@@ -355,7 +361,7 @@ class _ChunkReader:
             else:
                 defs = np.zeros(n, dtype=np.uint64)
                 valid = np.ones(n, dtype=bool)
-            if self.max_rep > 0:
+            if self.max_rep > 0 or self.keep_defs:
                 self.defs.append(defs)
             body = payload[rl + dl :]
             if hdr.get("values_compressed", True):
@@ -433,11 +439,8 @@ _CODEC_MAP = {
 }
 
 
-def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
-    """Read one column chunk of a real Parquet file through the engine's
-    page/wire decoders. Returns the physical-typed array (logical-type
-    casts are the caller's concern)."""
-    pf = pq.ParquetFile(path)
+def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
+                keep_defs: bool = False) -> tuple[pa.Array, np.ndarray | None]:
     md = pf.metadata.row_group(row_group).column(column)
     sch = pf.schema.column(column)
     elem_nullable = False
@@ -466,6 +469,7 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
         codec,
         max_rep=sch.max_repetition_level,
         elem_nullable=elem_nullable,
+        keep_defs=keep_defs,
     )
     pos = 0
     rows = 0
@@ -478,7 +482,48 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
         rdr.add_page(hdr, payload)
         if hdr["type"] in (DATA_PAGE, DATA_PAGE_V2):
             rows += hdr["num_values"]
-    return rdr.finish()
+    arr = rdr.finish()
+    defs = (np.concatenate(rdr.defs) if keep_defs and rdr.defs
+            else (np.empty(0, np.uint64) if keep_defs else None))
+    return arr, defs
+
+
+def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
+    """Read one column chunk of a real Parquet file through the engine's
+    page/wire decoders. Returns the physical-typed array (logical-type
+    casts are the caller's concern)."""
+    return _read_chunk(pq.ParquetFile(path), path, row_group, column)[0]
+
+
+def _assemble_struct(pf: pq.ParquetFile, path: str, row_group: int,
+                     indices: list[int], field: pa.Field) -> pa.Array:
+    """Rebuild a one-level struct column from its leaf chunks: child
+    def levels distinguish struct-null (def < 1) from child-null
+    (def < max_def) — every leaf agrees on the parent level, so the
+    struct validity comes from any one of them."""
+    t = field.type
+    md = pf.metadata.row_group(row_group)
+    children: dict[str, pa.Array] = {}
+    struct_valid: np.ndarray | None = None
+    for j in indices:
+        child_name = md.column(j).path_in_schema.split(".", 1)[1]
+        if "." in child_name:
+            raise NotImplementedError("multi-level struct nesting")
+        arr, defs = _read_chunk(pf, path, row_group, j, keep_defs=True)
+        ch = t.field(child_name)
+        try:
+            arr = arr.cast(ch.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+        children[child_name] = arr
+        if field.nullable and struct_valid is None:
+            struct_valid = defs >= 1
+    fields = [t.field(i) for i in range(t.num_fields)]
+    arrs = [children[f.name] for f in fields]
+    mask = None
+    if struct_valid is not None and not bool(struct_valid.all()):
+        mask = pa.array(~struct_valid)
+    return pa.StructArray.from_arrays(arrs, fields=fields, mask=mask)
 
 
 def read_row_group_native(path: str, row_group: int,
@@ -488,21 +533,29 @@ def read_row_group_native(path: str, row_group: int,
     ``pq.read_table`` for flat schemas."""
     pf = pq.ParquetFile(path)
     arrow_schema = pf.schema_arrow
-    names = [
-        # top-level field name (list leaves read "f.list.element")
-        pf.metadata.row_group(row_group).column(i).path_in_schema.split(".")[0]
-        for i in range(pf.metadata.num_columns)
+    md = pf.metadata.row_group(row_group)
+    tops = [
+        # top-level field name ("f.list.element" lists, "s.a" structs)
+        md.column(i).path_in_schema.split(".")[0]
+        for i in range(md.num_columns)
     ]
-    want = [i for i, n in enumerate(names) if columns is None or n in columns]
     out = {}
-    for i in want:
-        arr = read_column_chunk(path, row_group, i)
-        field = arrow_schema.field(names[i])
+    for i, top in enumerate(tops):
+        if top in out or (columns is not None and top not in columns):
+            continue
+        field = arrow_schema.field(top)
+        if pa.types.is_struct(field.type):
+            arr = _assemble_struct(
+                pf, path, row_group,
+                [j for j, tn in enumerate(tops) if tn == top], field,
+            )
+        else:
+            arr = _read_chunk(pf, path, row_group, i)[0]
         try:
             arr = arr.cast(field.type)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
             pass  # keep physical representation
-        out[names[i]] = arr
+        out[top] = arr
     return pa.table(out)
 
 

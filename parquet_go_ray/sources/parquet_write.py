@@ -21,13 +21,16 @@ bool / int32 / int64 / float / double / string / binary /
 fixed-size-binary / date32 / timestamp(ms|us|ns), nullable via v1
 definition levels — plus one-level ``list<primitive>`` columns as
 standard 3-level LIST groups (v1 rep+def level streams computed
-vectorized from the Arrow offsets; deeper nesting delegated to
-pyarrow). Encodings per column: ``plain``,
+vectorized from the Arrow offsets) and one-level ``struct`` columns as
+named groups (one leaf chunk per child, multi-level def streams:
+0 = struct null, parent level = child null). Deeper nesting delegated
+to pyarrow. Encodings per column: ``plain``,
 ``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page) or
 ``delta`` (DELTA_BINARY_PACKED, integer columns). Page compression:
 any ``functions/block.py`` codec that Parquet names (snappy / gzip /
-brotli / zstd) or none. Nested columns stay delegated to pyarrow
-(SURVEY §2.3) — the engine's own blob container handles nesting.
+brotli / zstd) or none. Multi-level nesting stays delegated to
+pyarrow (SURVEY §2.3) — the engine's own blob container handles
+arbitrary nesting.
 
 Each column chunk carries footer ``Statistics`` (min_value / max_value
 / null_count under declared TypeDefinedOrder) mirroring the engine's
@@ -177,7 +180,7 @@ def _column_plan(field: pa.Field) -> dict:
     """Physical type + schema annotations for one Arrow field."""
     t = field.type
     plan = {"phys": None, "type_length": None, "converted": None,
-            "logical": None, "cast": None, "list": None}
+            "logical": None, "cast": None, "list": None, "struct": None}
     if pa.types.is_boolean(t):
         plan["phys"] = BOOLEAN
     elif pa.types.is_int32(t):
@@ -212,6 +215,18 @@ def _column_plan(field: pa.Field) -> dict:
             plan["converted"] = _CT_TS_MICROS
         elif t.unit not in ("ms", "us", "ns"):
             raise NotImplementedError(f"timestamp unit {t.unit}")
+    elif pa.types.is_struct(t):
+        # Parquet group of named leaves; one level of struct over
+        # primitive children (deeper nesting delegated to pyarrow).
+        children = []
+        for i in range(t.num_fields):
+            ch = t.field(i)
+            if pa.types.is_nested(ch.type):
+                raise NotImplementedError(
+                    f"column {field.name}.{ch.name}: nested child {ch.type}"
+                )
+            children.append((ch.name, _column_plan(ch), ch.nullable))
+        plan["struct"] = children
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         # Standard 3-level LIST group; one level of repetition over a
         # primitive element (deeper nesting delegated to pyarrow).
@@ -322,7 +337,7 @@ class _ColumnChunkWriter:
     """Accumulates the page stream + metadata for one column chunk."""
 
     def __init__(self, name: str, plan: dict, encoding: str, codec: str,
-                 nullable: bool):
+                 nullable: bool, path: list[str] | None = None):
         self.name = name
         self.plan = plan
         self.encoding = encoding
@@ -331,6 +346,8 @@ class _ColumnChunkWriter:
         self.nullable_elem = bool(plan.get("list_elem_nullable", False))
         self.path = ([name, "list", "element"] if plan.get("list")
                      else [name])
+        if path is not None:
+            self.path = path
         self.pages = bytearray()
         self.dict_page_len = 0
         self.num_values = 0
@@ -366,10 +383,16 @@ class _ColumnChunkWriter:
         self.dict_page_len = len(self.pages) - before
 
     def write_data_page(self, arr: pa.Array, value_bytes: bytes,
-                        enc: int) -> None:
+                        enc: int, defs: np.ndarray | None = None,
+                        max_def: int | None = None) -> None:
+        """One v1 data page. Default def levels come from the array's
+        validity (flat nullable column, max_def 1); struct leaves pass
+        precomputed multi-level defs instead."""
         n = len(arr)
         body = bytearray()
-        if self.nullable:
+        if defs is not None:
+            body += hybrid_encode_sized(defs, max(1, int(max_def).bit_length()))
+        elif self.nullable:
             valid = np.ones(n, dtype=np.uint8) if arr.null_count == 0 else (
                 ~np.asarray(pc.is_null(arr))).astype(np.uint8)
             body += hybrid_encode_sized(valid, 1)
@@ -462,7 +485,9 @@ class _ColumnChunkWriter:
             if PLAIN not in self.encodings:
                 self.encodings.append(PLAIN)
 
-    def add_rows(self, arr: pa.Array, page_rows: int) -> None:
+    def add_rows(self, arr: pa.Array, page_rows: int,
+                 defs: np.ndarray | None = None,
+                 max_def: int | None = None) -> None:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         enc_name = self.encoding
@@ -506,11 +531,14 @@ class _ColumnChunkWriter:
                 self.write_data_page(
                     sl, bytes([width]) + hybrid_encode(ivals, width),
                     RLE_DICTIONARY,
+                    defs=None if defs is None else defs[s:s + page_rows],
+                    max_def=max_def,
                 )
             return
         for s in range(0, max(1, len(arr)), page_rows):
             sl = arr.slice(s, page_rows)
             dense = sl.drop_null()
+            pd_ = None if defs is None else defs[s:s + page_rows]
             if enc_name == "delta":
                 if phys not in (INT32, INT64):
                     raise ValueError("delta encoding needs int32/int64")
@@ -519,13 +547,14 @@ class _ColumnChunkWriter:
                     dtype=_NP_BY_PHYS[phys],
                 )
                 self.write_data_page(
-                    sl, delta_encode(vals), DELTA_BINARY_PACKED
+                    sl, delta_encode(vals), DELTA_BINARY_PACKED,
+                    defs=pd_, max_def=max_def,
                 )
             elif enc_name == "plain":
                 self.write_data_page(
                     sl,
                     _plain_values(dense, phys, self.plan["type_length"]),
-                    PLAIN,
+                    PLAIN, defs=pd_, max_def=max_def,
                 )
             else:
                 raise ValueError(f"unknown encoding {enc_name!r}")
@@ -582,7 +611,16 @@ def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
     out = [root]
     for field, plan in zip(schema, plans):
         rep = OPTIONAL if field.nullable else REQUIRED
-        if plan["list"] is not None:
+        if plan["struct"] is not None:
+            out.append([
+                (3, _T_I32, rep),
+                (4, _T_BINARY, field.name),
+                (5, _T_I32, len(plan["struct"])),
+            ])
+            for ch_name, ch_plan, ch_nullable in plan["struct"]:
+                ch_rep = OPTIONAL if ch_nullable else REQUIRED
+                out.append(_leaf_element(ch_name, ch_rep, ch_plan))
+        elif plan["list"] is not None:
             # optional group f (LIST) { repeated group list {
             #   optional/required element } }  — LogicalTypes.md 3-level
             out.append([
@@ -599,6 +637,63 @@ def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
         else:
             out.append(_leaf_element(field.name, rep, plan))
     return out
+
+
+def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
+                         codec: str, data_page_rows: int):
+    """Encode one top-level field into its leaf column-chunk writers:
+    one chunk for flat/list fields, one per child for struct fields
+    (each child leaf gets multi-level def levels: 0 = struct null,
+    parent level = child null, max = value present)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if plan["struct"] is None:
+        cw = _ColumnChunkWriter(
+            field.name, plan, encodings.get(field.name, "auto"), codec,
+            field.nullable,
+        )
+        cw.add_rows(col, data_page_rows)
+        yield cw
+        return
+
+    struct_opt = field.nullable
+    svalid = (
+        np.ones(len(col), dtype=bool) if col.null_count == 0
+        else ~np.asarray(pc.is_null(col))
+    )
+    svalid_arr = pa.array(svalid)
+    for ci, (ch_name, ch_plan, ch_nullable) in enumerate(plan["struct"]):
+        child = col.field(ci)
+        # Mask child slots under null structs (Arrow children keep
+        # independent validity there; Parquet has no value at all).
+        if col.null_count:
+            child = pc.if_else(
+                svalid_arr, child, pa.nulls(len(child), child.type)
+            )
+        max_def = (1 if struct_opt else 0) + (1 if ch_nullable else 0)
+        cvalid = (
+            np.ones(len(child), dtype=bool) if child.null_count == 0
+            else ~np.asarray(pc.is_null(child))
+        )
+        if ch_nullable:
+            defs = svalid.astype(np.uint8) + (svalid & cvalid)
+        else:
+            if not bool((cvalid | ~svalid).all()):
+                raise ValueError(
+                    f"null value in non-nullable child {field.name}.{ch_name}"
+                )
+            defs = svalid.astype(np.uint8) * max_def
+        cw = _ColumnChunkWriter(
+            ch_name, ch_plan,
+            encodings.get(f"{field.name}.{ch_name}", "auto"), codec,
+            nullable=max_def > 0, path=[field.name, ch_name],
+        )
+        cw.add_rows(
+            child, data_page_rows,
+            defs=defs if max_def > 0 else None,
+            max_def=max_def if max_def > 0 else None,
+        )
+        yield cw
 
 
 def write_parquet_native(
@@ -628,20 +723,18 @@ def write_parquet_native(
             total_comp = 0
             rg_offset = offset
             for i, field in enumerate(table.schema):
-                cw = _ColumnChunkWriter(
-                    field.name, plans[i],
-                    encodings.get(field.name, "auto"), codec,
-                    field.nullable,
-                )
-                cw.add_rows(rg.column(i), data_page_rows)
-                meta = cw.metadata_fields(offset)
-                chunk_fields.append([
-                    (2, _T_I64, offset),
-                    (3, _T_STRUCT, meta),
-                ])
-                f.write(cw.pages)
-                offset += len(cw.pages)
-                total_comp += len(cw.pages)
+                for cw in _field_chunk_writers(
+                    field, plans[i], rg.column(i), encodings, codec,
+                    data_page_rows,
+                ):
+                    meta = cw.metadata_fields(offset)
+                    chunk_fields.append([
+                        (2, _T_I64, offset),
+                        (3, _T_STRUCT, meta),
+                    ])
+                    f.write(cw.pages)
+                    offset += len(cw.pages)
+                    total_comp += len(cw.pages)
             row_groups.append([
                 (1, _T_LIST, (_T_STRUCT, chunk_fields)),
                 (2, _T_I64, sum(
@@ -661,7 +754,9 @@ def write_parquet_native(
             # column_orders: TYPE_ORDER for every leaf — without this,
             # readers must ignore Statistics min_value/max_value.
             (7, _T_LIST, (_T_STRUCT, [
-                [(1, _T_STRUCT, [])] for _ in plans
+                [(1, _T_STRUCT, [])]
+                for p in plans
+                for _ in range(len(p["struct"]) if p["struct"] else 1)
             ])),
         ])
         f.write(footer)

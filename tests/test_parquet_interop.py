@@ -256,6 +256,35 @@ def test_deeply_nested_raises(tmp_path):
         read_row_group_native(path, 0)
 
 
+@pytest.mark.parametrize("version,use_dict", [("1.0", True), ("2.6", False)])
+def test_struct_columns_pyarrow_written(tmp_path, version, use_dict):
+    """One-level structs from a standard writer: struct assembly from
+    per-leaf def levels matches pq.read_table (null structs + null and
+    required children)."""
+    s_type = pa.struct([
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.string()),
+        pa.field("c", pa.float64(), nullable=False),
+    ])
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "s": pa.array(
+            [{"a": 1, "b": "x", "c": 0.5}, None,
+             {"a": None, "b": "y", "c": 1.5},
+             {"a": 4, "b": None, "c": 2.5}],
+            s_type,
+        ),
+    })
+    path = str(tmp_path / "s.parquet")
+    pq.write_table(t, path, version=version, use_dictionary=use_dict,
+                   compression="snappy")
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), (version, use_dict, name)
+
+
 @pytest.mark.parametrize("version,use_dict", [("1.0", True), ("1.0", False),
                                               ("2.6", True), ("2.6", False)])
 def test_list_columns_pyarrow_written(tmp_path, version, use_dict):

@@ -152,6 +152,86 @@ def test_embeddings_table_native_loop(tmp_path):
         ), name
 
 
+def struct_table() -> pa.Table:
+    s_type = pa.struct([
+        pa.field("a", pa.int64()),
+        pa.field("b", pa.string()),
+        pa.field("c", pa.float64(), nullable=False),
+    ])
+    return pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "s": pa.array(
+            [{"a": 1, "b": "x", "c": 0.5}, None,
+             {"a": None, "b": "y", "c": 1.5},
+             {"a": 4, "b": None, "c": 2.5}],
+            s_type,
+        ),
+    })
+
+
+def test_struct_columns_roundtrip(tmp_path):
+    """One-level struct groups: null structs, null children, required
+    children — multi-level def streams read back by pyarrow, DuckDB
+    and the native reader's struct assembly."""
+    t = struct_table()
+    path = str(tmp_path / "structs.parquet")
+    write_parquet_native(t, path, codec="zstd", data_page_rows=2)
+    assert pq.read_table(path).equals(t)
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = duckdb.sql(
+        f"SELECT s FROM read_parquet('{path}') ORDER BY id"
+    ).fetchall()
+    assert rows[0][0] == {"a": 1, "b": "x", "c": 0.5}
+    assert rows[1][0] is None
+    assert rows[2][0] == {"a": None, "b": "y", "c": 1.5}
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
+def test_struct_null_child_in_required_struct_raises(tmp_path):
+    s_type = pa.struct([pa.field("a", pa.int64(), nullable=False)])
+    t = pa.table({"s": pa.array([{"a": 1}, {"a": None}], s_type)})
+    with pytest.raises(ValueError, match="non-nullable child"):
+        write_parquet_native(t, str(tmp_path / "bad.parquet"))
+
+
+def test_mixed_nested_multi_row_group(tmp_path):
+    """Struct + list + flat columns in one file across row groups and
+    page splits; the full native write→read loop matches slice-exact."""
+    s_type = pa.struct([pa.field("a", pa.int64()), pa.field("b", pa.string())])
+    t = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "s": pa.array(
+            [{"a": i, "b": f"v{i % 3}"} if i % 7 else None for i in range(100)],
+            s_type,
+        ),
+        "l": pa.array(
+            [[float(i), float(i + 1)] if i % 5 else None for i in range(100)],
+            pa.list_(pa.float32()),
+        ),
+    })
+    path = str(tmp_path / "mixed.parquet")
+    write_parquet_native(t, path, row_group_rows=30, data_page_rows=10)
+    assert pq.read_table(path).equals(t)
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    for g in range(4):
+        got = read_row_group_native(path, g)
+        sl = t.slice(g * 30, 30)
+        for name in t.column_names:
+            assert got.column(name).combine_chunks().equals(
+                sl.column(name).combine_chunks()
+            ), (g, name)
+
+
 def test_column_chunk_statistics(tmp_path):
     """Footer Statistics (min_value/max_value/null_count) are emitted per
     column chunk and read back by pyarrow — the zone-map contract that
