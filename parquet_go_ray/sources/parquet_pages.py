@@ -569,10 +569,18 @@ def read_parquet_native(paths, columns: list[str] | None = None,
 
     if isinstance(paths, str):
         paths = [paths]
-    items = []
-    for p in paths:
-        n = pq.ParquetFile(p).metadata.num_row_groups
-        items.extend({"path": p, "row_group": g} for g in range(n))
+
+    def _list_groups(batch: pa.Table):
+        # Footer walk runs IN the tasks (one open per file, parallel) —
+        # the driver never touches file metadata, so a 100 TB listing
+        # of many files doesn't serialize on the driver.
+        out_p, out_g = [], []
+        for p in batch.column("path").to_pylist():
+            n = pq.ParquetFile(p).metadata.num_row_groups
+            out_p.extend([p] * n)
+            out_g.extend(range(n))
+        yield pa.table({"path": pa.array(out_p, pa.string()),
+                        "row_group": pa.array(out_g, pa.int32())})
 
     def _read(batch: pa.Table):
         for p, g in zip(
@@ -581,8 +589,12 @@ def read_parquet_native(paths, columns: list[str] | None = None,
         ):
             yield read_row_group_native(p, g, columns)
 
-    ds = ray.data.from_items(items)
+    ds = ray.data.from_items([{"path": p} for p in paths])
     kw = {"concurrency": concurrency} if concurrency else {}
-    return ds.map_batches(
+    ds = ds.map_batches(_list_groups, batch_size=8, batch_format="pyarrow",
+                        **kw)
+    # Re-split so each row-group read is its own task even when one
+    # file contributed many groups.
+    return ds.repartition(target_num_rows_per_block=1).map_batches(
         _read, batch_size=1, batch_format="pyarrow", zero_copy_batch=True, **kw
     )
