@@ -228,6 +228,8 @@ def bench_queries(sf_dir: str) -> tuple[dict, dict]:
         "quality_documents",
         "langid_documents",
         "ann_cosine_embeddings",
+        "native_read_lineitem",
+        "native_write_events",
     ):
         cold, warm = _timed(lambda: consume(queries[name](sf_dir)))
         q[name] = statistics.median(warm)
