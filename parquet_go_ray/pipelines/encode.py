@@ -335,6 +335,7 @@ def encode_pipeline(
             # peer-to-peer from plasma (see merge_encode_task).
             meta_rows = ds.take_all()
             phase1_stats = ds.stats()
+            phase1_cpu = sum(float(r.get("_cpu_s") or 0.0) for r in meta_rows)
             by_bucket: dict[int, list[dict]] = {}
             for r in meta_rows:
                 by_bucket.setdefault(int(r[BUCKET_COL]), []).append(r)
@@ -353,7 +354,19 @@ def encode_pipeline(
                     f.write(phase1_stats)
             except Exception:
                 pass
-            return _finish(checkpoint_dir, rows, t0, num_buckets)
+            merge_cpu = sum(float(r.get("cpu_s") or 0.0) for r in rows)
+            return _finish(
+                checkpoint_dir, rows, t0, num_buckets,
+                extra={
+                    # UDF CPU seconds (process_time inside the task
+                    # bodies): the wall-noise-immune scaling signal —
+                    # flat per row across cluster sizes ⇔ no
+                    # contention-induced work inflation (VERDICT r2 #1).
+                    "phase1_cpu_s": round(phase1_cpu, 3),
+                    "merge_cpu_s": round(merge_cpu, 3),
+                    "udf_cpu_s": round(phase1_cpu + merge_cpu, 3),
+                },
+            )
         summaries = ds.groupby(BUCKET_COL).map_groups(
             MergeEncoderActor,
             fn_constructor_kwargs=actor_kwargs,
@@ -400,7 +413,7 @@ def _release_holder(holder) -> None:
 
 
 def _finish(checkpoint_dir: str, rows: list[dict], t0: float,
-            num_buckets: int) -> dict:
+            num_buckets: int, extra: dict | None = None) -> dict:
     encoded_rows = sum(r["rows"] for r in rows if not r["skipped"])
     blob_bytes = sum(r["blob_bytes"] for r in rows)
     raw_bytes = sum(r["raw_bytes"] for r in rows)
@@ -417,6 +430,8 @@ def _finish(checkpoint_dir: str, rows: list[dict], t0: float,
         "bytes_per_turn": (blob_bytes / max(1, sum(r["rows"] for r in rows))),
         "num_buckets": num_buckets,
     }
+    if extra:
+        summary.update(extra)
     with open(os.path.join(checkpoint_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2)
     return summary

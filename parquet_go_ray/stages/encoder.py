@@ -109,6 +109,7 @@ FRAG_COL = "_frag"
 FRAG_ROWS_COL = "_frag_rows"
 FRAG_RAW_COL = "_frag_raw"
 FRAG_SRCS_COL = "_frag_srcs"
+FRAG_CPU_COL = "_cpu_s"
 
 
 def _ipc_zstd_bytes(tbl: pa.Table) -> bytes:
@@ -123,17 +124,20 @@ def _ipc_read_bytes(b: bytes) -> pa.Table:
     return pa.ipc.open_stream(pa.BufferReader(b)).read_all()
 
 
-def encode_fragments(batch: pa.Table) -> pa.Table:
+def encode_fragments(batch: pa.Table, _t0: float | None = None) -> pa.Table:
     """Phase 1 of the two-phase shuffle: compress each (block, bucket)
     row-fragment into zstd Arrow IPC BEFORE the all-to-all, so the
     groupby ships ~blob-sized fragments instead of raw rows (~3x fewer
     shuffled bytes on transcript text). IPC+zstd is the transient wire
     format — cheap C++ encode, no per-fragment codec selection; the real
     per-column encode runs once per merged partition in phase 2."""
+    import time as _time
+
     import numpy as np
 
     from .salt import SRC_COL
 
+    t0 = _time.process_time() if _t0 is None else _t0
     b = batch.column(BUCKET_COL).to_numpy(zero_copy_only=False)
     order = np.argsort(b, kind="stable")
     batch = batch.take(pa.array(order))
@@ -154,6 +158,13 @@ def encode_fragments(batch: pa.Table) -> pa.Table:
         out_rows.append(tbl.num_rows)
         out_raw.append(tbl.nbytes)
         out_srcs.append(sorted(int(x) for x in srcs))
+    # UDF CPU seconds of this split (process_time: user+sys of every
+    # thread in the worker, incl. Arrow's IPC/zstd pool) — carried on
+    # the first meta row so the driver can report a wall-noise-immune
+    # scaling signal (VERDICT r2 #1). Not a data column; dropped by the
+    # merge (which reads columns by name).
+    cpu = _time.process_time() - t0
+    n_out = len(out_bucket)
     return pa.table(
         {
             BUCKET_COL: pa.array(out_bucket, pa.int64()),
@@ -161,6 +172,9 @@ def encode_fragments(batch: pa.Table) -> pa.Table:
             FRAG_ROWS_COL: pa.array(out_rows, pa.int64()),
             FRAG_RAW_COL: pa.array(out_raw, pa.int64()),
             FRAG_SRCS_COL: pa.array(out_srcs, pa.list_(pa.int32())),
+            FRAG_CPU_COL: pa.array(
+                [cpu] + [0.0] * (n_out - 1) if n_out else [], pa.float64()
+            ),
         }
     )
 
@@ -198,7 +212,8 @@ FRAG_CHUNK_BUCKETS = 16
 FRAG_IDX_COL = "_frag_idx"
 
 
-def encode_fragments_refs(batch: pa.Table, holder) -> pa.Table:
+def encode_fragments_refs(batch: pa.Table, holder,
+                          _t0: float | None = None) -> pa.Table:
     """Ref-based phase 1 (round 3): identical fragment bytes to
     ``encode_fragments``, but the all-to-all ships a ~200-byte
     cloudpickled ObjectRef (+ intra-chunk index) per fragment instead of
@@ -207,9 +222,12 @@ def encode_fragments_refs(batch: pa.Table, holder) -> pa.Table:
     no sort-barrier copy chain in between. On a multi-node cluster this
     is the difference between an O(data) exchange through the shuffle
     and an O(partitions) metadata shuffle plus direct peer pulls."""
+    import time as _time
+
     from ray import cloudpickle
 
-    out = encode_fragments(batch)
+    t0 = _time.process_time() if _t0 is None else _t0
+    out = encode_fragments(batch, _t0=t0)
     frags = [f.as_py() for f in out.column(FRAG_COL)]
     n = len(frags)
     blobs: list[bytes] = []
@@ -234,7 +252,15 @@ def encode_fragments_refs(batch: pa.Table, holder) -> pa.Table:
     holder.add.remote(refs)  # in-band borrow until registered; see class doc
     i = out.schema.get_field_index(FRAG_COL)
     out = out.set_column(i, FRAG_COL, pa.array(blobs, pa.large_binary()))
-    return out.append_column(FRAG_IDX_COL, pa.array(idxs, pa.int32()))
+    out = out.append_column(FRAG_IDX_COL, pa.array(idxs, pa.int32()))
+    if out.num_rows:  # extend the CPU accounting over the put loop
+        cpu = _time.process_time() - t0
+        ci = out.schema.get_field_index(FRAG_CPU_COL)
+        out = out.set_column(
+            ci, FRAG_CPU_COL,
+            pa.array([cpu] + [0.0] * (out.num_rows - 1), pa.float64()),
+        )
+    return out
 
 
 def fused_read_fragments(
@@ -277,9 +303,12 @@ def fused_read_fragments(
         if done_ids
         else None
     )
+    import time as _time
+
     for src, rgs in zip(
         batch.column("_src").to_pylist(), batch.column("_rgs").to_pylist()
     ):
+        t0 = _time.process_time()  # split CPU incl. parquet decode + salt
         pf = pq.ParquetFile(paths[src])
         t = pf.read_row_groups(list(rgs), columns=columns, use_threads=False)
         if lineage:
@@ -299,9 +328,9 @@ def fused_read_fragments(
             if t.num_rows == 0:
                 continue
         yield (
-            encode_fragments_refs(t, holder)
+            encode_fragments_refs(t, holder, _t0=t0)
             if holder is not None
-            else encode_fragments(t)
+            else encode_fragments(t, _t0=t0)
         )
 
 
@@ -394,9 +423,14 @@ def merge_encode_task(rows: list[dict], actor_kwargs: dict) -> dict:
     metadata; beyond ~10^7 entries it would shard by bucket range over a
     tree of tracker tasks — documented trade-off, same shape as Spark's
     MapOutputTracker."""
+    import time as _time
+
+    t0 = _time.process_time()
     group = pa.Table.from_pylist(rows)
     summary = MergeEncoderActor(**actor_kwargs)(group)
-    return summary.to_pylist()[0]
+    out = summary.to_pylist()[0]
+    out["cpu_s"] = _time.process_time() - t0  # merge-side UDF CPU
+    return out
 
 
 class DecoderActor:
