@@ -440,7 +440,16 @@ _CODEC_MAP = {
 
 
 def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
-                keep_defs: bool = False) -> tuple[pa.Array, np.ndarray | None]:
+                keep_defs: bool = False,
+                entry_range: tuple[int, int] | None = None,
+                ) -> tuple[pa.Array, np.ndarray | None]:
+    """``entry_range=(start, stop)``: decode only the pages overlapping
+    that level-entry window (== rows for flat columns), skipping the
+    others without decompressing — the page-walk skipping of the
+    reference's chunk reader (layout/chunk.go:129-217). Page headers
+    are still walked (they carry num_values); payload bytes of skipped
+    pages are never touched. Repeated columns (lists) ignore the range
+    (entries ≠ rows there) — the caller slices assembled rows."""
     md = pf.metadata.row_group(row_group).column(column)
     sch = pf.schema.column(column)
     elem_nullable = False
@@ -471,20 +480,38 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
         elem_nullable=elem_nullable,
         keep_defs=keep_defs,
     )
+    if sch.max_repetition_level > 0:
+        entry_range = None  # entries != rows; caller slices rows
     pos = 0
     rows = 0
+    first_kept = None
     while rows < md.num_values and pos < len(buf):
         hdr, pos = read_page_header(buf, pos)
         payload = buf[pos : pos + hdr["compressed_size"]]
         if len(payload) < hdr["compressed_size"]:
             raise ValueError("truncated page payload")
         pos += hdr["compressed_size"]
+        is_data = hdr["type"] in (DATA_PAGE, DATA_PAGE_V2)
+        if entry_range is not None and is_data:
+            n = hdr["num_values"]
+            if rows + n <= entry_range[0] or rows >= entry_range[1]:
+                rows += n  # outside the window: skip payload entirely
+                continue
+            if first_kept is None:
+                first_kept = rows
         rdr.add_page(hdr, payload)
-        if hdr["type"] in (DATA_PAGE, DATA_PAGE_V2):
+        if is_data:
             rows += hdr["num_values"]
     arr = rdr.finish()
     defs = (np.concatenate(rdr.defs) if keep_defs and rdr.defs
             else (np.empty(0, np.uint64) if keep_defs else None))
+    if entry_range is not None:
+        a = entry_range[0] - (first_kept or 0)
+        b = entry_range[1] - (first_kept or 0)
+        a = max(0, a)
+        arr = arr.slice(a, max(0, b - a))
+        if defs is not None:
+            defs = defs[a:b]
     return arr, defs
 
 
@@ -496,7 +523,8 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
 
 
 def _assemble_struct(pf: pq.ParquetFile, path: str, row_group: int,
-                     indices: list[int], field: pa.Field) -> pa.Array:
+                     indices: list[int], field: pa.Field,
+                     entry_range: tuple[int, int] | None = None) -> pa.Array:
     """Rebuild a one-level struct column from its leaf chunks: child
     def levels distinguish struct-null (def < 1) from child-null
     (def < max_def) — every leaf agrees on the parent level, so the
@@ -509,7 +537,8 @@ def _assemble_struct(pf: pq.ParquetFile, path: str, row_group: int,
         child_name = md.column(j).path_in_schema.split(".", 1)[1]
         if "." in child_name:
             raise NotImplementedError("multi-level struct nesting")
-        arr, defs = _read_chunk(pf, path, row_group, j, keep_defs=True)
+        arr, defs = _read_chunk(pf, path, row_group, j, keep_defs=True,
+                                entry_range=entry_range)
         ch = t.field(child_name)
         try:
             arr = arr.cast(ch.type)
@@ -527,13 +556,18 @@ def _assemble_struct(pf: pq.ParquetFile, path: str, row_group: int,
 
 
 def read_row_group_native(path: str, row_group: int,
-                          columns: list[str] | None = None) -> pa.Table:
+                          columns: list[str] | None = None,
+                          row_range: tuple[int, int] | None = None) -> pa.Table:
     """Read one row group natively; columns cast to the file's Arrow
     schema (timestamps, dictionary-free strings, …) so output matches
-    ``pq.read_table`` for flat schemas."""
+    ``pq.read_table`` for flat schemas. ``row_range=(start, stop)``
+    reads only that row window: flat/struct chunks skip non-overlapping
+    pages without decompressing; list chunks decode and slice rows."""
     pf = pq.ParquetFile(path)
     arrow_schema = pf.schema_arrow
     md = pf.metadata.row_group(row_group)
+    if row_range is not None:
+        row_range = (max(0, row_range[0]), min(md.num_rows, row_range[1]))
     tops = [
         # top-level field name ("f.list.element" lists, "s.a" structs)
         md.column(i).path_in_schema.split(".")[0]
@@ -544,13 +578,18 @@ def read_row_group_native(path: str, row_group: int,
         if top in out or (columns is not None and top not in columns):
             continue
         field = arrow_schema.field(top)
+        is_list_col = pf.schema.column(i).max_repetition_level > 0
         if pa.types.is_struct(field.type):
             arr = _assemble_struct(
                 pf, path, row_group,
                 [j for j, tn in enumerate(tops) if tn == top], field,
+                entry_range=row_range,
             )
         else:
-            arr = _read_chunk(pf, path, row_group, i)[0]
+            arr = _read_chunk(pf, path, row_group, i,
+                              entry_range=row_range)[0]
+            if row_range is not None and is_list_col:
+                arr = arr.slice(row_range[0], row_range[1] - row_range[0])
         try:
             arr = arr.cast(field.type)
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
@@ -560,7 +599,8 @@ def read_row_group_native(path: str, row_group: int,
 
 
 def read_parquet_native(paths, columns: list[str] | None = None,
-                        concurrency: int | None = None):
+                        concurrency: int | None = None,
+                        max_rows_per_task: int = 131_072):
     """Distributed engine-native Parquet read: one Ray Data task per
     (file, row_group) — the Dataset-idiomatic shape of the reference's
     row-group iterator (``file-reader.go:193-253``). Each task touches
@@ -573,28 +613,53 @@ def read_parquet_native(paths, columns: list[str] | None = None,
     def _list_groups(batch: pa.Table):
         # Footer walk runs IN the tasks (one open per file, parallel) —
         # the driver never touches file metadata, so a 100 TB listing
-        # of many files doesn't serialize on the driver.
-        out_p, out_g = [], []
+        # of many files doesn't serialize on the driver. Row groups
+        # larger than max_rows_per_task split into row-range slices
+        # (page-skipping decode), so a single huge row group still
+        # fans out across the cluster.
+        out_p, out_g, out_a, out_b = [], [], [], []
         for p in batch.column("path").to_pylist():
-            n = pq.ParquetFile(p).metadata.num_row_groups
-            out_p.extend([p] * n)
-            out_g.extend(range(n))
+            md = pq.ParquetFile(p).metadata
+            for g in range(md.num_row_groups):
+                n = md.row_group(g).num_rows
+                splits = max(1, -(-n // max_rows_per_task))
+                step = -(-n // splits)
+                for s in range(0, n, step):
+                    out_p.append(p)
+                    out_g.append(g)
+                    out_a.append(s)
+                    out_b.append(min(n, s + step))
         yield pa.table({"path": pa.array(out_p, pa.string()),
-                        "row_group": pa.array(out_g, pa.int32())})
+                        "row_group": pa.array(out_g, pa.int32()),
+                        "row_start": pa.array(out_a, pa.int64()),
+                        "row_stop": pa.array(out_b, pa.int64())})
 
     def _read(batch: pa.Table):
-        for p, g in zip(
+        for p, g, a, b in zip(
             batch.column("path").to_pylist(),
             batch.column("row_group").to_pylist(),
+            batch.column("row_start").to_pylist(),
+            batch.column("row_stop").to_pylist(),
         ):
-            yield read_row_group_native(p, g, columns)
+            yield read_row_group_native(p, g, columns, row_range=(a, b))
 
-    ds = ray.data.from_items([{"path": p} for p in paths])
     kw = {"concurrency": concurrency} if concurrency else {}
-    ds = ds.map_batches(_list_groups, batch_size=8, batch_format="pyarrow",
-                        **kw)
-    # Re-split so each row-group read is its own task even when one
-    # file contributed many groups.
-    return ds.repartition(target_num_rows_per_block=1).map_batches(
+    if len(paths) > 4:
+        # Distributed footer walk, then pull only the TINY slice
+        # manifest (path, rg, row-range — ~50 B/slice) to plan blocks.
+        items = ray.data.from_items(
+            [{"path": p} for p in paths]
+        ).map_batches(
+            _list_groups, batch_size=8, batch_format="pyarrow", **kw
+        ).take_all()
+    else:
+        items = [
+            r
+            for p in paths
+            for b in _list_groups(pa.table({"path": [p]}))
+            for r in b.to_pylist()
+        ]
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
+    return ds.map_batches(
         _read, batch_size=1, batch_format="pyarrow", zero_copy_batch=True, **kw
     )

@@ -312,6 +312,36 @@ def test_list_columns_pyarrow_written(tmp_path, version, use_dict):
         ), (version, use_dict, name)
 
 
+def test_row_range_page_skipping(tmp_path):
+    """row_range decode skips non-overlapping pages and stitches back
+    exactly — flat, struct and list columns across page boundaries."""
+    s_type = pa.struct([pa.field("a", pa.int64()), pa.field("b", pa.string())])
+    t = pa.table({
+        "id": pa.array(range(100), pa.int64()),
+        "s": pa.array(
+            [{"a": i, "b": f"v{i % 3}"} if i % 7 else None for i in range(100)],
+            s_type,
+        ),
+        "l": pa.array(
+            [[float(i)] * (i % 4) if i % 5 else None for i in range(100)],
+            pa.list_(pa.float32()),
+        ),
+    })
+    path = str(tmp_path / "rr.parquet")
+    pq.write_table(t, path, data_page_size=128)  # many tiny pages
+    parts = [
+        read_row_group_native(path, 0, row_range=(s, min(100, s + 13)))
+        for s in range(0, 100, 13)
+    ]
+    got = pa.concat_tables(parts)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+    # Out-of-bounds ranges clamp.
+    assert read_row_group_native(path, 0, row_range=(90, 500)).num_rows == 10
+
+
 def test_native_read_distributed(ray_session, tmp_path, mixed_table):
     """read_parquet_native: one Ray task per row group, same rows as
     pq.read_table."""
