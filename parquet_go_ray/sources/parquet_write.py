@@ -25,8 +25,10 @@ vectorized from the Arrow offsets) and one-level ``struct`` columns as
 named groups (one leaf chunk per child, multi-level def streams:
 0 = struct null, parent level = child null). Deeper nesting delegated
 to pyarrow. Encodings per column: ``plain``,
-``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page) or
-``delta`` (DELTA_BINARY_PACKED, integer columns). Page compression:
+``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page),
+``delta`` (DELTA_BINARY_PACKED, integer columns), ``delta_length``
+(DELTA_LENGTH_BYTE_ARRAY) or ``delta_prefix`` (DELTA_BYTE_ARRAY front
+coding) for byte-array columns. Page compression:
 any ``functions/block.py`` codec that Parquet names (snappy / gzip /
 brotli / zstd) or none. Multi-level nesting stays delegated to
 pyarrow (SURVEY §2.3) — the engine's own blob container handles
@@ -154,6 +156,7 @@ def _struct_bytes(fields: list[tuple[int, int, object]]) -> bytes:
 
 BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
 PLAIN, PLAIN_DICT, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY = 0, 2, 3, 5, 8
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY = 6, 7
 DATA_PAGE, DICTIONARY_PAGE = 0, 2
 REQUIRED, OPTIONAL = 0, 1
 
@@ -549,6 +552,24 @@ class _ColumnChunkWriter:
                 self.write_data_page(
                     sl, delta_encode(vals), DELTA_BINARY_PACKED,
                     defs=pd_, max_def=max_def,
+                )
+            elif enc_name in ("delta_length", "delta_prefix"):
+                if phys != BYTE_ARRAY:
+                    raise ValueError(f"{enc_name} needs a byte-array column")
+                from ..functions.bytearray import (
+                    delta_length_encode,
+                    delta_prefix_encode,
+                )
+
+                lens, data = arrow_strings_to_parts(dense)
+                if enc_name == "delta_length":
+                    payload = delta_length_encode(lens, data)
+                    wire = DELTA_LENGTH_BYTE_ARRAY
+                else:
+                    payload = delta_prefix_encode(lens, data)
+                    wire = DELTA_BYTE_ARRAY
+                self.write_data_page(
+                    sl, payload, wire, defs=pd_, max_def=max_def,
                 )
             elif enc_name == "plain":
                 self.write_data_page(

@@ -305,6 +305,37 @@ def test_timestamp_tz_awareness(tmp_path):
     assert got.equals(t)
 
 
+@pytest.mark.parametrize("enc,wire", [("delta_length", "DELTA_LENGTH_BYTE_ARRAY"),
+                                      ("delta_prefix", "DELTA_BYTE_ARRAY")])
+def test_delta_byte_array_encodings(tmp_path, enc, wire):
+    """The engine's delta-length and front-coding byte-array encoders
+    (E11/E12) emitted into standard files; pyarrow, DuckDB and the
+    native reader all read them back."""
+    t = pa.table({
+        "a": pa.array([f"doc-{i:06d}" for i in range(5000)] + [None]),
+        "b": pa.array([b"k" * (i % 9) for i in range(5001)], pa.binary()),
+    })
+    path = str(tmp_path / "d.parquet")
+    write_parquet_native(t, path, encodings={"a": enc, "b": enc},
+                         data_page_rows=700)
+    got = pq.read_table(path)
+    assert got.equals(t)
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    assert wire in md.column(0).encodings
+
+    duckdb = pytest.importorskip("duckdb")
+    n = duckdb.sql(f"SELECT count(a) FROM read_parquet('{path}')").fetchone()[0]
+    assert n == 5000
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got2 = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got2.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
 def test_duckdb_reads_native_file(tmp_path):
     duckdb = pytest.importorskip("duckdb")
     t = sample_table()
