@@ -326,12 +326,46 @@ def _chunk_statistics(arr: pa.Array, phys: int) -> dict | None:
     return stats
 
 
+# Engine codec -> the Parquet wire encoding this writer can emit for it.
+# Codecs with no standard wire shape (fsst, for_bitpack, rle_bool, …)
+# fall back to PLAIN and let the page compressor take the entropy.
+_SELECTOR_TO_WIRE = {
+    "dict": "dict",
+    "delta": "delta",
+    "delta_length": "delta_length",
+    "delta_prefix": "delta_prefix",
+}
+
+
 def _auto_encoding(arr: pa.Array, phys: int) -> str:
+    """Column encoding choice for ``auto``: the engine's sampled-stats
+    trial selector (functions/selector.py — the realized `allowDict`
+    heuristic of the reference), mapped onto the Parquet encodings this
+    writer emits; falls back to a cardinality check if the selector
+    can't price the type."""
     if phys == BOOLEAN:
         return "plain"
     n = len(arr)
     if n == 0:
         return "plain"
+    dense = arr.drop_null() if arr.null_count else arr
+    if len(dense):
+        try:
+            from ..functions.selector import select_codec
+
+            codec, _comp, _stats = select_codec(dense)
+            wire = _SELECTOR_TO_WIRE.get(codec, "plain")
+            # The engine's container is laxer than Parquet's wire
+            # legality matrix: DELTA_* byte-array encodings exist only
+            # for the BYTE_ARRAY physical type (not FLBA), delta-BP
+            # only for INT32/INT64.
+            if wire in ("delta_length", "delta_prefix") and phys != BYTE_ARRAY:
+                wire = "plain"
+            if wire == "delta" and phys not in (INT32, INT64):
+                wire = "plain"
+            return wire
+        except (TypeError, ValueError):
+            pass
     nunique = pc.count_distinct(arr).as_py()
     return "dict" if nunique <= max(1, n // 2) else "plain"
 
@@ -545,8 +579,11 @@ class _ColumnChunkWriter:
             if enc_name == "delta":
                 if phys not in (INT32, INT64):
                     raise ValueError("delta encoding needs int32/int64")
+                # Logical ints (date32, timestamps) delta-encode on the
+                # physical representation.
+                ivals = dense.cast(pa.int32() if phys == INT32 else pa.int64())
                 vals = np.asarray(
-                    dense.to_numpy(zero_copy_only=False),
+                    ivals.to_numpy(zero_copy_only=False),
                     dtype=_NP_BY_PHYS[phys],
                 )
                 self.write_data_page(

@@ -407,6 +407,28 @@ def test_required_columns_have_no_levels(tmp_path):
     assert not got.schema.field("k").nullable
 
 
+def test_auto_encoding_uses_selector(tmp_path):
+    """`auto` runs the engine's sampled-stats trial selector mapped to
+    Parquet wire encodings — real testdata comes out smaller than the
+    pyarrow-written source and reads back equal."""
+    import os
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    path = str(tmp_path / "auto.parquet")
+    info = write_parquet_native(t, path)
+    assert pq.read_table(path).equals(t)
+    assert info["bytes"] < os.path.getsize(src)
+    md = pq.ParquetFile(path).metadata.row_group(0)
+    encs = {md.column(i).path_in_schema: set(md.column(i).encodings)
+            for i in range(md.num_columns)}
+    # Monotone ids + timestamps: the selector picks delta-BP; the
+    # low-cardinality event_type picks the dictionary.
+    assert "DELTA_BINARY_PACKED" in encs["event_id"]
+    assert "DELTA_BINARY_PACKED" in encs["ts"]
+    assert "RLE_DICTIONARY" in encs["event_type"] or "PLAIN_DICTIONARY" in encs["event_type"]
+
+
 def test_ray_sink_resumable(ray_session, tmp_path):
     import ray
 
