@@ -638,6 +638,28 @@ def _q_native_roundtrip_embeddings(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_native_filter_pushdown(sf_dir: str):
+    """Writer zone maps driving reader pruning: events sorted by value,
+    written with per-chunk Statistics by the native writer, read back by
+    the native reader with a (value > 75) predicate — row groups whose
+    stats exclude the range are never decoded; the exact filter then
+    runs per batch. Oracle = the same WHERE over the source table."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    out = os.path.join(tempfile.mkdtemp(prefix="pgr_zonemap_"), "ev.parquet")
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet")).sort_by("value")
+    write_parquet_native(t, out, row_group_rows=1000)
+    ds = read_parquet_native(out, filters=[("value", ">", 75.0)],
+                             max_rows_per_task=1000)
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -660,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_read_lineitem": _q_native_read_lineitem,
         "native_write_events": _q_native_write_events,
         "native_roundtrip_embeddings": _q_native_roundtrip_embeddings,
+        "native_filter_pushdown_events": _q_native_filter_pushdown,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -765,6 +788,10 @@ def oracle_sql() -> dict[str, str]:
             " WHERE value > 75.0"
         ),
         "native_read_lineitem": "SELECT * FROM lineitem",
+        "native_filter_pushdown_events": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+            " WHERE value > 75.0"
+        ),
         "native_write_events": "SELECT * FROM events",
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"

@@ -598,14 +598,51 @@ def read_row_group_native(path: str, row_group: int,
     return pa.table(out)
 
 
+_FILTER_OPS = {
+    "<": lambda lo, hi, v: lo is None or lo < v,
+    "<=": lambda lo, hi, v: lo is None or lo <= v,
+    ">": lambda lo, hi, v: hi is None or hi > v,
+    ">=": lambda lo, hi, v: hi is None or hi >= v,
+    "=": lambda lo, hi, v: (lo is None or lo <= v) and (hi is None or hi >= v),
+    "==": lambda lo, hi, v: (lo is None or lo <= v) and (hi is None or hi >= v),
+}
+
+
+def _rg_may_match(md_rg, name_to_idx: dict, filters) -> bool:
+    """Conjunctive zone-map check: can this row group contain rows
+    satisfying every (col, op, value) predicate? Missing/partial stats
+    keep the group (never prune on absent evidence — the same guard the
+    blob zone maps apply to truncated string maxima)."""
+    for col, op, val in filters:
+        i = name_to_idx.get(col)
+        if i is None or op not in _FILTER_OPS:
+            continue
+        st = md_rg.column(i).statistics
+        if st is None or st.null_count is None:
+            continue
+        lo = st.min if st.has_min_max else None
+        hi = st.max if st.has_min_max else None
+        if not _FILTER_OPS[op](lo, hi, val):
+            return False
+    return True
+
+
 def read_parquet_native(paths, columns: list[str] | None = None,
                         concurrency: int | None = None,
-                        max_rows_per_task: int = 131_072):
+                        max_rows_per_task: int = 131_072,
+                        filters: list[tuple] | None = None):
     """Distributed engine-native Parquet read: one Ray Data task per
     (file, row_group) — the Dataset-idiomatic shape of the reference's
     row-group iterator (``file-reader.go:193-253``). Each task touches
-    only its row group's byte range and requested columns."""
+    only its row group's byte range and requested columns.
+
+    ``filters=[(col, op, value), ...]`` (conjunctive; ops < <= > >= =)
+    prunes row groups against footer Statistics inside the listing
+    tasks — the read-side consumer of the zone maps the native WRITER
+    emits — then applies the predicate exactly per batch, so results
+    are identical with or without stats."""
     import ray
+    import pyarrow.compute as _pc
 
     if isinstance(paths, str):
         paths = [paths]
@@ -620,7 +657,15 @@ def read_parquet_native(paths, columns: list[str] | None = None,
         out_p, out_g, out_a, out_b = [], [], [], []
         for p in batch.column("path").to_pylist():
             md = pq.ParquetFile(p).metadata
+            n2i = {
+                md.row_group(0).column(i).path_in_schema.split(".")[0]: i
+                for i in range(md.num_columns)
+            } if md.num_row_groups else {}
             for g in range(md.num_row_groups):
+                if filters and not _rg_may_match(
+                    md.row_group(g), n2i, filters
+                ):
+                    continue
                 n = md.row_group(g).num_rows
                 splits = max(1, -(-n // max_rows_per_task))
                 step = -(-n // splits)
@@ -634,6 +679,9 @@ def read_parquet_native(paths, columns: list[str] | None = None,
                         "row_start": pa.array(out_a, pa.int64()),
                         "row_stop": pa.array(out_b, pa.int64())})
 
+    _OP_KERNEL = {"<": _pc.less, "<=": _pc.less_equal, ">": _pc.greater,
+                  ">=": _pc.greater_equal, "=": _pc.equal, "==": _pc.equal}
+
     def _read(batch: pa.Table):
         for p, g, a, b in zip(
             batch.column("path").to_pylist(),
@@ -641,7 +689,15 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             batch.column("row_start").to_pylist(),
             batch.column("row_stop").to_pylist(),
         ):
-            yield read_row_group_native(p, g, columns, row_range=(a, b))
+            t = read_row_group_native(p, g, columns, row_range=(a, b))
+            if filters:
+                mask = None
+                for col, op, val in filters:
+                    m = _OP_KERNEL[op](t.column(col), val)
+                    mask = m if mask is None else _pc.and_kleene(mask, m)
+                if mask is not None:
+                    t = t.filter(mask)
+            yield t
 
     kw = {"concurrency": concurrency} if concurrency else {}
     if len(paths) > 4:

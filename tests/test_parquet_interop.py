@@ -342,6 +342,41 @@ def test_row_range_page_skipping(tmp_path):
     assert read_row_group_native(path, 0, row_range=(90, 500)).num_rows == 10
 
 
+def test_filter_pushdown_prunes_row_groups(ray_session, tmp_path):
+    """filters= prunes row groups via footer Statistics (writer's zone
+    maps) and still returns exactly the WHERE rows; absent stats never
+    prune."""
+    import numpy as np
+
+    from parquet_go_ray.sources.parquet_pages import (
+        _rg_may_match,
+        read_parquet_native,
+    )
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    rng = np.random.default_rng(5)
+    t = pa.table({
+        "k": pa.array(np.sort(rng.integers(0, 10_000, 8000))),
+        "v": pa.array(rng.normal(size=8000)),
+    })
+    path = str(tmp_path / "z.parquet")
+    write_parquet_native(t, path, row_group_rows=1000)
+    md = pq.ParquetFile(path).metadata
+    hi = int(t.column("k")[7500].as_py())
+    n2i = {md.row_group(0).column(i).path_in_schema: i for i in range(2)}
+    kept = sum(
+        _rg_may_match(md.row_group(g), n2i, [("k", ">=", hi)])
+        for g in range(md.num_row_groups)
+    )
+    assert kept <= 2  # sorted column: stats exclude most groups
+    ds = read_parquet_native(path, filters=[("k", ">=", hi)])
+    got = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    import pyarrow.compute as pc
+
+    expect = t.filter(pc.greater_equal(t.column("k"), hi))
+    assert got.sort_by("v").equals(expect.sort_by("v"))
+
+
 def test_native_read_distributed(ray_session, tmp_path, mixed_table):
     """read_parquet_native: one Ray task per row group, same rows as
     pq.read_table."""
