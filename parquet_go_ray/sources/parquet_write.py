@@ -832,10 +832,15 @@ def write_parquet_files_native(
     codec: str = "zstd",
     encodings: dict[str, str] | None = None,
     data_page_rows: int = 20_000,
+    rows_per_file: int | None = 250_000,
 ):
-    """Ray Data sink: one engine-written Parquet file per input block.
+    """Ray Data sink: one engine-written Parquet file per ~rows_per_file
+    rows (consecutive input blocks coalesce into a batch — no shuffle;
+    ``rows_per_file=None`` writes one file per input block). Coalescing
+    keeps shards file-sized at 100 TB instead of emitting one tiny file
+    per upstream block, and amortizes the per-file codec selection.
 
-    Shard names are deterministic per (block content hash), so a rerun
+    Shard names are deterministic per (batch content hash), so a rerun
     over the same input skips files that already exist — the same
     resumable-output contract as the blob pipeline. Returns a Dataset of
     ``{path, rows, bytes}`` manifest rows."""
@@ -871,5 +876,5 @@ def write_parquet_files_native(
 
     return ds.map_batches(
         _write, batch_format="pyarrow", zero_copy_batch=True,
-        batch_size=None,
+        batch_size=rows_per_file,
     )
