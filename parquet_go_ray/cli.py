@@ -5,6 +5,9 @@
     python -m parquet_go_ray.cli decode --checkpoint /data/ckpt --out /data/decoded
     python -m parquet_go_ray.cli verify --input /data/transcripts --checkpoint /data/ckpt
     python -m parquet_go_ray.cli manifest --checkpoint /data/ckpt
+    python -m parquet_go_ray.cli export --input /data/in --out /data/std_parquet
+    python -m parquet_go_ray.cli scan --input /data/std_parquet/*.parquet \
+        --filter value '>' 75.0 --out /data/filtered
 
 Re-running ``encode`` against an existing checkpoint resumes: completed
 partitions are skipped before the shuffle. This module owns its Ray
@@ -46,6 +49,33 @@ def main(argv: list[str] | None = None) -> int:
 
     pm = sub.add_parser("manifest", help="print the lineage manifest")
     pm.add_argument("--checkpoint", required=True)
+
+    px = sub.add_parser(
+        "export",
+        help="write standard Parquet files with the ENGINE's writer "
+        "(selector-driven encodings, per-chunk statistics)",
+    )
+    px.add_argument("--input", required=True,
+                    help="parquet file/dir, or a blob checkpoint with "
+                    "--from-checkpoint")
+    px.add_argument("--out", required=True)
+    px.add_argument("--from-checkpoint", action="store_true")
+    px.add_argument("--codec", default="zstd",
+                    choices=["none", "snappy", "gzip", "brotli", "zstd"])
+    px.add_argument("--rows-per-file", type=int, default=250_000)
+
+    ps = sub.add_parser(
+        "scan",
+        help="read Parquet through the ENGINE's page decoders "
+        "(zone-map row-group pruning with --filter)",
+    )
+    ps.add_argument("--input", required=True, nargs="+")
+    ps.add_argument("--columns", nargs="*", default=None)
+    ps.add_argument("--filter", nargs=3, action="append", default=None,
+                    metavar=("COL", "OP", "VALUE"),
+                    help="e.g. --filter value '>' 75.0 (repeatable, ANDed)")
+    ps.add_argument("--out", default=None,
+                    help="write result to parquet; default prints a summary")
 
     args = p.parse_args(argv)
 
@@ -89,6 +119,52 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(result))
             return 0 if result["match"] else 1
+        elif args.cmd == "export":
+            from .sources.parquet_write import write_parquet_files_native
+
+            if args.from_checkpoint:
+                from .pipelines.decode import decode_pipeline
+
+                ds = decode_pipeline(args.input)
+            else:
+                ds = ray.data.read_parquet(args.input)
+            manifest = write_parquet_files_native(
+                ds, args.out, codec=args.codec,
+                rows_per_file=args.rows_per_file,
+            ).take_all()
+            print(json.dumps({
+                "files": len(manifest),
+                "rows": int(sum(r["rows"] for r in manifest)),
+                "bytes": int(sum(r["bytes"] for r in manifest)),
+                "out": args.out,
+            }))
+        elif args.cmd == "scan":
+            from .sources.parquet_pages import read_parquet_native
+
+            filters = None
+            if args.filter:
+                def _coerce(v: str):
+                    try:
+                        return int(v)
+                    except ValueError:
+                        try:
+                            return float(v)
+                        except ValueError:
+                            return v
+                filters = [(c, op, _coerce(v)) for c, op, v in args.filter]
+            ds = read_parquet_native(
+                args.input, columns=args.columns, filters=filters
+            )
+            if args.out:
+                ds.write_parquet(f"local://{args.out}")
+                print(json.dumps({"written": args.out}))
+            else:
+                n = 0
+                schema = None
+                for b in ds.iter_batches(batch_format="pyarrow"):
+                    n += b.num_rows
+                    schema = schema or [str(f) for f in b.schema]
+                print(json.dumps({"rows": n, "schema": schema}))
     finally:
         ray.shutdown()
     return 0
