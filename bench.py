@@ -256,6 +256,11 @@ def _quiet_ray_data() -> None:
 def run_bench() -> dict:
     import ray
 
+    # One-line host-health calibration BEFORE the timed queries: this
+    # VM's memory delivery swings ~6x between runs (measured 5-30 GiB/s
+    # memcpy at 2 procs), so every recorded bench carries the machine
+    # state it ran under.
+    host_memcpy = round(hw_mem_probe(2, seconds=3.0), 1)
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     _quiet_ray_data()
     try:
@@ -270,6 +275,7 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in q.items()},
         "sf": sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
+        "host_memcpy_gibs_2p": host_memcpy,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
 
