@@ -660,6 +660,67 @@ def _q_native_filter_pushdown(sf_dir: str):
     )
 
 
+def _q_native_roundtrip_nested(sf_dir: str):
+    """Deep nesting (list<struct>) through the native FILE loop: a
+    deterministic table goes engine-writer → engine-reader (general
+    Dremel shred + assembly, pyarrow on neither side), then a flat,
+    hash-friendly projection. The oracle builds the identical table
+    from range() in DuckDB and projects the same way."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    n = 400
+    ls_type = pa.list_(pa.struct([("a", pa.int64()), ("b", pa.string())]))
+    ls = pa.array(
+        [
+            None
+            if i % 13 == 0
+            else [
+                {"a": (None if (i + x) % 7 == 0 else i + x), "b": f"w{x % 3}"}
+                for x in range(i % 4)
+            ]
+            for i in range(n)
+        ],
+        ls_type,
+    )
+    t = pa.table({"id": pa.array(range(n), pa.int64()), "ls": ls})
+    out = os.path.join(tempfile.mkdtemp(prefix="pgr_nested_"), "n.parquet")
+    write_parquet_native(t, out, data_page_rows=64)
+    ds = read_parquet_native(out)
+
+    def project(batch: pa.Table) -> pa.Table:
+        col = batch.column("ls").combine_chunks()
+        lens = pc.list_value_length(col).cast(pa.int64())
+        flat = pc.list_flatten(col)  # structs of non-null lists only
+        a = pc.struct_field(flat, "a")
+        a_filled = np.asarray(pc.fill_null(a, 0), dtype=np.int64)
+        csum = np.zeros(len(a_filled) + 1, dtype=np.int64)
+        np.cumsum(a_filled, out=csum[1:])
+        ln = np.asarray(pc.fill_null(lens, 0), dtype=np.int64)
+        ends = np.cumsum(ln)
+        starts = ends - ln
+        a_sum = pa.array(csum[ends] - csum[starts], pa.int64())
+        valid = pc.is_valid(lens)
+        a_sum = pc.if_else(valid, a_sum, pa.nulls(len(col), pa.int64()))
+        b_list = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], ends)), pa.int32()),
+            pc.struct_field(flat, "b"),
+            mask=pc.invert(valid),
+        )
+        b_cat = pc.binary_join(b_list, ",")
+        return pa.table({
+            "id": batch.column("id"),
+            "ls_len": lens,
+            "a_sum": a_sum,
+            "b_cat": b_cat,
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -683,6 +744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_write_events": _q_native_write_events,
         "native_roundtrip_embeddings": _q_native_roundtrip_embeddings,
         "native_filter_pushdown_events": _q_native_filter_pushdown,
+        "native_roundtrip_nested": _q_native_roundtrip_nested,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -796,6 +858,21 @@ def oracle_sql() -> dict[str, str]:
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
+        ),
+        "native_roundtrip_nested": (
+            "WITH t AS (SELECT i AS id,"
+            " CASE WHEN i % 13 = 0 THEN NULL"
+            "   ELSE list_transform(range(i % 4), x -> struct_pack("
+            "     a := CASE WHEN (i + x) % 7 = 0 THEN NULL ELSE i + x END,"
+            "     b := 'w' || (x % 3))) END AS ls"
+            " FROM range(400) r(i))"
+            " SELECT id, CAST(len(ls) AS BIGINT) AS ls_len,"
+            " CASE WHEN ls IS NULL THEN NULL ELSE"
+            "   COALESCE(list_sum(list_transform(ls, e -> e.a)), 0)"
+            " END AS a_sum,"
+            " CASE WHEN ls IS NULL THEN NULL ELSE"
+            "   COALESCE(array_to_string(list_transform(ls, e -> e.b),"
+            "   ','), '') END AS b_cat FROM t"
         ),
         "top_documents_by_chars": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"

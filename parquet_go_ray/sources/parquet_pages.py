@@ -28,15 +28,14 @@ parsed HERE with the engine's own decoders:
 - DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY —
   ref ``encoding/delta-binary-packed-*.go``.
 
-Scope: flat columns (max_repetition_level == 0) of any physical type
-plus one-level lists (max_repetition_level == 1: 3-level LIST groups —
-rep-level record assembly vectorized over the whole chunk, null/empty
-lists and null elements included) and one-level structs (per-leaf def
-levels distinguish struct-null from child-null; children reassembled
-into a StructArray); v1 and v2 data pages; UNCOMPRESSED / SNAPPY /
-ZSTD / GZIP / BROTLI codecs. Deeper nesting raises
-``NotImplementedError`` — multi-level record assembly over real
-Parquet rep levels stays delegated to pyarrow (SURVEY §2.3).
+Scope: flat columns of any physical type, one-level lists/structs on
+vectorized fast paths, and ARBITRARY struct/list nesting via raw leaf
+streams + general Dremel record assembly (``sources/dremel.py``:
+list boundaries from rep-level runs, element slots from def
+thresholds, struct children zipped over the shared node-level entry
+stream); v1 and v2 data pages; UNCOMPRESSED / SNAPPY / ZSTD / GZIP /
+BROTLI codecs. Map columns raise ``NotImplementedError`` and stay
+delegated to pyarrow (SURVEY §2.3).
 """
 
 from __future__ import annotations
@@ -410,6 +409,24 @@ class _ChunkReader:
             pa.array(offsets, pa.int32()), elems, mask=mask
         )
 
+    def raw_streams(self) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """(dense values, rep levels, def levels) without any record
+        assembly — the inputs to general Dremel assembly
+        (sources/dremel.py) for arbitrarily nested columns."""
+        if self.values:
+            values = pa.concat_arrays(
+                [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+                 for v in self.values]
+            )
+        else:
+            values = pa.array([], pa.null())
+        n = sum(len(v) for v in self.validity)
+        defs = (np.concatenate(self.defs).astype(np.uint8) if self.defs
+                else np.full(n, self.max_def, dtype=np.uint8))
+        reps = (np.concatenate(self.reps).astype(np.uint8) if self.reps
+                else np.zeros(n, dtype=np.uint8))
+        return values, reps, defs
+
     def finish(self) -> pa.Array:
         if not self.values:
             return pa.array([], pa.null())
@@ -442,26 +459,35 @@ _CODEC_MAP = {
 def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
                 keep_defs: bool = False,
                 entry_range: tuple[int, int] | None = None,
-                ) -> tuple[pa.Array, np.ndarray | None]:
+                raw: bool = False,
+                ):
     """``entry_range=(start, stop)``: decode only the pages overlapping
     that level-entry window (== rows for flat columns), skipping the
     others without decompressing — the page-walk skipping of the
     reference's chunk reader (layout/chunk.go:129-217). Page headers
     are still walked (they carry num_values); payload bytes of skipped
     pages are never touched. Repeated columns (lists) ignore the range
-    (entries ≠ rows there) — the caller slices assembled rows."""
+    (entries ≠ rows there) — the caller slices assembled rows.
+
+    ``raw=True`` skips all record assembly and returns ``(dense values,
+    rep levels, def levels)`` for general Dremel assembly — the only
+    mode that accepts max_repetition_level > 1."""
     md = pf.metadata.row_group(row_group).column(column)
     sch = pf.schema.column(column)
     elem_nullable = False
-    if sch.max_repetition_level > 1:
-        raise NotImplementedError("multiply-nested columns (rep level > 1)")
-    if sch.max_repetition_level == 1:
-        top = md.path_in_schema.split(".")[0]
-        ft = pf.schema_arrow.field(top).type
-        if not (pa.types.is_list(ft) or pa.types.is_large_list(ft)
-                or pa.types.is_fixed_size_list(ft)):
-            raise NotImplementedError(f"repeated non-list column {ft}")
-        elem_nullable = ft.value_field.nullable
+    if not raw:
+        if sch.max_repetition_level > 1:
+            raise NotImplementedError(
+                "multiply-nested columns (rep level > 1): use raw streams"
+                " + sources/dremel.assemble_column"
+            )
+        if sch.max_repetition_level == 1:
+            top = md.path_in_schema.split(".")[0]
+            ft = pf.schema_arrow.field(top).type
+            if not (pa.types.is_list(ft) or pa.types.is_large_list(ft)
+                    or pa.types.is_fixed_size_list(ft)):
+                raise NotImplementedError(f"repeated non-list column {ft}")
+            elem_nullable = ft.value_field.nullable
     codec = _CODEC_MAP.get(md.compression)
     if codec is None:
         raise NotImplementedError(f"codec {md.compression}")
@@ -478,9 +504,9 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
         codec,
         max_rep=sch.max_repetition_level,
         elem_nullable=elem_nullable,
-        keep_defs=keep_defs,
+        keep_defs=keep_defs or raw,
     )
-    if sch.max_repetition_level > 0:
+    if sch.max_repetition_level > 0 or raw:
         entry_range = None  # entries != rows; caller slices rows
     pos = 0
     rows = 0
@@ -502,6 +528,8 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
         rdr.add_page(hdr, payload)
         if is_data:
             rows += hdr["num_values"]
+    if raw:
+        return rdr.raw_streams()
     arr = rdr.finish()
     defs = (np.concatenate(rdr.defs) if keep_defs and rdr.defs
             else (np.empty(0, np.uint64) if keep_defs else None))
@@ -579,7 +607,19 @@ def read_row_group_native(path: str, row_group: int,
             continue
         field = arrow_schema.field(top)
         is_list_col = pf.schema.column(i).max_repetition_level > 0
-        if pa.types.is_struct(field.type):
+        from .dremel import assemble_column, column_depth
+
+        if column_depth(field.type) >= 2 and not pa.types.is_map(field.type):
+            # General Dremel assembly from raw leaf streams (leaf order
+            # == footer order == depth-first schema order).
+            streams = []
+            for j in [j for j, tn in enumerate(tops) if tn == top]:
+                v, r, d = _read_chunk(pf, path, row_group, j, raw=True)
+                streams.append((r, d, v))
+            arr = assemble_column(field, streams)
+            if row_range is not None:
+                arr = arr.slice(row_range[0], row_range[1] - row_range[0])
+        elif pa.types.is_struct(field.type):
             arr = _assemble_struct(
                 pf, path, row_group,
                 [j for j, tn in enumerate(tops) if tn == top], field,

@@ -19,20 +19,18 @@ the write half the reference never shipped.
 Scope (mirrors the native reader): flat columns —
 bool / int32 / int64 / float / double / string / binary /
 fixed-size-binary / date32 / timestamp(ms|us|ns), nullable via v1
-definition levels — plus one-level ``list<primitive>`` columns as
-standard 3-level LIST groups (v1 rep+def level streams computed
-vectorized from the Arrow offsets) and one-level ``struct`` columns as
-named groups (one leaf chunk per child, multi-level def streams:
-0 = struct null, parent level = child null). Deeper nesting delegated
-to pyarrow. Encodings per column: ``plain``,
+definition levels — plus ARBITRARY struct/list nesting: one-level
+lists/structs take vectorized fast paths (3-level LIST groups / named
+groups with multi-level def streams), deeper shapes go through the
+general Dremel shredder (``sources/dremel.py`` — fuzz-tested
+assemble∘shred identity over random shapes to depth 4). Maps stay
+delegated to pyarrow. Encodings per column: ``plain``,
 ``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page),
 ``delta`` (DELTA_BINARY_PACKED, integer columns), ``delta_length``
 (DELTA_LENGTH_BYTE_ARRAY) or ``delta_prefix`` (DELTA_BYTE_ARRAY front
 coding) for byte-array columns. Page compression:
 any ``functions/block.py`` codec that Parquet names (snappy / gzip /
-brotli / zstd) or none. Multi-level nesting stays delegated to
-pyarrow (SURVEY §2.3) — the engine's own blob container handles
-arbitrary nesting.
+brotli / zstd) or none (deep-shredded leaves write PLAIN values).
 
 Each column chunk carries footer ``Statistics`` (min_value / max_value
 / null_count under declared TypeDefinedOrder) mirroring the engine's
@@ -522,6 +520,43 @@ class _ColumnChunkWriter:
             if PLAIN not in self.encodings:
                 self.encodings.append(PLAIN)
 
+    def add_shredded(self, leaf, page_rows: int) -> None:
+        """Write a general Dremel leaf (sources/dremel.py): v1 pages of
+        rep stream + def stream + PLAIN dense values, split on row
+        boundaries (rep == 0). Used for depth >= 2 columns."""
+        rep_w = max(1, int(leaf.max_rep).bit_length())
+        def_w = max(1, int(leaf.max_def).bit_length())
+        phys = self.plan["phys"]
+        row_starts = np.flatnonzero(leaf.rep == 0)
+        self.stats = _chunk_statistics(leaf.dense, phys)
+        self.stats["null_count"] = len(leaf.de) - len(leaf.dense)
+        cum = np.zeros(len(leaf.de) + 1, dtype=np.int64)
+        np.cumsum(leaf.de == leaf.max_def, out=cum[1:])
+        for s in range(0, max(1, len(row_starts)), page_rows):
+            a = int(row_starts[s]) if len(row_starts) else 0
+            e = s + page_rows
+            b = (int(row_starts[e]) if e < len(row_starts)
+                 else len(leaf.rep))
+            rep_sl = leaf.rep[a:b]
+            de_sl = leaf.de[a:b]
+            v0 = int(cum[a])
+            nv = int(cum[b] - cum[a])
+            dense_sl = leaf.dense.slice(v0, nv)
+            body = bytearray()
+            if leaf.max_rep > 0:
+                body += hybrid_encode_sized(rep_sl, rep_w)
+            body += hybrid_encode_sized(de_sl, def_w)
+            body += _plain_values(dense_sl, phys, self.plan["type_length"])
+            self._page(
+                [(1, _T_I32, DATA_PAGE),
+                 (5, _T_STRUCT, [(1, _T_I32, len(rep_sl)), (2, _T_I32, PLAIN),
+                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
+                bytes(body),
+            )
+            self.num_values += len(rep_sl)
+        if PLAIN not in self.encodings:
+            self.encodings.append(PLAIN)
+
     def add_rows(self, arr: pa.Array, page_rows: int,
                  defs: np.ndarray | None = None,
                  max_def: int | None = None) -> None:
@@ -664,36 +699,48 @@ def _leaf_element(name: str, repetition: int, plan: dict) -> list:
     return el
 
 
+def _emit_field(out: list, field: pa.Field) -> None:
+    """Recursive SchemaElement emission for any struct/list nesting."""
+    t = field.type
+    rep = OPTIONAL if field.nullable else REQUIRED
+    if pa.types.is_struct(t):
+        out.append([
+            (3, _T_I32, rep),
+            (4, _T_BINARY, field.name),
+            (5, _T_I32, t.num_fields),
+        ])
+        for i in range(t.num_fields):
+            _emit_field(out, t.field(i))
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        # optional group f (LIST) { repeated group list { element } }
+        out.append([
+            (3, _T_I32, rep),
+            (4, _T_BINARY, field.name),
+            (5, _T_I32, 1),
+            (6, _T_I32, 3),              # ConvertedType LIST
+            (10, _T_STRUCT, [(3, _T_STRUCT, [])]),  # LogicalType LIST
+        ])
+        out.append([(3, _T_I32, REPEATED), (4, _T_BINARY, "list"),
+                    (5, _T_I32, 1)])
+        elem = t.value_field
+        _emit_field(out, pa.field("element", elem.type, elem.nullable))
+    else:
+        out.append(_leaf_element(field.name, rep, _column_plan(field)))
+
+
+def _count_leaves(t: pa.DataType) -> int:
+    if pa.types.is_struct(t):
+        return sum(_count_leaves(t.field(i).type) for i in range(t.num_fields))
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return _count_leaves(t.value_type)
+    return 1
+
+
 def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
     root = [(4, _T_BINARY, "schema"), (5, _T_I32, len(schema))]
     out = [root]
-    for field, plan in zip(schema, plans):
-        rep = OPTIONAL if field.nullable else REQUIRED
-        if plan["struct"] is not None:
-            out.append([
-                (3, _T_I32, rep),
-                (4, _T_BINARY, field.name),
-                (5, _T_I32, len(plan["struct"])),
-            ])
-            for ch_name, ch_plan, ch_nullable in plan["struct"]:
-                ch_rep = OPTIONAL if ch_nullable else REQUIRED
-                out.append(_leaf_element(ch_name, ch_rep, ch_plan))
-        elif plan["list"] is not None:
-            # optional group f (LIST) { repeated group list {
-            #   optional/required element } }  — LogicalTypes.md 3-level
-            out.append([
-                (3, _T_I32, rep),
-                (4, _T_BINARY, field.name),
-                (5, _T_I32, 1),
-                (6, _T_I32, plan["converted"]),
-                (10, _T_STRUCT, plan["logical"]),
-            ])
-            out.append([(3, _T_I32, REPEATED), (4, _T_BINARY, "list"),
-                        (5, _T_I32, 1)])
-            elem_rep = OPTIONAL if plan["list_elem_nullable"] else REQUIRED
-            out.append(_leaf_element("element", elem_rep, plan["list"]))
-        else:
-            out.append(_leaf_element(field.name, rep, plan))
+    for field in schema:
+        _emit_field(out, field)
     return out
 
 
@@ -705,6 +752,19 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
     parent level = child null, max = value present)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    from .dremel import column_depth, shred_column
+
+    if plan is None or column_depth(field.type) >= 2:
+        # General Dremel shredding for multi-level nesting; leaf order
+        # == depth-first schema order (what the footer declares).
+        for leaf in shred_column(field, col):
+            cw = _ColumnChunkWriter(
+                leaf.path[-1], _column_plan(leaf.field), "plain", codec,
+                nullable=leaf.field.nullable, path=leaf.path,
+            )
+            cw.add_shredded(leaf, data_page_rows)
+            yield cw
+        return
     if plan["struct"] is None:
         cw = _ColumnChunkWriter(
             field.name, plan, encodings.get(field.name, "auto"), codec,
@@ -769,7 +829,12 @@ def write_parquet_native(
     Returns ``{path, rows, bytes, row_groups}``."""
     if codec not in _CODEC_ENUM:
         raise ValueError(f"parquet has no codec {codec!r}")
-    plans = [_column_plan(f) for f in table.schema]
+    from .dremel import column_depth
+
+    # depth >= 2 columns go through the general Dremel shredder; their
+    # leaf plans are built per leaf inside _field_chunk_writers.
+    plans = [None if column_depth(f.type) >= 2 else _column_plan(f)
+             for f in table.schema]
     encodings = encodings or {}
     row_groups: list[list] = []
     with open(path, "wb") as f:
@@ -813,8 +878,8 @@ def write_parquet_native(
             # readers must ignore Statistics min_value/max_value.
             (7, _T_LIST, (_T_STRUCT, [
                 [(1, _T_STRUCT, [])]
-                for p in plans
-                for _ in range(len(p["struct"]) if p["struct"] else 1)
+                for f in table.schema
+                for _ in range(_count_leaves(f.type))
             ])),
         ])
         f.write(footer)

@@ -246,11 +246,25 @@ def test_page_header_parser_roundtrip(tmp_path, mixed_table):
         assert pos > 0
 
 
-def test_deeply_nested_raises(tmp_path):
+def test_deeply_nested_now_reads(tmp_path):
+    """Depth-2 lists read natively via general Dremel assembly (the
+    one-level-only restriction was lifted; maps remain delegated)."""
     t = pa.table({
         "l": pa.array([[[1], [2]], [[3]]], pa.list_(pa.list_(pa.int64())))
     })
     path = str(tmp_path / "n.parquet")
+    pq.write_table(t, path)
+    got = read_row_group_native(path, 0)
+    assert got.column("l").combine_chunks().equals(
+        t.column("l").combine_chunks()
+    )
+
+
+def test_map_columns_still_delegated(tmp_path):
+    t = pa.table({
+        "m": pa.array([{"k": 1}, {"j": 2}], pa.map_(pa.string(), pa.int64()))
+    })
+    path = str(tmp_path / "m.parquet")
     pq.write_table(t, path)
     with pytest.raises(NotImplementedError):
         read_row_group_native(path, 0)

@@ -232,6 +232,62 @@ def test_mixed_nested_multi_row_group(tmp_path):
             ), (g, name)
 
 
+def test_deep_nesting_full_loop(tmp_path):
+    """Arbitrary-depth nesting (list<struct>, list<list>, depth-4) via
+    the general Dremel shredder: pyarrow + DuckDB + the native reader
+    all read engine-written deep files; page splits mid-column."""
+    s2 = pa.struct([pa.field("x", pa.int64()), pa.field("y", pa.string())])
+    deep = pa.list_(pa.struct([pa.field("m", pa.list_(
+        pa.struct([pa.field("q", pa.int64())])))]))
+    t = pa.table({
+        "a": pa.array([[{"x": 1, "y": "a"}, {"x": None, "y": "b"}], None,
+                       [], [{"x": 3, "y": None}]], pa.list_(s2)),
+        "b": pa.array([[[1, 2], [], None], [], None, [[3]]],
+                      pa.list_(pa.list_(pa.int64()))),
+        "d": pa.array([[{"m": [{"q": 1}, {"q": None}]}, {"m": None}], None,
+                       [{"m": []}], [{"m": [{"q": 7}]}]], deep),
+    })
+    path = str(tmp_path / "deep.parquet")
+    write_parquet_native(t, path, codec="zstd", data_page_rows=2)
+    assert pq.read_table(path).equals(t)
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = duckdb.sql(f"SELECT a FROM read_parquet('{path}')").fetchall()
+    assert rows[0][0] == [{"x": 1, "y": "a"}, {"x": None, "y": "b"}]
+    assert rows[1][0] is None
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+    # row-range slices stitch back
+    parts = [read_row_group_native(path, 0, row_range=(s, s + 2))
+             for s in (0, 2)]
+    assert pa.concat_tables(parts).equals(pa.table(got.to_pydict(),
+                                                   schema=got.schema)) or \
+        pa.concat_tables(parts).to_pylist() == t.to_pylist()
+
+
+def test_deep_nesting_reads_pyarrow_files(tmp_path):
+    s2 = pa.struct([pa.field("x", pa.int64()), pa.field("y", pa.string())])
+    t = pa.table({
+        "a": pa.array([[{"x": 1, "y": "a"}], None, [], [{"x": 3, "y": None}]],
+                      pa.list_(s2)),
+    })
+    path = str(tmp_path / "pad.parquet")
+    pq.write_table(t, path, version="2.6", compression="zstd")
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got = read_row_group_native(path, 0)
+    assert got.column("a").combine_chunks().equals(
+        t.column("a").combine_chunks()
+    )
+
+
 def test_column_chunk_statistics(tmp_path):
     """Footer Statistics (min_value/max_value/null_count) are emitted per
     column chunk and read back by pyarrow — the zone-map contract that
