@@ -33,9 +33,11 @@ vectorized fast paths, and ARBITRARY struct/list nesting via raw leaf
 streams + general Dremel record assembly (``sources/dremel.py``:
 list boundaries from rep-level runs, element slots from def
 thresholds, struct children zipped over the shared node-level entry
-stream); v1 and v2 data pages; UNCOMPRESSED / SNAPPY / ZSTD / GZIP /
-BROTLI codecs. Map columns raise ``NotImplementedError`` and stay
-delegated to pyarrow (SURVEY §2.3).
+stream), plus MAP groups reassembled through their
+list<struct<key,value>> view; v1 and v2 data pages; UNCOMPRESSED /
+SNAPPY / ZSTD / GZIP / BROTLI codecs. Every reference container shape
+now reads natively; pyarrow supplies only footer metadata (SURVEY
+§2.3 delegates the container, not the wire).
 """
 
 from __future__ import annotations
@@ -609,7 +611,36 @@ def read_row_group_native(path: str, row_group: int,
         is_list_col = pf.schema.column(i).max_repetition_level > 0
         from .dremel import assemble_column, column_depth
 
-        if column_depth(field.type) >= 2 and not pa.types.is_map(field.type):
+        if pa.types.is_map(field.type):
+            # Assemble the list<struct<key,value>> view, then rewrap as
+            # a MapArray (same physical layout; nulls ride the offsets).
+            mt = field.type
+            entry = pa.struct([
+                pa.field("key", mt.key_type, nullable=False),
+                pa.field("value", mt.item_field.type, mt.item_field.nullable),
+            ])
+            synth = pa.field(
+                top, pa.list_(pa.field("element", entry, nullable=False)),
+                field.nullable,
+            )
+            streams = []
+            for j in [j for j, tn in enumerate(tops) if tn == top]:
+                v, r, d = _read_chunk(pf, path, row_group, j, raw=True)
+                streams.append((r, d, v))
+            la = assemble_column(synth, streams)
+            offs = np.asarray(la.offsets, dtype=np.int32)
+            if la.null_count:
+                row_null = np.asarray(pc.is_null(la))
+                omask = np.concatenate((row_null, [False]))
+                offsets_arr = pa.array(offs, pa.int32(), mask=omask)
+            else:
+                offsets_arr = pa.array(offs, pa.int32())
+            arr = pa.MapArray.from_arrays(
+                offsets_arr, la.values.field(0), la.values.field(1),
+            )
+            if row_range is not None:
+                arr = arr.slice(row_range[0], row_range[1] - row_range[0])
+        elif column_depth(field.type) >= 2:
             # General Dremel assembly from raw leaf streams (leaf order
             # == footer order == depth-first schema order).
             streams = []

@@ -23,8 +23,9 @@ definition levels — plus ARBITRARY struct/list nesting: one-level
 lists/structs take vectorized fast paths (3-level LIST groups / named
 groups with multi-level def streams), deeper shapes go through the
 general Dremel shredder (``sources/dremel.py`` — fuzz-tested
-assemble∘shred identity over random shapes to depth 4). Maps stay
-delegated to pyarrow. Encodings per column: ``plain``,
+assemble∘shred identity over random shapes to depth 4), and ``map``
+columns as MAP-annotated key_value repeated groups (shredded through
+their list<struct<key,value>> view). Encodings per column: ``plain``,
 ``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page),
 ``delta`` (DELTA_BINARY_PACKED, integer columns), ``delta_length``
 (DELTA_LENGTH_BYTE_ARRAY) or ``delta_prefix`` (DELTA_BYTE_ARRAY front
@@ -711,6 +712,21 @@ def _emit_field(out: list, field: pa.Field) -> None:
         ])
         for i in range(t.num_fields):
             _emit_field(out, t.field(i))
+    elif pa.types.is_map(t):
+        # optional group f (MAP) { repeated group key_value {
+        #   required key; value } }
+        out.append([
+            (3, _T_I32, rep),
+            (4, _T_BINARY, field.name),
+            (5, _T_I32, 1),
+            (6, _T_I32, 1),              # ConvertedType MAP
+            (10, _T_STRUCT, [(2, _T_STRUCT, [])]),  # LogicalType MAP
+        ])
+        out.append([(3, _T_I32, REPEATED), (4, _T_BINARY, "key_value"),
+                    (5, _T_I32, 2)])
+        _emit_field(out, pa.field("key", t.key_type, nullable=False))
+        iv = t.item_field
+        _emit_field(out, pa.field("value", iv.type, iv.nullable))
     elif pa.types.is_list(t) or pa.types.is_large_list(t):
         # optional group f (LIST) { repeated group list { element } }
         out.append([
@@ -729,11 +745,38 @@ def _emit_field(out: list, field: pa.Field) -> None:
 
 
 def _count_leaves(t: pa.DataType) -> int:
+    if pa.types.is_map(t):
+        return _count_leaves(t.key_type) + _count_leaves(t.item_type)
     if pa.types.is_struct(t):
         return sum(_count_leaves(t.field(i).type) for i in range(t.num_fields))
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _count_leaves(t.value_type)
     return 1
+
+
+def _map_as_list(arr: pa.Array) -> tuple[pa.Field, pa.Array]:
+    """View a MapArray as list<struct<key, value>> for Dremel shredding
+    (same physical layout; the MAP annotations live in the schema)."""
+    t = arr.type
+    entry = pa.struct([
+        pa.field("key", t.key_type, nullable=False),
+        pa.field("value", t.item_field.type, t.item_field.nullable),
+    ])
+    entries = pa.StructArray.from_arrays(
+        [arr.keys, arr.items], fields=list(entry),
+    )
+    mask = None
+    if arr.null_count:
+        mask = pc.is_null(arr)
+    offsets = np.asarray(arr.offsets, dtype=np.int32)
+    return (
+        pa.field("kv", pa.list_(pa.field("element", entry, nullable=False))),
+        pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), entries,
+            type=pa.list_(pa.field("element", entry, nullable=False)),
+            mask=mask,
+        ),
+    )
 
 
 def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
@@ -754,6 +797,20 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
         col = col.combine_chunks()
     from .dremel import column_depth, shred_column
 
+    if pa.types.is_map(field.type):
+        # Shred the list<struct<key,value>> view; schema carries the
+        # MAP group shape, so leaf paths rewrite to f.key_value.{key,value}.
+        lfield, larr = _map_as_list(col)
+        lfield = pa.field(lfield.name, lfield.type, field.nullable)
+        for leaf in shred_column(lfield, larr):
+            path = [field.name, "key_value"] + leaf.path[3:]
+            cw = _ColumnChunkWriter(
+                path[-1], _column_plan(leaf.field), "plain", codec,
+                nullable=leaf.field.nullable, path=path,
+            )
+            cw.add_shredded(leaf, data_page_rows)
+            yield cw
+        return
     if plan is None or column_depth(field.type) >= 2:
         # General Dremel shredding for multi-level nesting; leaf order
         # == depth-first schema order (what the footer declares).
@@ -831,10 +888,11 @@ def write_parquet_native(
         raise ValueError(f"parquet has no codec {codec!r}")
     from .dremel import column_depth
 
-    # depth >= 2 columns go through the general Dremel shredder; their
-    # leaf plans are built per leaf inside _field_chunk_writers.
-    plans = [None if column_depth(f.type) >= 2 else _column_plan(f)
-             for f in table.schema]
+    # depth >= 2 columns and maps go through the general Dremel
+    # shredder; their leaf plans are built per leaf in
+    # _field_chunk_writers.
+    plans = [None if (column_depth(f.type) >= 2 or pa.types.is_map(f.type))
+             else _column_plan(f) for f in table.schema]
     encodings = encodings or {}
     row_groups: list[list] = []
     with open(path, "wb") as f:

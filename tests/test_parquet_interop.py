@@ -260,14 +260,23 @@ def test_deeply_nested_now_reads(tmp_path):
     )
 
 
-def test_map_columns_still_delegated(tmp_path):
+@pytest.mark.parametrize("version,use_dict", [("1.0", True), ("2.6", False)])
+def test_map_columns_read_natively(tmp_path, version, use_dict):
+    """MAP groups assemble through the list<struct<key,value>> view —
+    null maps, empty maps, null values, nested list values."""
     t = pa.table({
-        "m": pa.array([{"k": 1}, {"j": 2}], pa.map_(pa.string(), pa.int64()))
+        "m": pa.array([{"a": 1, "b": None}, None, {}, {"c": 3}],
+                      pa.map_(pa.string(), pa.int64())),
+        "mm": pa.array([{"x": [1, 2]}, {}, None, {"y": []}],
+                       pa.map_(pa.string(), pa.list_(pa.int64()))),
     })
     path = str(tmp_path / "m.parquet")
-    pq.write_table(t, path)
-    with pytest.raises(NotImplementedError):
-        read_row_group_native(path, 0)
+    pq.write_table(t, path, version=version, use_dictionary=use_dict)
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), (version, use_dict, name)
 
 
 @pytest.mark.parametrize("version,use_dict", [("1.0", True), ("2.6", False)])

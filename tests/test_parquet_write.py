@@ -288,6 +288,37 @@ def test_deep_nesting_reads_pyarrow_files(tmp_path):
     )
 
 
+def test_map_columns_full_loop(tmp_path):
+    """MAP groups written as key_value repeated groups: pyarrow, DuckDB
+    and the native reader all read engine-written maps (null/empty
+    maps, null values, nested list values)."""
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "m": pa.array([{"a": 1, "b": None}, None, {}, {"c": 3}],
+                      pa.map_(pa.string(), pa.int64())),
+        "mm": pa.array([{"x": [1, 2]}, {}, None, {"y": []}],
+                       pa.map_(pa.string(), pa.list_(pa.int64()))),
+    })
+    path = str(tmp_path / "maps.parquet")
+    write_parquet_native(t, path, codec="zstd", data_page_rows=2)
+    assert pq.read_table(path).equals(t)
+
+    duckdb = pytest.importorskip("duckdb")
+    rows = duckdb.sql(
+        f"SELECT m['a'] FROM read_parquet('{path}') ORDER BY id"
+    ).fetchall()
+    # duckdb map extraction yields a list of matches
+    assert rows[0][0] in (1, [1]) and rows[1][0] in (None, [])
+
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    got = read_row_group_native(path, 0)
+    for name in t.column_names:
+        assert got.column(name).combine_chunks().equals(
+            t.column(name).combine_chunks()
+        ), name
+
+
 def test_column_chunk_statistics(tmp_path):
     """Footer Statistics (min_value/max_value/null_count) are emitted per
     column chunk and read back by pyarrow — the zone-map contract that
