@@ -227,6 +227,112 @@ def clip_frames(data: bytes) -> list[np.ndarray]:
     return out
 
 
+# --- minimal ISO-BMFF (mp4) container ------------------------------------
+#
+# Frame DECODE needs real codecs (ffmpeg et al. — the documented stub
+# boundary), but the container is pure structure: a box walk over
+# [u32 size][4cc type][payload] with ftyp / moov{mvhd, trak{tkhd}}.
+# mp4_parse makes metadata extraction REAL (duration, timescale, track
+# count, first video track's 16.16-fixed dimensions); mp4_encode_meta
+# emits a valid minimal container for the synthetic corpus.
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+
+_MP4_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big") + bytes(4) * 2
+    + bytes(4) + (0x00010000).to_bytes(4, "big") + bytes(4)
+    + bytes(4) * 2 + (0x40000000).to_bytes(4, "big")
+)
+
+
+def mp4_encode_meta(width: int, height: int, duration_ms: int,
+                    timescale: int = 1000, mdat: bytes = b"") -> bytes:
+    """Minimal valid mp4: ftyp + moov{mvhd, trak{tkhd}} + mdat."""
+    dur = duration_ms * timescale // 1000
+    ftyp = _box(b"ftyp", b"isom" + (0x200).to_bytes(4, "big") + b"isomiso2")
+    mvhd = _box(b"mvhd", bytes(4)                       # version 0 + flags
+                + bytes(8)                              # ctime, mtime
+                + timescale.to_bytes(4, "big")
+                + dur.to_bytes(4, "big")
+                + (0x00010000).to_bytes(4, "big")       # rate 1.0
+                + (0x0100).to_bytes(2, "big")           # volume 1.0
+                + bytes(10)                             # reserved
+                + _MP4_UNITY_MATRIX
+                + bytes(24)                             # pre_defined
+                + (2).to_bytes(4, "big"))               # next_track_ID
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07"            # v0, enabled
+                + bytes(8)                              # ctime, mtime
+                + (1).to_bytes(4, "big")                # track_ID
+                + bytes(4)
+                + dur.to_bytes(4, "big")
+                + bytes(8) + bytes(2) * 4               # layer/group/vol/rsv
+                + _MP4_UNITY_MATRIX
+                + (width << 16).to_bytes(4, "big")      # 16.16 fixed
+                + (height << 16).to_bytes(4, "big"))
+    moov = _box(b"moov", mvhd + _box(b"trak", tkhd))
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+def _walk_boxes(data, pos: int, end: int):
+    while pos + 8 <= end:
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        typ = bytes(data[pos + 4:pos + 8])
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated mp4 largesize box")
+            size = int.from_bytes(data[pos + 8:pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed mp4 box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def mp4_parse(data: bytes) -> dict:
+    """Container metadata from the box structure (no codec work):
+    ``{brand, timescale, duration_ms, n_tracks, width, height}``."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an mp4 (missing ftyp)")
+    out = {"brand": bytes(data[8:12]).decode("latin1"), "timescale": 0,
+           "duration_ms": 0, "n_tracks": 0, "width": 0, "height": 0}
+    moov = None
+    for typ, body, nxt in _walk_boxes(data, 0, len(data)):
+        if typ == b"moov":
+            moov = (body, nxt)
+    if moov is None:
+        raise ValueError("mp4 without moov")
+    for typ, body, nxt in _walk_boxes(data, moov[0], moov[1]):
+        if typ == b"mvhd":
+            v = data[body]
+            off = body + 4 + (16 if v == 1 else 8)
+            ts = int.from_bytes(data[off:off + 4], "big")
+            dur_off = off + 4
+            dur = int.from_bytes(
+                data[dur_off:dur_off + (8 if v == 1 else 4)], "big"
+            )
+            out["timescale"] = ts
+            out["duration_ms"] = (dur * 1000 // ts) if ts else 0
+        elif typ == b"trak":
+            out["n_tracks"] += 1
+            for t2, b2, _ in _walk_boxes(data, body, nxt):
+                if t2 == b"tkhd":
+                    v = data[b2]
+                    # width/height are the last 8 bytes, 16.16 fixed
+                    # (v0 body: 4+4+4+4+4+4+8+2+2+2+2+36 = 76; v1: 88)
+                    whoff = b2 + (88 if v == 1 else 76)
+                    w = int.from_bytes(data[whoff:whoff + 4], "big") >> 16
+                    h = int.from_bytes(data[whoff + 4:whoff + 8], "big") >> 16
+                    if not out["width"]:
+                        out["width"], out["height"] = w, h
+    return out
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -266,8 +372,18 @@ def synthetic_media_table(n: int, seed: int = 0) -> pa.Table:
                 for f in range(int(rng.integers(4, 9)))
             ]
             rows.append((i, CLIP_TYPE, clip_encode(frames), w, h, len(frames) * 40))
+        elif i % 3 == 2:  # REAL minimal mp4 container (metadata parses;
+            # frame decode stays the codec stub boundary)
+            w, h = int(rng.integers(64, 1920)), int(rng.integers(64, 1080))
+            dur_ms = int(rng.integers(500, 60_000))
+            filler = rng.integers(0, 256, int(rng.integers(64, 512))).astype(
+                np.uint8
+            ).tobytes()
+            rows.append((i, "video/mp4",
+                         mp4_encode_meta(w, h, dur_ms, mdat=filler),
+                         w, h, dur_ms))
         else:  # library-dependent formats: stub boundary
-            mt = ["image/png", "image/jpeg", "video/mp4"][i % 3]
+            mt = ["image/png", "image/jpeg"][i % 2]
             payload = rng.integers(0, 256, int(rng.integers(256, 2048))).astype(
                 np.uint8
             ).tobytes()
@@ -363,6 +479,13 @@ class MediaDecode(MediaStage):
                     heights.append(frames[0].shape[0] if frames else 0)
                     widths.append(frames[0].shape[1] if frames else 0)
                     ok.append(bool(frames))
+                elif mt == "video/mp4":
+                    # Container metadata is REAL (box walk: mvhd/tkhd);
+                    # frame decode stays the codec stub boundary.
+                    info = mp4_parse(b)
+                    widths.append(info["width"])
+                    heights.append(info["height"])
+                    ok.append(info["n_tracks"] > 0)
                 elif mt in ("image/png", "image/jpeg") and self._pil is not None:
                     img = self._pil_decode(b)
                     heights.append(img.shape[0] if img is not None else 0)

@@ -124,13 +124,49 @@ def test_real_decode_stage():
     ok = d.column("decode_ok").to_pylist()
     types = t.column("media_type").to_pylist()
     for o, mt in zip(ok, types):
-        if mt in ("image/x-portable-pixmap", "audio/wav", "video/x-ppm-seq"):
+        if mt in ("image/x-portable-pixmap", "audio/wav", "video/x-ppm-seq",
+                  "video/mp4"):
+            # mp4 container metadata parses for real (ISO-BMFF box walk);
+            # frame decode remains the codec stub (FrameSample).
             assert o, f"real format {mt} must decode"
         else:
             assert not o, f"stub format {mt} must be marked undecodable"
+
+
+def test_mp4_container_metadata():
+    """ISO-BMFF box walk: dimensions/duration/tracks come from the
+    parsed container, not the metadata columns; garbage rejected."""
+    import pytest
+
+    from parquet_go_ray.ops.multimodal import mp4_encode_meta, mp4_parse
+
+    b = mp4_encode_meta(1280, 720, 12_345, mdat=b"xyz" * 50)
+    info = mp4_parse(b)
+    assert (info["width"], info["height"]) == (1280, 720)
+    assert info["n_tracks"] == 1 and info["brand"] == "isom"
+    assert abs(info["duration_ms"] - 12_345) <= 1
+    for bad in (b"", b"\x00" * 20, b"\x00\x00\x00\x08ftyp",
+                b[:40]):  # truncated moov
+        with pytest.raises(ValueError):
+            mp4_parse(bad)
+    # MediaDecode reports parsed dims for mp4 rows
+    t = synthetic_media_table(20, seed=4)
+    d = MediaDecode()(t)
+    for i in range(t.num_rows):
+        if t.column("media_type")[i].as_py() == "video/mp4":
+            assert (d.column("decoded_w")[i].as_py()
+                    == t.column("width")[i].as_py())
+            assert (d.column("decoded_h")[i].as_py()
+                    == t.column("height")[i].as_py())
+
+
+def test_decoded_dims_from_pixels():
     # Decoded dimensions come from the parsed pixels, not the metadata.
     import parquet_go_ray.ops.multimodal as mm
 
+    t = synthetic_media_table(20, seed=4)
+    d = MediaDecode()(t)
+    types = t.column("media_type").to_pylist()
     first_ppm = types.index("image/x-portable-pixmap")
     img = mm.ppm_decode(t.column("payload")[first_ppm].as_py())
     assert d.column("decoded_w")[first_ppm].as_py() == img.shape[1]
