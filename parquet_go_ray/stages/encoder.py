@@ -420,9 +420,12 @@ def merge_encode_task(rows: list[dict], actor_kwargs: dict) -> dict:
     pack the cluster elastically as soon as fragments are ready).
 
     At 100-TB scale the tracker is O(splits × buckets) rows of
-    metadata; beyond ~10^7 entries it would shard by bucket range over a
-    tree of tracker tasks — documented trade-off, same shape as Spark's
-    MapOutputTracker."""
+    metadata; beyond ~10^7 entries the IMPLEMENTED fallback is
+    ``exchange="sort"`` with ``fragment_refs=True`` — the groupby then
+    shuffles only the ~250-byte ref rows (a tiny all-to-all over
+    metadata, no driver collection) while payload bytes still move
+    point-to-point. Same trade-off shape as Spark's MapOutputTracker
+    vs. its sort-based shuffle of map statuses."""
     import time as _time
 
     t0 = _time.process_time()
