@@ -721,6 +721,50 @@ def _q_native_roundtrip_nested(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_normalize_documents(sf_dir: str):
+    """Text normalization for training-data pipelines: NFC + lowercase
+    + whitespace collapse, all pyarrow.compute kernels (no Python row
+    loop). Oracle = the same chain in DuckDB."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(batch.column("text"), form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return pa.table({"doc_id": batch.column("doc_id"), "text_norm": t})
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_sample_documents(sf_dir: str):
+    """Deterministic hash sampling (the reproducible-subset primitive a
+    100-TB pipeline needs): keep rows where the first 8 hex digits of
+    md5(doc_id) mod 100 < 37. Pure filter — identical on any cluster
+    size or ordering; oracle runs the same predicate in SQL. The md5
+    per row is oracle-forced (DuckDB parity), mirroring
+    fingerprint_documents; the engine's fast path is the vectorized
+    hash sampler in functions/selector.py."""
+    import hashlib
+
+    import numpy as np
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 < 37
+             for i in ids),
+            dtype=bool, count=len(ids),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -745,6 +789,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_embeddings": _q_native_roundtrip_embeddings,
         "native_filter_pushdown_events": _q_native_filter_pushdown,
         "native_roundtrip_nested": _q_native_roundtrip_nested,
+        "normalize_documents": _q_normalize_documents,
+        "sample_documents": _q_sample_documents,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -831,6 +877,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+        ),
+        "normalize_documents": (
+            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '\\s+', ' ', 'g')) AS text_norm FROM documents"
+        ),
+        "sample_documents": (
+            "SELECT doc_id, n_chars FROM documents"
+            " WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
+            " 1, 8)) AS UBIGINT) % 100 < 37"
         ),
         "events_agg": (
             "SELECT event_type, count(*) AS n, min(value) AS value_min,"
