@@ -765,6 +765,54 @@ def _q_sample_documents(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_window_events(sf_dir: str):
+    """Tumbling-window aggregate (1-hour windows): per (window_start,
+    event_type) count + value sum. The window key is a vectorized
+    floor-div on the timestamp inside map_batches (partial aggregation
+    per batch), then one small groupby over (window, type) partials —
+    the pre-aggregate-before-shuffle shape the 100-TB brief names.
+    Oracle = DuckDB time_bucket."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    hour_us = 3_600_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        win = (ts // hour_us) * hour_us
+        # Hash-stable SUM: values carry 2 decimals, so integer cents sum
+        # exactly and order-independently (float sums don't).
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0))             .cast(pa.int64())
+        t = pa.table({
+            "window_start": pa.array(win, pa.int64()),
+            "event_type": batch.column("event_type"),
+            "cents": cents,
+        })
+        return t.group_by(["window_start", "event_type"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    agg = parts.groupby(["window_start", "event_type"]).aggregate(
+        ray.data.aggregate.Sum("cents_sum"),
+        ray.data.aggregate.Sum("cents_count"),
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": batch.column("window_start")
+            .cast(pa.timestamp("us")),
+            "event_type": batch.column("event_type"),
+            "value_cents": batch.column("sum(cents_sum)").cast(pa.int64()),
+            "n": batch.column("sum(cents_count)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -791,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_nested": _q_native_roundtrip_nested,
         "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
+        "window_events": _q_window_events,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -939,6 +988,12 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_lineitem_part": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"
             " FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey"
+        ),
+        "window_events": (
+            "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,"
+            " event_type, CAST(sum(CAST(round(value * 100) AS BIGINT))"
+            " AS BIGINT) AS value_cents, count(*) AS n"
+            " FROM events GROUP BY 1, 2"
         ),
         "sessionize_events": (
             "WITH d AS (SELECT user_id, ts,"
