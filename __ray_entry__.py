@@ -813,6 +813,30 @@ def _q_window_events(sf_dir: str):
     return agg.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_asof_join_events(sf_dir: str):
+    """As-of join (brief-named custom operator): every event picks the
+    nearest-earlier rate from a deterministic irregular rate table —
+    broadcast small side + per-batch searchsorted, no shuffle, no sort
+    of the big side. Oracle = DuckDB ASOF LEFT JOIN on the identical
+    range()-built table."""
+    import numpy as np
+
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    k = np.arange(150, dtype=np.int64)
+    rate_ts = epoch_us + (k * 37 + (k * k) % 13) * 60_000_000
+    rates = pa.table({
+        "ts": pa.array(rate_ts, pa.int64()).cast(pa.timestamp("us")),
+        "rate": pa.array(k, pa.int64()),
+    })
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    out = asof_join_broadcast(ds, rates, on="ts")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "rate"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -840,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
+        "asof_join_events": _q_asof_join_events,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -988,6 +1013,13 @@ def oracle_sql() -> dict[str, str]:
         "broadcast_join_lineitem_part": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"
             " FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey"
+        ),
+        "asof_join_events": (
+            "WITH rates AS (SELECT TIMESTAMP '2024-01-01'"
+            " + to_minutes(k * 37 + (k * k) % 13) AS ts,"
+            " CAST(k AS BIGINT) AS rate FROM range(150) t(k))"
+            " SELECT e.event_id, r.rate FROM events e"
+            " ASOF LEFT JOIN rates r ON e.ts >= r.ts"
         ),
         "window_events": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,"

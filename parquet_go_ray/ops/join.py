@@ -68,6 +68,50 @@ class _BroadcastJoiner:
         return out
 
 
+def asof_join_broadcast(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    on: str,
+    small_on: str | None = None,
+    select: list[str] | None = None,
+) -> ray.data.Dataset:
+    """As-of join (nearest earlier ``small_on`` ≤ ``on``): the custom
+    operator the brief names, expressed as a broadcast + per-batch
+    ``np.searchsorted`` — no shuffle, no sort of the big side. The
+    small side must fit a worker heap and is shipped once via
+    ``fn_kwargs`` (an object-store ref under the hood); rows earlier
+    than every small-side timestamp get nulls, exactly like SQL
+    ``ASOF JOIN``. Partitioning assumption (documented per the brief):
+    the small side is global — with a per-key ``by`` dimension at
+    100 TB, hash-partition both sides by key first and apply this
+    inside each partition."""
+    small_on = small_on or on
+    small = small.combine_chunks().sort_by(small_on)
+    skeys = small.column(small_on).to_numpy(zero_copy_only=False)
+    cols = select or [c for c in small.column_names if c != small_on]
+    payload = {c: small.column(c) for c in cols}
+
+    def probe(batch: pa.Table) -> pa.Table:
+        keys = batch.column(on).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, keys, side="right") - 1
+        valid = pos >= 0
+        pos = np.where(valid, pos, 0)
+        out = batch
+        vmask = pa.array(valid)
+        idx = pa.array(pos, pa.int64())
+        for c in cols:
+            taken = payload[c].take(idx)
+            import pyarrow.compute as pc
+
+            col = pc.if_else(vmask, taken, pa.nulls(len(keys), taken.type))
+            out = out.append_column(c, col)
+        return out
+
+    return big.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small: pa.Table,

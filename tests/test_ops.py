@@ -285,3 +285,27 @@ class TestAnnIvfRecall:
         recalls = [r["recall_at_10"] for r in out.to_pylist()]
         assert len(recalls) == 10
         assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_asof_join_broadcast(ray_session):
+    """Nearest-earlier semantics: exact hits take that row, probes
+    before the first key get nulls, ties at equal timestamps match."""
+    import numpy as np
+
+    import ray as _ray
+
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    rates = pa.table({
+        "ts": pa.array([100, 200, 300], pa.int64()),
+        "rate": pa.array([1, 2, 3], pa.int64()),
+    })
+    big = _ray.data.from_arrow(pa.table({
+        "id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([50, 100, 150, 250, 300, 999], pa.int64()),
+    }))
+    out = pa.concat_tables(list(
+        asof_join_broadcast(big, rates, on="ts")
+        .iter_batches(batch_format="pyarrow")
+    )).sort_by("id")
+    assert out.column("rate").to_pylist() == [None, 1, 1, 2, 3, 3]
