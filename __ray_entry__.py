@@ -837,6 +837,40 @@ def _q_asof_join_events(sf_dir: str):
     )
 
 
+def _q_asof_join_by_events(sf_dir: str):
+    """Per-key as-of join: every event picks the nearest-earlier rate
+    FOR ITS OWN event_type (equality dimension ``by=`` + as-of on ts).
+    Oracle = DuckDB ``ASOF LEFT JOIN ... ON e.event_type = r.event_type
+    AND e.ts >= r.ts`` over the identical deterministic rate table."""
+    import numpy as np
+
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    types = sorted(
+        _read(sf_dir, "events", columns=["event_type"]).unique("event_type")
+    )
+    epoch_us = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
+    k = np.arange(30, dtype=np.int64)
+    et_col, ts_col, rate_col = [], [], []
+    for et in types:
+        et_col.extend([et] * len(k))
+        ts_col.extend(
+            (epoch_us + (k * 41 + len(et) * 7 + (k * k) % 11)
+             * 60_000_000).tolist()
+        )
+        rate_col.extend((k * 10 + len(et)).tolist())
+    rates = pa.table({
+        "event_type": pa.array(et_col, pa.string()),
+        "ts": pa.array(ts_col, pa.int64()).cast(pa.timestamp("us")),
+        "rate": pa.array(rate_col, pa.int64()),
+    })
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    out = asof_join_broadcast(ds, rates, on="ts", by="event_type")
+    return out.map_batches(
+        lambda b: b.select(["event_id", "rate"]), batch_format="pyarrow"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
@@ -865,6 +899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
         "asof_join_events": _q_asof_join_events,
+        "asof_join_by_events": _q_asof_join_by_events,
         "ann_cosine_embeddings": _q_ann,
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
@@ -1020,6 +1055,16 @@ def oracle_sql() -> dict[str, str]:
             " CAST(k AS BIGINT) AS rate FROM range(150) t(k))"
             " SELECT e.event_id, r.rate FROM events e"
             " ASOF LEFT JOIN rates r ON e.ts >= r.ts"
+        ),
+        "asof_join_by_events": (
+            "WITH types AS (SELECT DISTINCT event_type FROM events),"
+            " rates AS (SELECT event_type, TIMESTAMP '2024-01-01'"
+            "  + to_minutes(k * 41 + length(event_type) * 7 + (k * k) % 11)"
+            "  AS ts, CAST(k * 10 + length(event_type) AS BIGINT) AS rate"
+            "  FROM types, range(30) t(k))"
+            " SELECT e.event_id, r.rate FROM events e"
+            " ASOF LEFT JOIN rates r"
+            " ON e.event_type = r.event_type AND e.ts >= r.ts"
         ),
         "window_events": (
             "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,"

@@ -68,47 +68,124 @@ class _BroadcastJoiner:
         return out
 
 
+class _AsofJoiner:
+    """Actor state for the broadcast as-of join: the sorted small side is
+    ``ray.get`` once per actor from an object-store ref (NOT re-shipped
+    in every task closure — same contract as ``_BroadcastJoiner``).
+    ``by=`` adds an equality dimension: the small side is segmented per
+    key; probes loop over the batch's distinct keys (bounded, usually
+    few) with one vectorized searchsorted per segment."""
+
+    def __init__(self, small_ref, on, small_on, select, by=None,
+                 small_by=None):
+        import pyarrow.compute as pc
+
+        small: pa.Table = ray.get(small_ref) if not isinstance(
+            small_ref, pa.Table
+        ) else small_ref
+        self.on, self.by = on, by
+        self.pc = pc
+        sort_keys = ([(small_by, "ascending")] if by else []) + [
+            (small_on, "ascending")
+        ]
+        small = small.combine_chunks().sort_by(sort_keys)
+        self.skeys = small.column(small_on).to_numpy(zero_copy_only=False)
+        drop = {small_on} | ({small_by} if by else set())
+        self.cols = select or [c for c in small.column_names
+                               if c not in drop]
+        self.payload = {c: small.column(c).combine_chunks()
+                        for c in self.cols}
+        if by:
+            bkeys = small.column(small_by).to_numpy(zero_copy_only=False)
+            # segment bounds per distinct key in the (sorted) small side
+            self.seg_keys, starts = np.unique(bkeys, return_index=True)
+            self.seg_starts = starts
+            self.seg_stops = np.append(starts[1:], len(bkeys))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pc = self.pc
+        on_col = batch.column(self.on)
+        keys = on_col.to_numpy(zero_copy_only=False)
+        # Null probe timestamps become NaT/NaN, which searchsorted orders
+        # AFTER every real key (matching the last row); SQL ASOF JOIN
+        # yields null payload for them — mask them out explicitly.
+        valid = ~np.asarray(pc.is_null(on_col))
+        if self.by is None:
+            pos = np.searchsorted(self.skeys, keys, side="right") - 1
+            valid &= pos >= 0
+        elif len(self.seg_keys) == 0:
+            valid = np.zeros(len(keys), dtype=bool)
+            pos = np.zeros(len(keys), dtype=np.int64)
+        else:
+            by_col = batch.column(self.by)
+            bvals = by_col.to_numpy(zero_copy_only=False)
+            valid &= ~np.asarray(pc.is_null(by_col))
+            if not valid.all():
+                # null keys can't go through searchsorted (None/NaN
+                # compare); park them on segment 0, masked out anyway
+                bvals = np.where(valid, bvals, self.seg_keys[0])
+            pos = np.full(len(keys), -1, dtype=np.int64)
+            si = np.searchsorted(self.seg_keys, bvals)
+            si_c = np.minimum(si, len(self.seg_keys) - 1)
+            valid &= self.seg_keys[si_c] == bvals
+            for s in np.unique(si_c[valid]):
+                rows = np.flatnonzero(valid & (si_c == s))
+                a, b = self.seg_starts[s], self.seg_stops[s]
+                p = np.searchsorted(
+                    self.skeys[a:b], keys[rows], side="right"
+                ) - 1
+                pos[rows] = np.where(p >= 0, a + p, -1)
+            valid &= pos >= 0
+        pos = np.where(valid, pos, 0)
+        out = batch
+        vmask = pa.array(valid)
+        idx = pa.array(pos, pa.int64())
+        for c in self.cols:
+            taken = self.payload[c].take(idx)
+            col = pc.if_else(vmask, taken, pa.nulls(len(keys), taken.type))
+            out = out.append_column(c, col)
+        return out
+
+
 def asof_join_broadcast(
     big: ray.data.Dataset,
     small: pa.Table,
     on: str,
     small_on: str | None = None,
     select: list[str] | None = None,
+    by: str | None = None,
+    small_by: str | None = None,
+    concurrency=(1, 8),
 ) -> ray.data.Dataset:
-    """As-of join (nearest earlier ``small_on`` ≤ ``on``): the custom
-    operator the brief names, expressed as a broadcast + per-batch
-    ``np.searchsorted`` — no shuffle, no sort of the big side. The
-    small side must fit a worker heap and is shipped once via
-    ``fn_kwargs`` (an object-store ref under the hood); rows earlier
-    than every small-side timestamp get nulls, exactly like SQL
-    ``ASOF JOIN``. Partitioning assumption (documented per the brief):
-    the small side is global — with a per-key ``by`` dimension at
-    100 TB, hash-partition both sides by key first and apply this
-    inside each partition."""
+    """As-of join (nearest earlier ``small_on`` ≤ ``on``, optionally
+    within an equality key ``by``): the custom operator the brief names,
+    expressed as a broadcast + per-batch ``np.searchsorted`` — no
+    shuffle, no sort of the big side. The small side must fit a worker
+    heap and is ``ray.put`` ONCE; each actor fetches it in its
+    constructor (zero-copy from the local object store), so it is never
+    re-serialized per task. Rows earlier than every small-side timestamp
+    — and rows with a null probe timestamp or an unknown/null ``by`` key
+    — get null payload columns, exactly like SQL/DuckDB ``ASOF JOIN``.
+    Partitioning assumption (documented per the brief): the small side
+    is global; if the small side itself outgrows a worker heap,
+    hash-partition BOTH sides by ``by`` first and apply this join inside
+    each partition."""
     small_on = small_on or on
-    small = small.combine_chunks().sort_by(small_on)
-    skeys = small.column(small_on).to_numpy(zero_copy_only=False)
-    cols = select or [c for c in small.column_names if c != small_on]
-    payload = {c: small.column(c) for c in cols}
-
-    def probe(batch: pa.Table) -> pa.Table:
-        keys = batch.column(on).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skeys, keys, side="right") - 1
-        valid = pos >= 0
-        pos = np.where(valid, pos, 0)
-        out = batch
-        vmask = pa.array(valid)
-        idx = pa.array(pos, pa.int64())
-        for c in cols:
-            taken = payload[c].take(idx)
-            import pyarrow.compute as pc
-
-            col = pc.if_else(vmask, taken, pa.nulls(len(keys), taken.type))
-            out = out.append_column(c, col)
-        return out
-
+    small_by = small_by or by
     return big.map_batches(
-        probe, batch_format="pyarrow", zero_copy_batch=True,
+        _AsofJoiner,
+        fn_constructor_kwargs={
+            "small_ref": ray.put(small),
+            "on": on,
+            "small_on": small_on,
+            "select": select,
+            "by": by,
+            "small_by": small_by,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
     )
 
 

@@ -398,6 +398,9 @@ class _ChunkReader:
         evalid = defs[elem_slot] == self.max_def
         if bool(evalid.all()):
             elems = values
+        elif len(values) == 0:
+            # Every element slot is null: nothing dense to scatter.
+            elems = pa.nulls(len(evalid), values.type)
         else:
             idx = np.where(evalid, np.cumsum(evalid) - 1, 0)
             taken = values.take(pa.array(idx, pa.int64()))
@@ -441,6 +444,11 @@ class _ChunkReader:
         valid = np.concatenate(self.validity)
         if bool(valid.all()):
             return values
+        if len(values) == 0:
+            # All-null chunk (or an all-null row-range window): there are
+            # no dense values to scatter — values.take(idx) would raise
+            # ArrowIndexError. Mirrors the guard in dremel._assemble.
+            return pa.nulls(len(valid), values.type)
         # Scatter non-null values back to row positions, then mask.
         idx = np.where(valid, np.cumsum(valid) - 1, 0)
         taken = values.take(pa.array(idx, pa.int64()))
@@ -718,6 +726,18 @@ def read_parquet_native(paths, columns: list[str] | None = None,
     if isinstance(paths, str):
         paths = [paths]
 
+    # A filter on a column outside the projection would KeyError inside
+    # the read tasks; union filter columns into the read set and drop
+    # them again before yielding, so filters compose with any projection.
+    read_columns = columns
+    drop_after_filter: list[str] = []
+    if filters and columns is not None:
+        extra = [c for c, _, _ in filters if c not in columns]
+        if extra:
+            # preserve order, dedupe
+            drop_after_filter = list(dict.fromkeys(extra))
+            read_columns = list(columns) + drop_after_filter
+
     def _list_groups(batch: pa.Table):
         # Footer walk runs IN the tasks (one open per file, parallel) —
         # the driver never touches file metadata, so a 100 TB listing
@@ -760,7 +780,7 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             batch.column("row_start").to_pylist(),
             batch.column("row_stop").to_pylist(),
         ):
-            t = read_row_group_native(p, g, columns, row_range=(a, b))
+            t = read_row_group_native(p, g, read_columns, row_range=(a, b))
             if filters:
                 mask = None
                 for col, op, val in filters:
@@ -768,6 +788,8 @@ def read_parquet_native(paths, columns: list[str] | None = None,
                     mask = m if mask is None else _pc.and_kleene(mask, m)
                 if mask is not None:
                     t = t.filter(mask)
+            if drop_after_filter:
+                t = t.drop_columns(drop_after_filter)
             yield t
 
     kw = {"concurrency": concurrency} if concurrency else {}

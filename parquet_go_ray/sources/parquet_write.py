@@ -965,12 +965,27 @@ def write_parquet_files_native(
 
     Shard names are deterministic per (batch content hash), so a rerun
     over the same input skips files that already exist — the same
-    resumable-output contract as the blob pipeline. Returns a Dataset of
+    resumable-output contract as the blob pipeline. Two DISTINCT batches
+    with identical content do not collapse (ADVICE r3): each task claims
+    one ``-<k>`` suffix slot per content hash via an O_EXCL marker in a
+    per-run scratch dir, so the second batch lands on the next suffix
+    instead of silently dropping its rows. Returns a Dataset of
     ``{path, rows, bytes}`` manifest rows."""
     import hashlib
     import os
+    import shutil
+    import uuid
 
     os.makedirs(out_dir, exist_ok=True)
+    # Per-run slot markers: "<stem>-<k>" exists ⇔ a task of THIS run owns
+    # suffix k for that content hash. Older runs' marker dirs are dead
+    # weight (their final files speak for themselves) — prune them now;
+    # concurrent runs into one out_dir are not a supported contract.
+    for d in os.listdir(out_dir):
+        if d.startswith(".run-"):
+            shutil.rmtree(os.path.join(out_dir, d), ignore_errors=True)
+    run_dir = os.path.join(out_dir, f".run-{uuid.uuid4().hex[:12]}")
+    os.makedirs(run_dir, exist_ok=True)
 
     def _write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -982,18 +997,29 @@ def write_parquet_files_native(
             for buf in col.combine_chunks().buffers():
                 if buf is not None:
                     h.update(buf)
-        name = f"part-{h.hexdigest()[:16]}.parquet"
-        path = os.path.join(out_dir, name)
-        if not os.path.exists(path):
-            tmp = path + ".tmp"
-            info = write_parquet_native(
-                batch, tmp, codec=codec, encodings=encodings,
-                data_page_rows=data_page_rows,
-            )
-            os.replace(tmp, path)
-            size = info["bytes"]
-        else:
-            size = os.path.getsize(path)
+        stem = f"part-{h.hexdigest()[:16]}"
+        k = 0
+        while True:
+            try:  # claim suffix slot k for this content hash, race-safe
+                fd = os.open(os.path.join(run_dir, f"{stem}-{k}"),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                k += 1  # a same-content sibling of THIS run owns slot k
+                continue
+            os.close(fd)
+            name = f"{stem}.parquet" if k == 0 else f"{stem}-{k}.parquet"
+            path = os.path.join(out_dir, name)
+            if os.path.exists(path):  # prior completed run: resume-skip
+                size = os.path.getsize(path)
+            else:
+                tmp = path + ".tmp"
+                info = write_parquet_native(
+                    batch, tmp, codec=codec, encodings=encodings,
+                    data_page_rows=data_page_rows,
+                )
+                os.replace(tmp, path)
+                size = info["bytes"]
+            break
         return pa.table({"path": [path], "rows": [batch.num_rows],
                          "bytes": [size]})
 

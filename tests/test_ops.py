@@ -309,3 +309,86 @@ def test_asof_join_broadcast(ray_session):
         .iter_batches(batch_format="pyarrow")
     )).sort_by("id")
     assert out.column("rate").to_pylist() == [None, 1, 1, 2, 3, 3]
+
+
+def test_asof_join_null_probe_timestamps(ray_session):
+    """Null big-side timestamps must yield null payload — NOT match the
+    last small-side row via NaT ordering (ADVICE r3)."""
+    import ray
+
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    ts = pa.array([10, None, 25, None, 5], pa.int64()).cast(
+        pa.timestamp("us")
+    )
+    big = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(5), pa.int64()), "ts": ts})
+    )
+    small = pa.table({
+        "ts": pa.array([8, 20], pa.int64()).cast(pa.timestamp("us")),
+        "rate": pa.array([100, 200], pa.int64()),
+    })
+    out = asof_join_broadcast(big, small, on="ts").to_pandas()
+    out = out.sort_values("id").reset_index(drop=True)
+    got = [None if __import__("pandas").isna(v) else int(v)
+           for v in out["rate"]]
+    assert got == [100, None, 200, None, None]
+
+
+def test_asof_join_by_key(ray_session):
+    """Per-key as-of: each probe matches the nearest-earlier row of ITS
+    key segment; unknown and null keys yield null payload."""
+    import pandas as pd
+    import ray
+
+    from parquet_go_ray.ops.join import asof_join_broadcast
+
+    big = ray.data.from_arrow(pa.table({
+        "id": pa.array(range(7), pa.int64()),
+        "k": pa.array(["a", "b", "a", "zz", None, "b", "a"]),
+        "ts": pa.array([5, 5, 30, 10, 10, 50, 1], pa.int64()),
+    }))
+    small = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "ts": pa.array([3, 20, 40], pa.int64()),
+        "rate": pa.array([1, 2, 3], pa.int64()),
+    })
+    out = asof_join_broadcast(
+        big, small, on="ts", by="k"
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    got = [None if pd.isna(v) else int(v) for v in out["rate"]]
+    #        a@5  b@5   a@30  zz   null  b@50  a@1
+    assert got == [1, None, 2, None, None, 3, None]
+
+
+def test_asof_join_small_side_not_reshipped(ray_session, monkeypatch):
+    """The small side must be ``ray.put`` ONCE at plan time and travel
+    as an object-store ref in the actor constructor — not captured in
+    each task's closure (VERDICT r3 item 6)."""
+    import ray
+
+    from parquet_go_ray.ops import join as join_mod
+
+    puts = []
+    orig_put = ray.put
+
+    def spy_put(x, **kw):
+        ref = orig_put(x, **kw)
+        # from_arrow also ray.puts its block; count only the SMALL side
+        if isinstance(x, pa.Table) and "rate" in x.column_names:
+            puts.append(ref)
+        return ref
+
+    monkeypatch.setattr(join_mod.ray, "put", spy_put)
+    big = ray.data.from_arrow(pa.table({
+        "ts": pa.array([1, 2], pa.int64()),
+    }))
+    small = pa.table({
+        "ts": pa.array([1], pa.int64()),
+        "rate": pa.array([7], pa.int64()),
+    })
+    out = join_mod.asof_join_broadcast(
+        big, small, on="ts", concurrency=(1, 1)
+    ).take_all()
+    assert [r["rate"] for r in sorted(out, key=lambda r: r["ts"])] == [7, 7]
+    assert len(puts) == 1  # shipped exactly once, as a ref

@@ -432,3 +432,71 @@ def test_native_read_testdata_events(ray_session):
     expect = expect.sort_by([("user_id", "ascending"), ("ts", "ascending"),
                              ("event_type", "ascending"), ("value", "ascending")])
     assert_tables_equal(got, expect)
+
+
+def test_all_null_flat_chunk(tmp_path):
+    """An all-null column chunk must not crash record assembly
+    (ADVICE r3: finish() scattered via values.take on an EMPTY dense
+    array). Covers flat, list-element, and engine-written cases."""
+    t = pa.table({
+        "id": pa.array(range(50), pa.int64()),
+        "gone": pa.nulls(50, pa.int64()),
+        "gone_str": pa.nulls(50, pa.string()),
+    })
+    got, expect = roundtrip(tmp_path, t, use_dictionary=False)
+    assert_tables_equal(got, expect)
+
+
+def test_all_null_list_elements(tmp_path):
+    """list<int64> whose element stream is entirely null."""
+    t = pa.table({
+        "ls": pa.array([[None, None], [], None, [None]] * 25,
+                       pa.list_(pa.int64())),
+    })
+    got, expect = roundtrip(tmp_path, t, use_dictionary=False)
+    assert_tables_equal(got, expect)
+
+
+def test_all_null_row_range_window(tmp_path):
+    """A row_range window whose kept pages are all null hits the same
+    empty-dense-values path via page skipping."""
+    vals = [None] * 100 + list(range(100))
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    path = str(tmp_path / "w.parquet")
+    pq.write_table(t, path, use_dictionary=False,
+                   data_page_size=64, write_batch_size=50)
+    got = read_row_group_native(path, 0, row_range=(0, 80))
+    assert got.column("x").null_count == 80
+
+
+def test_all_null_engine_written(tmp_path):
+    """File written by the engine's own writer with an all-null column
+    reads back through the native reader."""
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    t = pa.table({
+        "id": pa.array(range(30), pa.int64()),
+        "gone": pa.nulls(30, pa.float64()),
+    })
+    path = str(tmp_path / "eng.parquet")
+    write_parquet_native(t, path)
+    got = read_row_group_native(path, 0)
+    assert_tables_equal(got, pq.read_table(path))
+    assert got.column("gone").null_count == 30
+
+
+def test_native_filter_on_unprojected_column(tmp_path, ray_session):
+    """filters= on a column outside columns= must auto-include it for
+    the predicate and drop it from the result (ADVICE r3)."""
+    t = pa.table({
+        "a": pa.array(range(200), pa.int64()),
+        "b": pa.array([i % 7 for i in range(200)], pa.int64()),
+    })
+    path = str(tmp_path / "f.parquet")
+    pq.write_table(t, path, use_dictionary=False)
+    out = read_parquet_native(
+        path, columns=["a"], filters=[("b", "=", 3)]
+    ).take_all()
+    expect = [i for i in range(200) if i % 7 == 3]
+    assert sorted(r["a"] for r in out) == expect
+    assert all(set(r) == {"a"} for r in out)

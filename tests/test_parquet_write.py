@@ -538,3 +538,44 @@ def test_ray_sink_resumable(ray_session, tmp_path):
     assert sorted(r["path"] for r in manifest2) == paths
     for p in paths:
         assert __import__("os").path.getmtime(p) == mtimes[p]
+
+
+def test_sink_duplicate_content_batches_not_collapsed(tmp_path, ray_session):
+    """Two distinct input batches with IDENTICAL content must both land
+    on disk (ADVICE r3: content-hash shard names silently collapsed
+    them); a rerun over the same input must still resume-skip."""
+    import os
+
+    import ray
+
+    from parquet_go_ray.sources.parquet_write import (
+        write_parquet_files_native,
+    )
+
+    block = pa.table({"x": pa.array(range(100), pa.int64())})
+    ds = ray.data.from_arrow([block, block, block])  # 3 identical blocks
+    out = str(tmp_path / "sink")
+    man = write_parquet_files_native(
+        ds, out, rows_per_file=None
+    ).take_all()
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(files) == 3, files
+    assert sum(r["rows"] for r in man) == 300
+    assert len({r["path"] for r in man}) == 3
+    total = sum(
+        pq.read_table(os.path.join(out, f)).num_rows for f in files
+    )
+    assert total == 300
+    # no tmp turds left behind
+    assert not [f for f in os.listdir(out) if f.endswith(".tmp")]
+    # resume: an immediate rerun over the same input rewrites nothing
+    mtimes = {f: os.stat(os.path.join(out, f)).st_mtime for f in files}
+    ds2 = ray.data.from_arrow([block, block, block])
+    man2 = write_parquet_files_native(
+        ds2, out, rows_per_file=None
+    ).take_all()
+    files2 = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert files2 == files
+    assert sum(r["rows"] for r in man2) == 300
+    for f in files:
+        assert os.stat(os.path.join(out, f)).st_mtime == mtimes[f]
