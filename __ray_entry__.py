@@ -638,6 +638,38 @@ def _q_native_roundtrip_embeddings(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_native_roundtrip_uint(sf_dir: str):
+    """Unsigned converted-type loop (ref layout/page-dict.go:208-235):
+    events keys are lifted into uint8/uint32/uint64 — u64 offset past
+    2^63 so the INT64 physical bit pattern goes negative — written by
+    the engine's native writer (UINT annotations + unsigned-order
+    Statistics) and read back by the engine's native reader (same-width
+    bit reinterpretation). Oracle computes the identical columns in
+    DuckDB's unsigned types straight off the source table."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_files_native
+
+    def lift(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").cast(pa.uint64())
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "u8": pc.bit_wise_and(eid, 255).cast(pa.uint8()),
+            "u32": pc.multiply(eid.cast(pa.uint32()),
+                               pa.scalar(2_654_435_761, pa.uint32())),
+            "u64": pc.add(eid, pa.scalar(2**63, pa.uint64())),
+        })
+
+    out = tempfile.mkdtemp(prefix="pgr_native_uint_")
+    src = _read(sf_dir, "events", columns=["event_id"]).map_batches(
+        lift, batch_format="pyarrow", zero_copy_batch=True
+    )
+    manifest = write_parquet_files_native(src, out)
+    paths = [r["path"] for r in manifest.take_all()]
+    return read_parquet_native(paths)
+
+
 def _q_native_filter_pushdown(sf_dir: str):
     """Writer zone maps driving reader pruning: events sorted by value,
     written with per-chunk Statistics by the native writer, read back by
@@ -895,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_embeddings": _q_native_roundtrip_embeddings,
         "native_filter_pushdown_events": _q_native_filter_pushdown,
         "native_roundtrip_nested": _q_native_roundtrip_nested,
+        "native_roundtrip_uint": _q_native_roundtrip_uint,
         "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
@@ -1019,6 +1052,15 @@ def oracle_sql() -> dict[str, str]:
             " WHERE value > 75.0"
         ),
         "native_write_events": "SELECT * FROM events",
+        "native_roundtrip_uint": (
+            "SELECT event_id,"
+            " CAST(event_id % 256 AS UTINYINT) AS u8,"
+            " CAST((CAST(event_id AS UBIGINT) * 2654435761)"
+            "   % 4294967296 AS UINTEGER) AS u32,"
+            " CAST(event_id AS UBIGINT)"
+            "   + CAST(9223372036854775808 AS UBIGINT) AS u64"
+            " FROM events"
+        ),
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"

@@ -189,6 +189,24 @@ def _column_plan(field: pa.Field) -> dict:
         plan["phys"] = INT32
     elif pa.types.is_int64(t):
         plan["phys"] = INT64
+    elif pa.types.is_unsigned_integer(t) or pa.types.is_int8(t) \
+            or pa.types.is_int16(t):
+        # Sub-32-bit and unsigned ints: same-width signed physical type
+        # carrying the unsigned bit pattern (uint32 ≥ 2^31 / uint64 ≥
+        # 2^63 store as negative INT32/INT64), annotated with both the
+        # legacy converted_type (UINT_8..INT_64 = 11..16, what the
+        # reference keys decode off at layout/page-dict.go:208-235) and
+        # the IntType logical annotation.
+        bits = t.bit_width
+        signed = not pa.types.is_unsigned_integer(t)
+        plan["phys"] = INT64 if bits == 64 else INT32
+        plan["converted"] = {
+            (False, 8): 11, (False, 16): 12, (False, 32): 13,
+            (False, 64): 14, (True, 8): 15, (True, 16): 16,
+        }[(signed, bits)]
+        plan["logical"] = [(10, _T_STRUCT, [      # INTEGER = union 10
+            (1, _T_BYTE, bits), (2, _T_TRUE, signed),
+        ])]
     elif pa.types.is_float32(t):
         plan["phys"] = FLOAT
     elif pa.types.is_float64(t):
@@ -306,6 +324,14 @@ def _chunk_statistics(arr: pa.Array, phys: int) -> dict | None:
         stats["min"], stats["max"] = _stat_bytes(lo, phys), _stat_bytes(hi, phys)
         return stats
     if phys in (INT32, INT64):
+        if pa.types.is_unsigned_integer(dense.type):
+            # Unsigned logical order: min/max in the uint domain, stat
+            # bytes are the (same-width) physical LE bit pattern.
+            vals = dense.to_numpy(zero_copy_only=False)
+            w = np.uint32 if phys == INT32 else np.uint64
+            stats["min"] = np.asarray([vals.min()], dtype=w).tobytes()
+            stats["max"] = np.asarray([vals.max()], dtype=w).tobytes()
+            return stats
         # Work on the physical representation (date32 -> int32,
         # timestamp -> int64): stats bytes are physical-type plain values.
         dense = dense.cast(pa.int32() if phys == INT32 else pa.int64())
@@ -616,15 +642,23 @@ class _ColumnChunkWriter:
                 if phys not in (INT32, INT64):
                     raise ValueError("delta encoding needs int32/int64")
                 # Logical ints (date32, timestamps) delta-encode on the
-                # physical representation.
-                ivals = dense.cast(pa.int32() if phys == INT32 else pa.int64())
-                vals = np.asarray(
-                    ivals.to_numpy(zero_copy_only=False),
-                    dtype=_NP_BY_PHYS[phys],
-                )
+                # physical representation; unsigned ints reinterpret the
+                # bit pattern (an Arrow value cast would overflow).
+                if pa.types.is_unsigned_integer(dense.type):
+                    vals = dense.to_numpy(zero_copy_only=False).astype(
+                        _NP_BY_PHYS[phys], copy=False
+                    )
+                else:
+                    ivals = dense.cast(
+                        pa.int32() if phys == INT32 else pa.int64()
+                    )
+                    vals = np.asarray(
+                        ivals.to_numpy(zero_copy_only=False),
+                        dtype=_NP_BY_PHYS[phys],
+                    )
                 self.write_data_page(
-                    sl, delta_encode(vals), DELTA_BINARY_PACKED,
-                    defs=pd_, max_def=max_def,
+                    sl, delta_encode(vals, dtype=vals.dtype),
+                    DELTA_BINARY_PACKED, defs=pd_, max_def=max_def,
                 )
             elif enc_name in ("delta_length", "delta_prefix"):
                 if phys != BYTE_ARRAY:

@@ -500,3 +500,121 @@ def test_native_filter_on_unprojected_column(tmp_path, ray_session):
     expect = [i for i in range(200) if i % 7 == 3]
     assert sorted(r["a"] for r in out) == expect
     assert all(set(r) == {"a"} for r in out)
+
+
+class TestUnsignedIntegers:
+    """Unsigned converted-type parity (VERDICT r3 item 4; ref
+    layout/page-dict.go:208-235 special-cases UINT_8/16/32 decode).
+    Same-width reinterpretation means uint32 ≥ 2^31 and uint64 ≥ 2^63
+    travel as negative INT32/INT64 bit patterns."""
+
+    def utable(self, n=300) -> pa.Table:
+        rng = np.random.default_rng(7)
+        u8 = rng.integers(0, 2**8, n, dtype=np.uint8)
+        u16 = rng.integers(0, 2**16, n, dtype=np.uint16)
+        u32 = rng.integers(0, 2**32, n, dtype=np.uint32)
+        u64 = rng.integers(0, 2**64, n, dtype=np.uint64)
+        u64[:5] = [2**64 - 1, 2**63, 2**63 - 1, 0, 2**63 + 12345]
+        u32[:3] = [2**32 - 1, 2**31, 0]
+        t = pa.table({
+            "u8": pa.array(u8), "u16": pa.array(u16),
+            "u32": pa.array(u32), "u64": pa.array(u64),
+            "i8": pa.array(rng.integers(-128, 128, n, dtype=np.int8)),
+            "i16": pa.array(
+                rng.integers(-2**15, 2**15, n, dtype=np.int16)
+            ),
+        })
+        # sprinkle nulls
+        mask = pa.array(rng.random(n) < 0.1)
+        return pa.table({
+            c: pc.if_else(mask, pa.nulls(n, t.column(c).type), t.column(c))
+            for c in t.column_names
+        })
+
+    @pytest.mark.parametrize("use_dict", [False, True])
+    def test_pyarrow_written_uints_native_read(self, tmp_path, use_dict):
+        t = self.utable()
+        got, expect = roundtrip(
+            tmp_path, t, name="u.parquet", use_dictionary=use_dict
+        )
+        for c in expect.column_names:
+            g = got.column(c).combine_chunks()
+            e = expect.column(c).combine_chunks()
+            assert g.type == e.type, c  # uint type preserved, not int
+            assert g.equals(e), c
+
+    def test_native_written_uints_everyone_reads(self, tmp_path):
+        from parquet_go_ray.sources.parquet_write import (
+            write_parquet_native,
+        )
+
+        t = self.utable()
+        path = str(tmp_path / "nu.parquet")
+        write_parquet_native(t, path, codec="zstd")
+        back = pq.read_table(path)
+        assert back.schema.equals(t.schema), back.schema
+        assert back.equals(t)
+        got = read_row_group_native(path, 0)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                t.column(c).combine_chunks()
+            ), c
+        import duckdb
+        mx = duckdb.sql(
+            f"SELECT max(u64), max(u32) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert mx[0] == 2**64 - 1 and mx[1] == 2**32 - 1
+
+    def test_native_written_uint_delta_and_dict(self, tmp_path):
+        from parquet_go_ray.sources.parquet_write import (
+            write_parquet_native,
+        )
+
+        n = 200
+        t = pa.table({
+            "u64d": pa.array(
+                (2**63 + np.arange(n, dtype=np.uint64) * 7)
+            ),
+            "u32k": pa.array(
+                np.tile(np.array([2**31, 5, 2**32 - 1], np.uint32),
+                        n)[:n]
+            ),
+        })
+        path = str(tmp_path / "enc.parquet")
+        write_parquet_native(
+            t, path, encodings={"u64d": "delta", "u32k": "dict"}
+        )
+        assert pq.read_table(path).equals(t)
+        got = read_row_group_native(path, 0)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                t.column(c).combine_chunks()
+            ), c
+
+    def test_uint_list_column(self, tmp_path):
+        t = pa.table({
+            "ls": pa.array(
+                [[2**63, 1], None, [], [2**64 - 1, None, 7]],
+                pa.list_(pa.uint64()),
+            ),
+        })
+        got, expect = roundtrip(
+            tmp_path, t, name="ul.parquet", use_dictionary=False
+        )
+        assert_tables_equal(got, expect)
+        assert got.column("ls").combine_chunks().type == pa.list_(pa.uint64())
+
+    def test_uint_zone_map_order(self, tmp_path):
+        """Statistics on a native-written uint64 column must be in
+        UNSIGNED order: a reader pruning on them sees max 2^64-1, not a
+        negative bit pattern."""
+        from parquet_go_ray.sources.parquet_write import (
+            write_parquet_native,
+        )
+
+        t = pa.table({"u": pa.array([1, 2**63, 5, 2**64 - 1],
+                                    pa.uint64())})
+        path = str(tmp_path / "zs.parquet")
+        write_parquet_native(t, path)
+        st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+        assert st.min == 1 and st.max == 2**64 - 1

@@ -579,3 +579,25 @@ def test_sink_duplicate_content_batches_not_collapsed(tmp_path, ray_session):
     assert sum(r["rows"] for r in man2) == 300
     for f in files:
         assert os.stat(os.path.join(out, f)).st_mtime == mtimes[f]
+
+
+def test_delta_int32_full_range_spec_width(tmp_path):
+    """INT32 delta pages must wrap arithmetic at 32 bits: full-range
+    int32 values (deltas spanning > 2^32 in the int64 domain) previously
+    emitted 33-bit miniblocks, which the spec forbids and readers
+    reject."""
+    from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+    vals = ((np.arange(2000, dtype=np.uint64) * 2654435761) % (2**32))
+    t = pa.table({
+        "i": pa.array(vals.astype(np.uint32).astype(np.int32)),
+        "u": pa.array(vals.astype(np.uint32)),
+    })
+    path = str(tmp_path / "d32.parquet")
+    write_parquet_native(t, path, encodings={"i": "delta", "u": "delta"})
+    assert pq.read_table(path).equals(t)
+    got = read_row_group_native(path, 0)
+    for c in t.column_names:
+        assert got.column(c).combine_chunks().equals(
+            t.column(c).combine_chunks()
+        ), c
