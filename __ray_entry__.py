@@ -598,14 +598,16 @@ def _q_native_read_lineitem(sf_dir: str):
 def _q_native_write_events(sf_dir: str):
     """Engine-native Parquet WRITER round-trip: the events table streams
     through the resumable Ray sink (`write_parquet_files_native`, one
-    engine-written file per block), then reads back through pyarrow via
+    engine-written file per block) emitting DATA_PAGE_V2 pages
+    (uncompressed level streams + per-page null counts, ref
+    layout/page-v2.go:12-20), then reads back through pyarrow via
     ray.data.read_parquet. Oracle = SELECT * — proves standard readers
-    see exactly what went in."""
+    see exactly what went in, v2 dialect included."""
     from parquet_go_ray.sources.parquet_write import write_parquet_files_native
 
     out = tempfile.mkdtemp(prefix="pgr_native_write_")
     ds = _read(sf_dir, "events")
-    manifest = write_parquet_files_native(ds, out)
+    manifest = write_parquet_files_native(ds, out, page_version=2)
     paths = [r["path"] for r in manifest.take_all()]
     return ray.data.read_parquet(paths)
 

@@ -156,7 +156,7 @@ def _struct_bytes(fields: list[tuple[int, int, object]]) -> bytes:
 BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
 PLAIN, PLAIN_DICT, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY = 0, 2, 3, 5, 8
 DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY = 6, 7
-DATA_PAGE, DICTIONARY_PAGE = 0, 2
+DATA_PAGE, DICTIONARY_PAGE, DATA_PAGE_V2 = 0, 2, 3
 REQUIRED, OPTIONAL = 0, 1
 
 _CODEC_ENUM = {"none": 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
@@ -399,12 +399,16 @@ class _ColumnChunkWriter:
     """Accumulates the page stream + metadata for one column chunk."""
 
     def __init__(self, name: str, plan: dict, encoding: str, codec: str,
-                 nullable: bool, path: list[str] | None = None):
+                 nullable: bool, path: list[str] | None = None,
+                 page_version: int = 1):
         self.name = name
         self.plan = plan
         self.encoding = encoding
         self.codec = codec
         self.nullable = nullable
+        if page_version not in (1, 2):
+            raise ValueError(f"page_version must be 1 or 2, got {page_version}")
+        self.page_version = page_version
         self.nullable_elem = bool(plan.get("list_elem_nullable", False))
         self.path = ([name, "list", "element"] if plan.get("list")
                      else [name])
@@ -444,30 +448,81 @@ class _ColumnChunkWriter:
         )
         self.dict_page_len = len(self.pages) - before
 
+    def _emit_data_page(self, n_entries: int, n_rows: int, enc: int,
+                        value_bytes: bytes,
+                        rep: np.ndarray | None, rep_w: int,
+                        defs: np.ndarray | None, def_w: int,
+                        n_nulls: int) -> None:
+        """One data page in the chunk's page_version dialect.
+
+        v1 (DATA_PAGE): 4-byte-size-framed hybrid rep + def streams and
+        values, compressed as one region. v2 (DATA_PAGE_V2, the read
+        shape of ref layout/page-v2.go:12-20): UNFRAMED level streams
+        sit uncompressed OUTSIDE the compressed region, their byte
+        lengths + per-page num_nulls/num_rows live in the header, and
+        only the value bytes pass through the codec."""
+        if self.page_version == 2:
+            rl = hybrid_encode(rep, rep_w) if rep is not None else b""
+            dl = hybrid_encode(defs, def_w) if defs is not None else b""
+            comp = (compress(value_bytes, self.codec)
+                    if self.codec != "none" else value_bytes)
+            hdr = _struct_bytes([
+                (1, _T_I32, DATA_PAGE_V2),
+                (2, _T_I32, len(rl) + len(dl) + len(value_bytes)),
+                (3, _T_I32, len(rl) + len(dl) + len(comp)),
+                (8, _T_STRUCT, [
+                    (1, _T_I32, n_entries),
+                    (2, _T_I32, n_nulls),
+                    (3, _T_I32, n_rows),
+                    (4, _T_I32, enc),
+                    (5, _T_I32, len(dl)),
+                    (6, _T_I32, len(rl)),
+                    (7, _T_TRUE, self.codec != "none"),
+                ]),
+            ])
+            self.pages += hdr
+            self.pages += rl
+            self.pages += dl
+            self.pages += comp
+            self.uncompressed += (len(hdr) + len(rl) + len(dl)
+                                  + len(value_bytes))
+        else:
+            body = bytearray()
+            if rep is not None:
+                body += hybrid_encode_sized(rep, rep_w)
+            if defs is not None:
+                body += hybrid_encode_sized(defs, def_w)
+            body += value_bytes
+            self._page(
+                [(1, _T_I32, DATA_PAGE),
+                 (5, _T_STRUCT, [(1, _T_I32, n_entries), (2, _T_I32, enc),
+                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
+                bytes(body),
+            )
+        self.num_values += n_entries
+        if enc not in self.encodings:
+            self.encodings.append(enc)
+
     def write_data_page(self, arr: pa.Array, value_bytes: bytes,
                         enc: int, defs: np.ndarray | None = None,
                         max_def: int | None = None) -> None:
-        """One v1 data page. Default def levels come from the array's
-        validity (flat nullable column, max_def 1); struct leaves pass
-        precomputed multi-level defs instead."""
+        """One flat/struct-leaf data page. Default def levels come from
+        the array's validity (flat nullable column, max_def 1); struct
+        leaves pass precomputed multi-level defs instead."""
         n = len(arr)
-        body = bytearray()
         if defs is not None:
-            body += hybrid_encode_sized(defs, max(1, int(max_def).bit_length()))
+            def_w = max(1, int(max_def).bit_length())
+            n_nulls = n - int((defs == max_def).sum())
         elif self.nullable:
-            valid = np.ones(n, dtype=np.uint8) if arr.null_count == 0 else (
+            defs = np.ones(n, dtype=np.uint8) if arr.null_count == 0 else (
                 ~np.asarray(pc.is_null(arr))).astype(np.uint8)
-            body += hybrid_encode_sized(valid, 1)
-        body += value_bytes
-        self._page(
-            [(1, _T_I32, DATA_PAGE),
-             (5, _T_STRUCT, [(1, _T_I32, n), (2, _T_I32, enc),
-                             (3, _T_I32, RLE), (4, _T_I32, RLE)])],
-            bytes(body),
-        )
-        self.num_values += n
-        if enc not in self.encodings:
-            self.encodings.append(enc)
+            def_w = 1
+            n_nulls = n - int(defs.sum())
+        else:
+            def_w = 0
+            n_nulls = 0
+        self._emit_data_page(n, n, enc, value_bytes, None, 0,
+                             defs, def_w, n_nulls)
 
     def _add_list_rows(self, arr, page_rows: int) -> None:
         """Shred a one-level list column into v1 pages: rep levels +
@@ -532,20 +587,13 @@ class _ColumnChunkWriter:
                     raise ValueError("null element in non-nullable list")
                 defs[elem_slot] = max_def
 
-            body = bytearray()
-            body += hybrid_encode_sized(rep, 1)
-            body += hybrid_encode_sized(defs, def_width)
             dense = elems.drop_null()
-            body += _plain_values(dense, phys, self.plan["type_length"])
-            self._page(
-                [(1, _T_I32, DATA_PAGE),
-                 (5, _T_STRUCT, [(1, _T_I32, total), (2, _T_I32, PLAIN),
-                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
-                bytes(body),
+            self._emit_data_page(
+                total, e - s, PLAIN,
+                _plain_values(dense, phys, self.plan["type_length"]),
+                rep, 1, defs, def_width,
+                total - int((defs == max_def).sum()),
             )
-            self.num_values += total
-            if PLAIN not in self.encodings:
-                self.encodings.append(PLAIN)
 
     def add_shredded(self, leaf, page_rows: int) -> None:
         """Write a general Dremel leaf (sources/dremel.py): v1 pages of
@@ -569,20 +617,12 @@ class _ColumnChunkWriter:
             v0 = int(cum[a])
             nv = int(cum[b] - cum[a])
             dense_sl = leaf.dense.slice(v0, nv)
-            body = bytearray()
-            if leaf.max_rep > 0:
-                body += hybrid_encode_sized(rep_sl, rep_w)
-            body += hybrid_encode_sized(de_sl, def_w)
-            body += _plain_values(dense_sl, phys, self.plan["type_length"])
-            self._page(
-                [(1, _T_I32, DATA_PAGE),
-                 (5, _T_STRUCT, [(1, _T_I32, len(rep_sl)), (2, _T_I32, PLAIN),
-                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
-                bytes(body),
+            self._emit_data_page(
+                len(rep_sl), int((rep_sl == 0).sum()), PLAIN,
+                _plain_values(dense_sl, phys, self.plan["type_length"]),
+                rep_sl if leaf.max_rep > 0 else None, rep_w,
+                de_sl, def_w, len(de_sl) - nv,
             )
-            self.num_values += len(rep_sl)
-        if PLAIN not in self.encodings:
-            self.encodings.append(PLAIN)
 
     def add_rows(self, arr: pa.Array, page_rows: int,
                  defs: np.ndarray | None = None,
@@ -822,7 +862,8 @@ def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
 
 
 def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
-                         codec: str, data_page_rows: int):
+                         codec: str, data_page_rows: int,
+                         page_version: int = 1):
     """Encode one top-level field into its leaf column-chunk writers:
     one chunk for flat/list fields, one per child for struct fields
     (each child leaf gets multi-level def levels: 0 = struct null,
@@ -841,6 +882,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             cw = _ColumnChunkWriter(
                 path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=path,
+                page_version=page_version,
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -852,6 +894,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             cw = _ColumnChunkWriter(
                 leaf.path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=leaf.path,
+                page_version=page_version,
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -859,7 +902,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
     if plan["struct"] is None:
         cw = _ColumnChunkWriter(
             field.name, plan, encodings.get(field.name, "auto"), codec,
-            field.nullable,
+            field.nullable, page_version=page_version,
         )
         cw.add_rows(col, data_page_rows)
         yield cw
@@ -896,6 +939,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             ch_name, ch_plan,
             encodings.get(f"{field.name}.{ch_name}", "auto"), codec,
             nullable=max_def > 0, path=[field.name, ch_name],
+            page_version=page_version,
         )
         cw.add_rows(
             child, data_page_rows,
@@ -913,11 +957,15 @@ def write_parquet_native(
     encodings: dict[str, str] | None = None,
     row_group_rows: int = 1_000_000,
     data_page_rows: int = 20_000,
+    page_version: int = 1,
 ) -> dict:
     """Write ``table`` as a standard Parquet file using the engine's
     wire encoders. ``encodings`` maps column name → ``plain`` / ``dict``
     / ``delta`` (default ``auto``: dictionary when ≤50% unique).
-    Returns ``{path, rows, bytes, row_groups}``."""
+    ``page_version=2`` emits DATA_PAGE_V2 pages (uncompressed unframed
+    level streams, per-page num_nulls/num_rows — the read shape of ref
+    layout/page-v2.go:12-20). Returns ``{path, rows, bytes,
+    row_groups}``."""
     if codec not in _CODEC_ENUM:
         raise ValueError(f"parquet has no codec {codec!r}")
     from .dremel import column_depth
@@ -940,7 +988,7 @@ def write_parquet_native(
             for i, field in enumerate(table.schema):
                 for cw in _field_chunk_writers(
                     field, plans[i], rg.column(i), encodings, codec,
-                    data_page_rows,
+                    data_page_rows, page_version=page_version,
                 ):
                     meta = cw.metadata_fields(offset)
                     chunk_fields.append([
@@ -990,6 +1038,7 @@ def write_parquet_files_native(
     encodings: dict[str, str] | None = None,
     data_page_rows: int = 20_000,
     rows_per_file: int | None = 250_000,
+    page_version: int = 1,
 ):
     """Ray Data sink: one engine-written Parquet file per ~rows_per_file
     rows (consecutive input blocks coalesce into a batch — no shuffle;
@@ -1050,6 +1099,7 @@ def write_parquet_files_native(
                 info = write_parquet_native(
                     batch, tmp, codec=codec, encodings=encodings,
                     data_page_rows=data_page_rows,
+                    page_version=page_version,
                 )
                 os.replace(tmp, path)
                 size = info["bytes"]

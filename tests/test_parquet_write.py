@@ -601,3 +601,104 @@ def test_delta_int32_full_range_spec_width(tmp_path):
         assert got.column(c).combine_chunks().equals(
             t.column(c).combine_chunks()
         ), c
+
+
+class TestDataPageV2:
+    """DATA_PAGE_V2 emission (VERDICT r3 item 5; the read shape of ref
+    layout/page-v2.go:12-20): unframed uncompressed level streams
+    outside the compressed region, per-page num_nulls/num_rows,
+    is_compressed flag."""
+
+    @pytest.mark.parametrize("codec", ["none", "zstd", "snappy"])
+    def test_flat_v2_roundtrip(self, tmp_path, codec):
+        t = sample_table(3000, seed=3)
+        path = str(tmp_path / "v2.parquet")
+        write_parquet_native(t, path, codec=codec, page_version=2,
+                             data_page_rows=700)
+        assert pq.read_table(path).equals(t)
+
+        import duckdb
+        n = duckdb.sql(
+            f"SELECT count(*), count(text) FROM read_parquet('{path}')"
+        ).fetchone()
+        assert n[0] == 3000
+        assert n[1] == 3000 - t.column("text").null_count
+
+        from parquet_go_ray.sources.parquet_pages import (
+            read_row_group_native,
+        )
+        got = read_row_group_native(path, 0)
+        for c in t.column_names:
+            g = got.column(c).combine_chunks()
+            e = t.column(c).combine_chunks()
+            assert g.equals(e), c
+
+    def test_v2_forced_encodings(self, tmp_path):
+        t = sample_table(2000, seed=5)
+        path = str(tmp_path / "v2e.parquet")
+        write_parquet_native(
+            t, path, page_version=2,
+            encodings={"i64": "delta", "text": "dict"},
+        )
+        assert pq.read_table(path).equals(t)
+
+    def test_v2_lists_structs_map(self, tmp_path):
+        t = list_table()
+        path = str(tmp_path / "v2l.parquet")
+        write_parquet_native(t, path, page_version=2, data_page_rows=2)
+        assert pq.read_table(path).equals(t)
+
+        st = struct_table()
+        path2 = str(tmp_path / "v2s.parquet")
+        write_parquet_native(st, path2, page_version=2, data_page_rows=2)
+        assert pq.read_table(path2).equals(st)
+
+        mt = pa.table({
+            "m": pa.array(
+                [[("a", 1)], None, [], [("b", 2), ("c", None)]],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+        })
+        path3 = str(tmp_path / "v2m.parquet")
+        write_parquet_native(mt, path3, page_version=2)
+        assert pq.read_table(path3).equals(mt)
+
+        from parquet_go_ray.sources.parquet_pages import (
+            read_row_group_native,
+        )
+        got = read_row_group_native(path, 0)
+        for c in t.column_names:
+            assert got.column(c).combine_chunks().equals(
+                t.column(c).combine_chunks()
+            ), c
+
+    def test_v2_header_fields(self, tmp_path):
+        """The emitted pages really are DATA_PAGE_V2 with correct level
+        lengths and null counts — walk headers with the engine's own
+        thrift reader."""
+        from parquet_go_ray.sources.parquet_pages import read_page_header
+
+        t = pa.table({
+            "x": pa.array([1, None, 3, None, 5, 6] * 50, pa.int64()),
+        })
+        path = str(tmp_path / "v2h.parquet")
+        write_parquet_native(t, path, codec="zstd", page_version=2,
+                             data_page_rows=100)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata.row_group(0).column(0)
+        with open(path, "rb") as f:
+            f.seek(md.data_page_offset)
+            buf = f.read(md.total_compressed_size)
+        pos, rows, pages, nulls = 0, 0, 0, 0
+        while rows < md.num_values:
+            hdr, pos = read_page_header(buf, pos)
+            assert hdr["type"] == 3  # DATA_PAGE_V2
+            assert hdr["def_levels_len"] > 0
+            assert hdr.get("rep_levels_len", 0) == 0
+            assert hdr["values_compressed"] is True
+            rows += hdr["num_values"]
+            nulls += hdr["num_nulls"]
+            pages += 1
+            pos += hdr["compressed_size"]
+        assert pages == 3  # 300 rows / 100 per page
+        assert nulls == t.column("x").null_count
