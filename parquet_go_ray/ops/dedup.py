@@ -810,21 +810,37 @@ def dedup_minhash(
 # SimHash
 
 
-def simhash64(texts: list[str]) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens, vectorized bit-voting."""
-    token_lists = [t.split() for t in texts]
-    counts = np.array([max(1, len(t)) for t in token_lists], dtype=np.int64)
-    flat = np.array(
-        [tok for toks in token_lists for tok in (toks or [""])], dtype=object
-    )
-    h = pd.util.hash_array(flat, categorize=False)
+def simhash64(texts: list[str] | pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens, vectorized bit-voting.
+
+    Tokenization + token hashing run on Arrow buffers end to end
+    (``ops.text.hashed_tokens``; the r3 version split each doc into a
+    Python token list — the dominant cost of this stage at scale)."""
+    from .text import hashed_tokens
+
+    col = texts if isinstance(
+        texts, (pa.Array, pa.ChunkedArray)
+    ) else pa.array([t or "" for t in texts], pa.string())
+    h, counts = hashed_tokens(col)
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    n_docs = len(texts)
+    n_docs = len(col)
     out = np.zeros(n_docs, dtype=np.uint64)
-    for bit in range(64):
-        votes = (((h >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2) - 1
-        tally = np.add.reduceat(votes, starts) if len(votes) else np.zeros(n_docs)
-        out |= (tally > 0).astype(np.uint64) << np.uint64(bit)
+    if not len(h):
+        return out
+    # Bit voting: majority of token-hash bits per position. Unpack one
+    # BYTE of every hash at a time (8 segmented 2-D reduceats) instead
+    # of 64 scalar shift/mask passes; bit b set ⇔ 2·ones > n_tokens
+    # (identical to the old sum(±1) > 0 rule).
+    hb = np.ascontiguousarray(h).view(np.uint8).reshape(-1, 8)  # LE bytes
+    for byte in range(8):
+        bits = np.unpackbits(
+            hb[:, byte], bitorder="little"
+        ).reshape(-1, 8).astype(np.int32)
+        tally = np.add.reduceat(bits, starts, axis=0)  # (n_docs, 8) ones
+        for k in range(8):
+            out |= (
+                tally[:, k] * 2 > counts
+            ).astype(np.uint64) << np.uint64(byte * 8 + k)
     return out
 
 
@@ -855,9 +871,8 @@ def dedup_simhash(
     """
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        sh = simhash64(texts)
+        sh = simhash64(batch.column(text_col))
         band = np.repeat(np.arange(4, dtype=np.int32), len(ids))
         chunks = np.concatenate(
             [(sh >> np.uint64(16 * c)) & np.uint64(0xFFFF) for c in range(4)]

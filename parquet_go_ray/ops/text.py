@@ -98,6 +98,118 @@ _SCRIPT_RANGES = (
 )
 
 
+# ---------------------------------------------------------------------------
+# Vectorized whitespace tokenization + hashing (VERDICT r3 item 7).
+#
+# Tokenization runs as one Arrow C++ kernel (utf8_split_whitespace) and
+# token hashing operates directly on the flat values BUFFER of the split
+# result — a segmented polynomial hash via np.add.reduceat over per-byte
+# position weights — so no per-token Python object is ever created (the
+# old path built a Python list per doc and an object-dtype array; at
+# 100 TB that dominated the langid and simhash stages).
+
+_POLY_BASE = 0x100000001B3  # FNV-64 prime as the polynomial base
+_POW_TABLE = np.ones(1, dtype=np.uint64)
+
+
+def _poly_powers(n: int) -> np.ndarray:
+    """powers[i] = BASE**i mod 2^64 (grown on demand, cached)."""
+    global _POW_TABLE
+    if len(_POW_TABLE) <= n:
+        old = _POW_TABLE
+        tab = np.empty(n + 1, dtype=np.uint64)
+        tab[: len(old)] = old
+        mask = (1 << 64) - 1
+        v = int(old[-1])
+        for i in range(len(old), n + 1):
+            v = (v * _POLY_BASE) & mask
+            tab[i] = v
+        _POW_TABLE = tab
+    return _POW_TABLE
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: spreads polynomial-hash bits so per-bit
+    votes (simhash) and membership tests see uniform words."""
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return h ^ (h >> np.uint64(31))
+
+
+def _poly_hash_token(b: bytes) -> int:
+    """Scalar reference of the vectorized token hash (stopword tables)."""
+    mask = (1 << 64) - 1
+    h = 0
+    p = 1
+    for byte in reversed(b):
+        h = (h + byte * p) & mask
+        p = (p * _POLY_BASE) & mask
+    h = (h + len(b)) & mask
+    a = np.uint64(h)
+    return int(_mix64(np.array([a], dtype=np.uint64))[0])
+
+
+def hashed_tokens(
+    col, lower: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, per-doc token counts) for whitespace tokens.
+
+    Matches ``str.split()`` semantics (runs of Unicode whitespace,
+    no empty tokens); a doc with zero tokens contributes one sentinel
+    hash 0 and count 1, so ``np.add.reduceat`` over
+    ``cumsum(counts)`` segments is safe (no empty segments)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    if lower:
+        arr = pc.utf8_lower(arr)
+    toks = pc.utf8_split_whitespace(arr)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.values
+    n_docs = len(arr)
+    per_doc = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    # flat string offsets/data straight from the Arrow buffers
+    off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        flat.offset : flat.offset + len(flat) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    tlens = off[1:] - off[:-1]
+    keep = tlens > 0  # split emits empty edge tokens; str.split doesn't
+    doc_of_tok = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    counts = np.bincount(
+        doc_of_tok[keep], minlength=n_docs
+    ).astype(np.int64) if len(doc_of_tok) else np.zeros(n_docs, np.int64)
+
+    k_off = off[:-1][keep]
+    k_lens = tlens[keep]
+    total = int(k_lens.sum())
+    if total:
+        byte_pos = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(k_lens[:-1]))), k_lens)
+            + np.repeat(k_off, k_lens)
+        )
+        ends = np.repeat(k_off + k_lens, k_lens)
+        pow_idx = ends - 1 - byte_pos
+        powers = _poly_powers(int(k_lens.max()))
+        weighted = data[byte_pos].astype(np.uint64) * powers[pow_idx]
+        starts = np.concatenate(
+            ([0], np.cumsum(k_lens[:-1]))
+        ).astype(np.int64)
+        h = np.add.reduceat(weighted, starts).astype(np.uint64)
+        h = _mix64(h + k_lens.astype(np.uint64))
+    else:
+        h = np.zeros(0, dtype=np.uint64)
+
+    empty = counts == 0
+    if empty.any():
+        # one sentinel token per empty doc, at its segment position
+        pos = np.concatenate(([0], np.cumsum(counts)))[:-1][empty]
+        h = np.insert(h, pos, np.uint64(0))
+        counts = np.maximum(counts, 1)
+    return h, counts
+
+
 def _script_ratios(texts: list[str]) -> dict[str, np.ndarray]:
     """Per-doc script-character ratios from ONE concatenated utf-32
     buffer + segmented prefix-sum differences — no per-doc Python loop
@@ -115,25 +227,36 @@ def _script_ratios(texts: list[str]) -> dict[str, np.ndarray]:
     return out
 
 
+_STOP_HASHES: dict[str, np.ndarray] | None = None
+
+
+def _stop_hash_tables() -> dict[str, np.ndarray]:
+    global _STOP_HASHES
+    if _STOP_HASHES is None:
+        _STOP_HASHES = {
+            lang: np.array(
+                sorted(_poly_hash_token(w.encode()) for w in ws),
+                dtype=np.uint64,
+            )
+            for lang, ws in _STOPWORDS.items()
+        }
+    return _STOP_HASHES
+
+
 def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Detect language: non-Latin scripts by codepoint ranges, Latin
-    languages by stopword-hash profile counts. Fully vectorized: hashed
-    tokens + per-doc reduceat for stopwords, one concatenated utf-32
-    buffer + prefix sums for script counts, np.select for the verdict."""
+    languages by stopword-hash profile counts. Fully vectorized —
+    tokenization is one Arrow kernel and token hashes come straight off
+    the flat values buffer (``hashed_tokens``; the r3 version built
+    Python token lists per doc), per-doc reduceat for stopword scores,
+    one concatenated utf-32 buffer + prefix sums for script counts,
+    np.select for the verdict."""
     texts = [(t or "") for t in batch.column(text_col).to_pylist()]
     langs = list(_STOPWORDS)
-    stop_hashes = {
-        lang: pd.util.hash_array(np.array(ws, dtype=object), categorize=False)
-        for lang, ws in _STOPWORDS.items()
-    }
-    token_lists = [t.lower().split() for t in texts]
-    counts = np.array([max(1, len(t)) for t in token_lists], dtype=np.int64)
-    flat = np.array(
-        [tok for toks in token_lists for tok in (toks or [""])], dtype=object
-    )
-    h = pd.util.hash_array(flat, categorize=False)
+    stop_hashes = _stop_hash_tables()
+    h, counts = hashed_tokens(batch.column(text_col), lower=True)
     starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
-    n = len(texts)
+    n = len(batch)
     scores = np.zeros((n, len(langs)), dtype=np.float64)
     for j, lang in enumerate(langs):
         hit = np.isin(h, stop_hashes[lang]).astype(np.int64)
