@@ -62,6 +62,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
     n = len(values)
     if n == 0 or width == 0:
         return b""
+    from . import _wire_native
+
+    native = _wire_native.pack(values, width)
+    if native is not None:
+        return native
     v = np.ascontiguousarray(values, dtype=np.uint64)
     # (n, width) bit matrix: bits[i, j] = (v[i] >> j) & 1 — LSB first so a
     # flat row-major read-out is exactly the little-endian bit stream.
@@ -87,6 +92,11 @@ def unpack(data: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
             f"bitpack underflow: need {nbytes} bytes for {count} values "
             f"at width {width}, have {len(buf)}"
         )
+    from . import _wire_native
+
+    native = _wire_native.unpack(buf, width, count)
+    if native is not None:
+        return native
     bits = np.unpackbits(buf[:nbytes], bitorder="little", count=nbits)
     bits = bits.reshape(count, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)

@@ -63,6 +63,15 @@ def delta_encode(
     v = np.ascontiguousarray(values, dtype=dtype)
     n = len(v)
 
+    from . import _wire_native
+
+    native = _wire_native.delta_encode(
+        v.view(udt).astype(np.uint64, copy=False), nbits,
+        block_size, miniblocks,
+    )
+    if native is not None:  # byte-identical C single pass (VERDICT r3 #1)
+        return native
+
     out = bytearray()
     out += uvarint_encode(block_size)
     out += uvarint_encode(miniblocks)
@@ -139,6 +148,16 @@ def delta_decode(
     """
     dtype = np.dtype(dtype or np.int64)
     udt = _unsigned(dtype)
+    from . import _wire_native
+
+    native = _wire_native.delta_decode(
+        data, pos, dtype.itemsize * 8, expect
+    )
+    if native is not None:  # None also on decode error: numpy re-raises
+        raw, new_pos = native
+        vals = raw.astype(udt, copy=False).view(dtype) if dtype.itemsize == 8 \
+            else raw.astype(udt).view(dtype)
+        return vals, new_pos
     block_size, pos = uvarint_decode(data, pos)
     miniblocks, pos = uvarint_decode(data, pos)
     if block_size % 128 != 0 or block_size == 0 or block_size > (1 << 20):
