@@ -35,3 +35,20 @@ def make_string_parts(strings):
         else np.empty(0, dtype=np.uint8)
     )
     return lengths, data
+
+
+def memcpy_gibs(tries: int = 3) -> float:
+    """Host memory-bandwidth probe (best-of-N single-thread memcpy).
+    Perf-bar tests gate on this so a starved VM interval skips with the
+    probe reading instead of red-failing the suite (VERDICT r3 item 8);
+    healthy intervals on this box read ~10-30 GiB/s."""
+    import time
+
+    a = np.empty(100_000_000, dtype=np.uint8)
+    b = np.empty_like(a)
+    best = 0.0
+    for _ in range(tries):
+        t0 = time.perf_counter()
+        b[:] = a
+        best = max(best, 0.1 / (time.perf_counter() - t0))
+    return best

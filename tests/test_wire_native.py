@@ -128,23 +128,14 @@ def test_numpy_fallback_roundtrip(monkeypatch, rng):
     ).all()
 
 
-def _memcpy_gibs() -> float:
-    a = np.empty(100_000_000, dtype=np.uint8)
-    b = np.empty_like(a)
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        b[:] = a
-        best = max(best, 0.1 / (time.perf_counter() - t0))
-    return best
-
-
 @pytest.mark.skipif(not HAVE, reason="no C compiler")
 def test_native_wire_speed():
     """Perf bars for the C kernels, gated on the host memcpy calibration
     (VERDICT r3 item 8 pattern): a starved host interval skips with the
     probe reading instead of red-failing the suite."""
-    gibs = _memcpy_gibs()
+    from conftest import memcpy_gibs
+
+    gibs = memcpy_gibs()
     if gibs < 4.0:
         pytest.skip(f"host starved: memcpy {gibs:.1f} GiB/s < 4")
     rng = np.random.default_rng(11)
