@@ -259,8 +259,14 @@ def run_bench() -> dict:
     # One-line host-health calibration BEFORE the timed queries: this
     # VM's memory delivery swings ~6x between runs (measured 5-30 GiB/s
     # memcpy at 2 procs), so every recorded bench carries the machine
-    # state it ran under.
-    host_memcpy = round(hw_mem_probe(2, seconds=3.0), 1)
+    # state it ran under. A 0.0 reading means the probe itself starved
+    # (not "slow") — retry, then mark invalid rather than printing a
+    # number that silently means "broken" (VERDICT r3 wrong-item 4).
+    host_memcpy = 0.0
+    for _ in range(3):
+        host_memcpy = round(hw_mem_probe(2, seconds=3.0), 1)
+        if host_memcpy > 0.0:
+            break
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     _quiet_ray_data()
     try:
@@ -275,7 +281,8 @@ def run_bench() -> dict:
         "queries": {k: round(v, 3) for k, v in q.items()},
         "sf": sf_from_dir(SF_DIR),
         "num_cpus": NUM_CPUS,
-        "host_memcpy_gibs_2p": host_memcpy,
+        "host_memcpy_gibs_2p": host_memcpy if host_memcpy > 0 else None,
+        "host_memcpy_valid": host_memcpy > 0,
         **{k: (round(v, 3) if isinstance(v, float) else v) for k, v in extras.items()},
     }
 
@@ -295,6 +302,17 @@ def run_bench() -> dict:
 SCALE_LO = int(os.environ.get("PGR_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("PGR_SCALE_HI", "8"))
 SCALE_PAIRS = int(os.environ.get("PGR_SCALE_PAIRS", "3"))
+# Calibration gate (VERDICT r3 item 2): a pair only counts toward the
+# GATED median when the 2-proc memcpy probe reads healthy both before
+# and after it — ~15 GiB/s separates this VM's healthy intervals from
+# its starved ones (observed range 0-30). The loop keeps running pairs
+# (up to PGR_SCALE_MAX_PAIRS) until PGR_SCALE_GATED_PAIRS healthy ones
+# exist; every pair is still disclosed with its probe readings.
+SCALE_HEALTHY_GIBS = float(os.environ.get("PGR_SCALE_HEALTHY_GIBS", "15"))
+SCALE_GATED_PAIRS = int(os.environ.get("PGR_SCALE_GATED_PAIRS", "2"))
+SCALE_MAX_PAIRS = int(
+    os.environ.get("PGR_SCALE_MAX_PAIRS", str(SCALE_PAIRS * 3))
+)
 SCALE_ROWS_PER_PART = 100_000
 # PGR_SCALE_FSST=1 forces the FSST codec on the text column (~7x more
 # ALU work per turn with the C kernel): a compute-dominated variant that
@@ -341,8 +359,8 @@ def hw_mem_probe(nprocs: int, seconds: float = 6.0, mb: int = 64) -> float:
 
     import numpy as np
 
-    def spin(q, dur):
-        a = np.zeros(mb << 20, dtype=np.uint8)
+    def spin(q, dur, size_mb):
+        a = np.zeros(size_mb << 20, dtype=np.uint8)
         b = np.empty_like(a)
         t_end = time.time() + dur
         n = 0
@@ -351,14 +369,23 @@ def hw_mem_probe(nprocs: int, seconds: float = 6.0, mb: int = 64) -> float:
             n += 1
         q.put(n * a.nbytes)
 
-    q = mp.Queue()
-    ps = [mp.Process(target=spin, args=(q, seconds)) for _ in range(nprocs)]
-    for p in ps:
-        p.start()
-    total = sum(q.get() for _ in ps)
-    for p in ps:
-        p.join()
-    return total / seconds / (1 << 30)
+    # On a fully-starved interval a 64 MB copy may not complete once
+    # inside the window — retry with a smaller buffer so the probe
+    # reports a (low) number instead of a silent 0.0.
+    for size_mb in (mb, 8):
+        q = mp.Queue()
+        ps = [
+            mp.Process(target=spin, args=(q, seconds, size_mb))
+            for _ in range(nprocs)
+        ]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        if total > 0:
+            return total / seconds / (1 << 30)
+    return 0.0
 
 
 def _scaling_child(cpus: int) -> dict:
@@ -438,29 +465,47 @@ def run_scaling() -> dict:
     mem_hi = hw_mem_probe(SCALE_HI)
     mem_ceiling = (mem_hi / mem_lo) / factor
     pairs = []
-    for i in range(SCALE_PAIRS):  # interleaved lo/hi so VM drift hits both
-        lo = _scaling_child(SCALE_LO)
+    gated = []
+    attempts = 0
+    while attempts < SCALE_MAX_PAIRS and (
+        len(pairs) < SCALE_PAIRS or len(gated) < SCALE_GATED_PAIRS
+    ):
+        attempts += 1
+        probe_pre = hw_mem_probe(2, seconds=3.0)
+        if probe_pre < SCALE_HEALTHY_GIBS and len(pairs) >= SCALE_PAIRS:
+            # Disclosure quota met and the host is starved right now:
+            # don't burn minutes on a pair the gate would discard.
+            time.sleep(15)
+            continue
+        lo = _scaling_child(SCALE_LO)  # interleaved lo/hi: drift hits both
         hi = _scaling_child(SCALE_HI)
-        pairs.append(
-            {
-                "lo": lo,
-                "hi": hi,
-                "wall_eff": (hi["turns_per_sec"] / lo["turns_per_sec"]) / factor,
-                "cpu_eff": hi["util"] / lo["util"],
-                # UDF-time efficiency: process_time measured INSIDE the
-                # task bodies (parquet decode + salt + fragment encode +
-                # merge encode). Identical jobs ⇒ identical UDF work, so
-                # lo/hi ≈ 1.0 when the wide leg adds no contention-
-                # induced work inflation — immune to wall noise, Ray
-                # overheads and idle time. The wall-noise-free scaling
-                # statement is: udf_eff × (engine kept cores busy).
-                "udf_eff": (
-                    lo["udf_cpu_s"] / hi["udf_cpu_s"]
-                    if hi.get("udf_cpu_s") else None
-                ),
-            }
-        )
+        probe_post = hw_mem_probe(2, seconds=3.0)
+        healthy = min(probe_pre, probe_post) >= SCALE_HEALTHY_GIBS
+        pair = {
+            "lo": lo,
+            "hi": hi,
+            "wall_eff": (hi["turns_per_sec"] / lo["turns_per_sec"]) / factor,
+            "cpu_eff": hi["util"] / lo["util"],
+            # UDF-time efficiency: process_time measured INSIDE the
+            # task bodies (parquet decode + salt + fragment encode +
+            # merge encode). Identical jobs ⇒ identical UDF work, so
+            # lo/hi ≈ 1.0 when the wide leg adds no contention-
+            # induced work inflation — immune to wall noise, Ray
+            # overheads and idle time. The wall-noise-free scaling
+            # statement is: udf_eff × (engine kept cores busy).
+            "udf_eff": (
+                lo["udf_cpu_s"] / hi["udf_cpu_s"]
+                if hi.get("udf_cpu_s") else None
+            ),
+            "probe_pre_gibs": round(probe_pre, 1),
+            "probe_post_gibs": round(probe_post, 1),
+            "healthy": healthy,
+        }
+        pairs.append(pair)
+        if healthy:
+            gated.append(pair)
     wall_effs = sorted(p["wall_eff"] for p in pairs)
+    gated_effs = sorted(p["wall_eff"] for p in gated)
     cpu_effs = sorted(p["cpu_eff"] for p in pairs)
     udf_effs = sorted(
         p["udf_eff"] for p in pairs if p["udf_eff"] is not None
@@ -469,8 +514,19 @@ def run_scaling() -> dict:
     return {
         "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}_cpus"
         + ("_fsst" if SCALE_FSST else ""),
-        "value": round(med(wall_effs), 3),
+        # Headline = the GATED median when healthy pairs exist (the
+        # number the criterion should be judged on, reproducible by
+        # following the same gate); all pairs remain disclosed below.
+        "value": round(med(gated_effs if gated_effs else wall_effs), 3),
+        "value_basis": "gated" if gated_effs else "all_pairs",
         "unit": "ratio",
+        "healthy_gibs_threshold": SCALE_HEALTHY_GIBS,
+        "wall_efficiency_gated": {
+            "median": round(med(gated_effs), 3),
+            "min": round(gated_effs[0], 3),
+            "max": round(gated_effs[-1], 3),
+            "n": len(gated_effs),
+        } if gated_effs else None,
         "queries": {
             f"encode_transcripts_{SCALE_LO}cpu": round(
                 med([p["lo"]["elapsed"] for p in pairs]), 3
@@ -481,7 +537,8 @@ def run_scaling() -> dict:
         },
         "sf": sf_from_dir(SF_DIR),
         "num_cpus": SCALE_HI,
-        "pairs": SCALE_PAIRS,
+        "pairs": len(pairs),
+        "gated_pairs": len(gated),
         "wall_efficiency": {
             "median": round(med(wall_effs), 3),
             "min": round(wall_effs[0], 3),
@@ -557,6 +614,9 @@ def run_scaling() -> dict:
                 "hi_s": round(p["hi"]["elapsed"], 2),
                 "lo_util": round(p["lo"]["util"], 3),
                 "hi_util": round(p["hi"]["util"], 3),
+                "probe_pre_gibs": p["probe_pre_gibs"],
+                "probe_post_gibs": p["probe_post_gibs"],
+                "healthy": p["healthy"],
             }
             for p in pairs
         ],
