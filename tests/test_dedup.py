@@ -250,3 +250,43 @@ class TestDistributed:
         self._no_driver_collect(monkeypatch)
         ids = _ids(dedup_minhash(ds, threshold=0.7, distributed=True))
         assert ids == list(range(groups))
+
+
+def test_distributed_cc_no_driver_resident_arrays(ray_session, monkeypatch):
+    """VERDICT r3 item 3 structural pin: the distributed verify/CC stage
+    must hold NOTHING candidate-sized on the driver. The r3 design
+    ray.put a distinct candidate-id array (8 B/candidate); the r4
+    co-partition has no driver artifact at all inside
+    _distributed_verify_cc — driver memory is O(star edges), which only
+    materialize in the final merge and the absorbed-filter broadcast."""
+    import ray
+
+    import parquet_go_ray.ops.dedup as dd
+
+    assert not hasattr(dd, "_candidate_ids")  # the r3 artifact is gone
+
+    puts_inside_cc = []
+    in_cc = {"on": False}
+    orig_put = ray.put
+    orig_cc = dd._distributed_verify_cc
+
+    def spy_put(x, **kw):
+        if in_cc["on"] and isinstance(x, np.ndarray):
+            puts_inside_cc.append(len(x))
+        return orig_put(x, **kw)
+
+    def wrapped_cc(*a, **k):
+        in_cc["on"] = True
+        try:
+            return orig_cc(*a, **k)
+        finally:
+            in_cc["on"] = False
+
+    monkeypatch.setattr(dd.ray, "put", spy_put)
+    monkeypatch.setattr(dd, "_distributed_verify_cc", wrapped_cc)
+
+    t, expected = planted_mutated_documents(groups=20, clones_per_group=5)
+    ds = ray.data.from_arrow(t)
+    got = _ids(dd.dedup_minhash(ds, threshold=0.6, distributed=True))
+    assert got == expected  # correctness unchanged by the co-partition
+    assert puts_inside_cc == [], puts_inside_cc  # zero driver arrays
