@@ -25,10 +25,11 @@ _NAMES = ("zstd", "snappy", "gzip", "brotli", "lz4")
 # zstd level 3: measured 17% smaller than level 1 on transcript text at
 # still-sequential-read-friendly 150+ MB/s; levels ≥6 gain <1% more.
 # Env-overridable so benchmark children can sweep it (workers re-read it).
-# Level 2 measures ~0.7% larger than level 3 on transcript blobs but
-# ~15-20% faster end-to-end encode (r4 A/B at 200k turns) — the right
-# trade at 100 TB; the ≤-reference ratio keeps ~25% headroom either way.
-_LEVELS = {"zstd": int(os.environ.get("PGR_ZSTD_LEVEL", "2"))}
+# r4 A/B on the full 32-CPU pipeline: level 2 saves no wall time there
+# (the encode stage isn't the bottleneck at bench sizes) but costs
+# +4.6% blob size (44.98 -> 47.06 B/turn) — keep 3; PGR_ZSTD_LEVEL
+# remains the knob for compute-bound deployments.
+_LEVELS = {"zstd": int(os.environ.get("PGR_ZSTD_LEVEL", "3"))}
 
 
 def available_codecs() -> list[str]:

@@ -43,7 +43,11 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """md5 hex fingerprint per document (SQL-replayable: md5(text))."""
+    """md5 hex fingerprint per document (SQL-replayable: md5(text)).
+
+    The md5 path is an oracle-forced PER-ROW loop (must equal DuckDB's
+    ``md5(text)`` exactly); at scale prefer ``rolling_fingerprint_batch``
+    below — the fully vectorized engine-native fingerprint."""
     texts = batch.column(text_col).to_pylist()
     fps = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
     return batch.append_column("fingerprint", pa.array(fps, pa.string()))
