@@ -152,6 +152,12 @@ class _Compact:
             etype = head & 0x0F
             if size == 0xF:
                 size = self.varint()
+            if etype in (_T_TRUE, _T_FALSE):
+                # bool LIST elements are one byte each (1=true, 2=false),
+                # unlike struct fields where the bool lives in the header
+                out = [self.b[self.p + i] == 1 for i in range(size)]
+                self.p += size
+                return out
             return [self.read_val(etype) for _ in range(size)]
         if typ == _T_MAP:
             size = self.varint()
@@ -551,6 +557,43 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
         if defs is not None:
             defs = defs[a:b]
     return arr, defs
+
+
+def read_page_index(path: str, row_group: int = 0,
+                    column: int = 0) -> dict | None:
+    """Parse the optional ColumnIndex / OffsetIndex structures of one
+    column chunk straight from the footer (the engine's own thrift
+    reader — pyarrow's Python API doesn't expose the raw offsets).
+    Returns ``{"column_index": {...}, "offset_index": [...]}`` with
+    whichever structures the writer emitted, or None if neither exists.
+    """
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        flen = int.from_bytes(f.read(4), "little")
+        f.seek(-8 - flen, 2)
+        footer = f.read(flen)
+        md = _Compact(footer).read_struct()
+        col = md[4][row_group][1][column]  # FileMetaData.row_groups[].columns[]
+        out: dict = {}
+        if 18 in col:  # column_index_offset / _length
+            f.seek(col[18])
+            ci = _Compact(f.read(col[19])).read_struct()
+            out["column_index"] = {
+                "null_pages": ci[1],
+                "min_values": ci[2],
+                "max_values": ci[3],
+                "boundary_order": ci[4],
+                "null_counts": ci.get(5),
+            }
+        if 16 in col:  # offset_index_offset / _length
+            f.seek(col[16])
+            oi = _Compact(f.read(col[17])).read_struct()
+            out["offset_index"] = [
+                {"offset": p[1], "compressed_page_size": p[2],
+                 "first_row_index": p[3]}
+                for p in oi[1]
+            ]
+    return out or None
 
 
 def _cast_to_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:

@@ -137,6 +137,9 @@ class _CompactWriter:
             for it in items:
                 if etype == _T_STRUCT:
                     self.struct(it)
+                elif etype in (_T_TRUE, _T_FALSE):
+                    # compact bool LIST elements: one byte, 1=true 2=false
+                    self.buf.append(1 if it else 2)
                 else:
                     self.value(etype, it)
         elif typ == _T_STRUCT:
@@ -420,6 +423,15 @@ class _ColumnChunkWriter:
         self.uncompressed = 0
         self.encodings: list[int] = []
         self.stats: dict | None = None
+        # Page index records (ColumnIndex / OffsetIndex, parquet.thrift
+        # optional structures): per DATA page (rel_offset, size,
+        # first_row) and (null_page, min, max, null_count). stats_ok
+        # drops the ColumnIndex when any page lacks min/max (NaN floats,
+        # booleans, >64B strings) — OffsetIndex is emitted regardless.
+        self.page_locs: list[tuple[int, int, int]] = []
+        self.page_stats: list[tuple[bool, bytes, bytes, int]] = []
+        self.stats_ok = True
+        self.rows_emitted = 0
 
     def _page(self, header_fields: list, payload: bytes) -> None:
         comp = compress(payload, self.codec) if self.codec != "none" else payload
@@ -452,7 +464,8 @@ class _ColumnChunkWriter:
                         value_bytes: bytes,
                         rep: np.ndarray | None, rep_w: int,
                         defs: np.ndarray | None, def_w: int,
-                        n_nulls: int) -> None:
+                        n_nulls: int,
+                        stats_arr: pa.Array | None = None) -> None:
         """One data page in the chunk's page_version dialect.
 
         v1 (DATA_PAGE): 4-byte-size-framed hybrid rep + def streams and
@@ -460,7 +473,12 @@ class _ColumnChunkWriter:
         shape of ref layout/page-v2.go:12-20): UNFRAMED level streams
         sit uncompressed OUTSIDE the compressed region, their byte
         lengths + per-page num_nulls/num_rows live in the header, and
-        only the value bytes pass through the codec."""
+        only the value bytes pass through the codec.
+
+        ``stats_arr``: the page's value array (nulls included) used for
+        the per-page ColumnIndex entry; None drops the chunk's
+        ColumnIndex (OffsetIndex still tracks the page)."""
+        rel = len(self.pages)
         if self.page_version == 2:
             rl = hybrid_encode(rep, rep_w) if rep is not None else b""
             dl = hybrid_encode(defs, def_w) if defs is not None else b""
@@ -502,6 +520,23 @@ class _ColumnChunkWriter:
         self.num_values += n_entries
         if enc not in self.encodings:
             self.encodings.append(enc)
+        self.page_locs.append((rel, len(self.pages) - rel, self.rows_emitted))
+        self.rows_emitted += n_rows
+        if not self.stats_ok:
+            return
+        null_page = n_nulls == n_entries
+        if null_page:
+            self.page_stats.append((True, b"", b"", n_nulls))
+        elif stats_arr is None:
+            self.stats_ok = False
+        else:
+            st = _chunk_statistics(stats_arr, self.plan["phys"])
+            if st["min"] is None:
+                self.stats_ok = False
+            else:
+                self.page_stats.append(
+                    (False, st["min"], st["max"], n_nulls)
+                )
 
     def write_data_page(self, arr: pa.Array, value_bytes: bytes,
                         enc: int, defs: np.ndarray | None = None,
@@ -522,7 +557,7 @@ class _ColumnChunkWriter:
             def_w = 0
             n_nulls = 0
         self._emit_data_page(n, n, enc, value_bytes, None, 0,
-                             defs, def_w, n_nulls)
+                             defs, def_w, n_nulls, stats_arr=arr)
 
     def _add_list_rows(self, arr, page_rows: int) -> None:
         """Shred a one-level list column into v1 pages: rep levels +
@@ -593,6 +628,7 @@ class _ColumnChunkWriter:
                 _plain_values(dense, phys, self.plan["type_length"]),
                 rep, 1, defs, def_width,
                 total - int((defs == max_def).sum()),
+                stats_arr=elems,
             )
 
     def add_shredded(self, leaf, page_rows: int) -> None:
@@ -622,6 +658,7 @@ class _ColumnChunkWriter:
                 _plain_values(dense_sl, phys, self.plan["type_length"]),
                 rep_sl if leaf.max_rep > 0 else None, rep_w,
                 de_sl, def_w, len(de_sl) - nv,
+                stats_arr=dense_sl,
             )
 
     def add_rows(self, arr: pa.Array, page_rows: int,
@@ -980,6 +1017,7 @@ def write_parquet_native(
     with open(path, "wb") as f:
         f.write(MAGIC)
         offset = len(MAGIC)
+        index_chunks: list[tuple[list, _ColumnChunkWriter, int]] = []
         for rg_start in range(0, max(1, table.num_rows), row_group_rows):
             rg = table.slice(rg_start, row_group_rows)
             chunk_fields = []
@@ -991,10 +1029,12 @@ def write_parquet_native(
                     data_page_rows, page_version=page_version,
                 ):
                     meta = cw.metadata_fields(offset)
-                    chunk_fields.append([
+                    fields = [
                         (2, _T_I64, offset),
                         (3, _T_STRUCT, meta),
-                    ])
+                    ]
+                    chunk_fields.append(fields)
+                    index_chunks.append((fields, cw, offset))
                     f.write(cw.pages)
                     offset += len(cw.pages)
                     total_comp += len(cw.pages)
@@ -1008,6 +1048,38 @@ def write_parquet_native(
                 (5, _T_I64, rg_offset),
                 (6, _T_I64, total_comp),
             ])
+        # Page index (optional ColumnIndex/OffsetIndex structures, the
+        # spec's layout: all column indexes, then all offset indexes,
+        # between the last data page and the footer). ColumnIndex is
+        # omitted for chunks where any page lacks min/max (NaN floats,
+        # booleans, >64B strings — same policy as chunk Statistics);
+        # OffsetIndex (page locations + first_row_index) always emits.
+        for fields, cw, _choff in index_chunks:
+            if cw.stats_ok and cw.page_stats:
+                ci = _struct_bytes([
+                    (1, _T_LIST, (_T_TRUE, [s[0] for s in cw.page_stats])),
+                    (2, _T_LIST, (_T_BINARY, [s[1] for s in cw.page_stats])),
+                    (3, _T_LIST, (_T_BINARY, [s[2] for s in cw.page_stats])),
+                    (4, _T_I32, 0),  # BoundaryOrder UNORDERED
+                    (5, _T_LIST, (_T_I64, [s[3] for s in cw.page_stats])),
+                ])
+                f.write(ci)
+                fields.append((18, _T_I64, offset))
+                fields.append((19, _T_I32, len(ci)))
+                offset += len(ci)
+        for fields, cw, choff in index_chunks:
+            oi = _struct_bytes([
+                (1, _T_LIST, (_T_STRUCT, [
+                    [(1, _T_I64, choff + rel),
+                     (2, _T_I32, size),
+                     (3, _T_I64, frow)]
+                    for rel, size, frow in cw.page_locs
+                ])),
+            ])
+            f.write(oi)
+            fields.append((16, _T_I64, offset))
+            fields.append((17, _T_I32, len(oi)))
+            offset += len(oi)
         footer = _struct_bytes([
             (1, _T_I32, 2),  # format version
             (2, _T_LIST, (_T_STRUCT, _schema_elements(table.schema, plans))),
