@@ -672,6 +672,41 @@ def _q_native_roundtrip_uint(sf_dir: str):
     return read_parquet_native(paths)
 
 
+def _q_native_bss_embeddings(sf_dir: str):
+    """BYTE_STREAM_SPLIT (encoding 9) through the full native file loop:
+    the embeddings list<float> leaf is written as byte streams by the
+    engine's writer and reassembled by the engine's page reader —
+    pyarrow touches neither side. Values must survive bit-exactly (BSS
+    is a pure byte transpose), so the projection returns actual
+    elements (cast to float64, exact for float32 inputs) rather than
+    just the dim; the oracle reads the same elements off the source
+    table."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_files_native
+
+    out = tempfile.mkdtemp(prefix="pgr_native_bss_")
+    manifest = write_parquet_files_native(
+        _read(sf_dir, "embeddings"), out,
+        encodings={"embedding": "byte_stream_split"},
+    )
+    paths = [r["path"] for r in manifest.take_all()]
+    ds = read_parquet_native(paths)
+
+    def project(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "label": batch.column("label"),
+            "e0": pc.list_element(emb, 0).cast(pa.float64()),
+            "e1": pc.list_element(emb, 1).cast(pa.float64()),
+            "embedding_dim": pc.list_value_length(emb).cast(pa.int64()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_native_filter_pushdown(sf_dir: str):
     """Writer zone maps driving reader pruning: events sorted by value,
     written with per-chunk Statistics by the native writer, read back by
@@ -930,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_filter_pushdown_events": _q_native_filter_pushdown,
         "native_roundtrip_nested": _q_native_roundtrip_nested,
         "native_roundtrip_uint": _q_native_roundtrip_uint,
+        "native_bss_embeddings": _q_native_bss_embeddings,
         "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
@@ -1066,6 +1102,13 @@ def oracle_sql() -> dict[str, str]:
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
+        ),
+        "native_bss_embeddings": (
+            "SELECT vec_id, label,"
+            " CAST(embedding[1] AS DOUBLE) AS e0,"
+            " CAST(embedding[2] AS DOUBLE) AS e1,"
+            " CAST(len(embedding) AS BIGINT) AS embedding_dim"
+            " FROM embeddings"
         ),
         "native_roundtrip_nested": (
             "WITH t AS (SELECT i AS id,"

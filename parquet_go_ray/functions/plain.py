@@ -22,6 +22,8 @@ __all__ = [
     "plain_decode_numeric",
     "plain_encode_bool",
     "plain_decode_bool",
+    "bss_encode",
+    "bss_decode",
     "rle_encode_bool",
     "rle_decode_bool",
     "int96_decode_timestamps",
@@ -78,6 +80,31 @@ def plain_decode_numeric(data, dtype, count: int) -> np.ndarray:
     dtype = np.dtype(dtype)
     buf = np.frombuffer(data, dtype=dtype, count=count)
     return buf
+
+
+def bss_encode(plain: bytes, width: int) -> bytes:
+    """BYTE_STREAM_SPLIT (Parquet encoding 9): scatter the k-th byte of
+    every ``width``-byte value into the k-th of ``width`` contiguous
+    streams. A pure transpose of the PLAIN buffer — values are unchanged,
+    but same-position bytes (float exponents, high-order int bytes)
+    become runs the block compressor can exploit. Format v2.8 defines it
+    for FLOAT/DOUBLE; v2.11 extends it to INT32/INT64/FLBA."""
+    n = len(plain)
+    if n % width:
+        raise ValueError(f"BSS payload of {n} bytes is not a multiple of {width}")
+    return (
+        np.frombuffer(plain, dtype=np.uint8)
+        .reshape(n // width, width)
+        .T.tobytes()
+    )
+
+
+def bss_decode(data, width: int, count: int) -> bytes:
+    """Inverse of :func:`bss_encode`: gather ``count`` values back from
+    the ``width`` byte streams into a PLAIN little-endian buffer."""
+    need = count * width
+    buf = np.frombuffer(data, dtype=np.uint8, count=need)
+    return buf.reshape(width, count).T.tobytes()
 
 
 def plain_encode_bool(values: np.ndarray) -> bytes:

@@ -57,6 +57,7 @@ from ..functions.bytearray import (
 from ..functions.delta import delta_decode
 from ..functions.hybrid import hybrid_decode, hybrid_decode_sized
 from ..functions.plain import (
+    bss_decode,
     int96_decode_timestamps,
     plain_decode_bool,
     plain_decode_numeric,
@@ -184,6 +185,7 @@ DELTA_BINARY_PACKED = 5
 DELTA_LENGTH_BYTE_ARRAY = 6
 DELTA_BYTE_ARRAY = 7
 RLE_DICTIONARY = 8
+BYTE_STREAM_SPLIT = 9
 
 
 def read_page_header(buf, pos: int) -> tuple[dict, int]:
@@ -301,6 +303,15 @@ class _ChunkReader:
         if enc == DELTA_BYTE_ARRAY:
             lens, blob, _ = delta_prefix_decode(data, nn)
             return parts_to_arrow_strings(lens, blob, binary=True)
+        if enc == BYTE_STREAM_SPLIT:
+            widths = {"FLOAT": 4, "INT32": 4, "DOUBLE": 8, "INT64": 8,
+                      "FIXED_LEN_BYTE_ARRAY": self.type_length}
+            w = widths.get(self.phys)
+            if not w:
+                raise ValueError(f"BYTE_STREAM_SPLIT on {self.phys}")
+            return _decode_plain(
+                bss_decode(data, w, nn), self.phys, nn, self.type_length
+            )
         if enc == RLE and self.phys == "BOOLEAN":
             # Boolean RLE data pages carry a 4-byte-size-framed hybrid
             # stream of 1-bit values (same framing as v1 levels).

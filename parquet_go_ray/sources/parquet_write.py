@@ -55,7 +55,7 @@ from ..functions.block import compress
 from ..functions.bytearray import arrow_strings_to_parts, plain_encode_bytes
 from ..functions.delta import delta_encode
 from ..functions.hybrid import hybrid_encode, hybrid_encode_sized
-from ..functions.plain import plain_encode_numeric
+from ..functions.plain import bss_encode, plain_encode_numeric
 
 __all__ = ["write_parquet_native", "write_parquet_files_native"]
 
@@ -158,7 +158,7 @@ def _struct_bytes(fields: list[tuple[int, int, object]]) -> bytes:
 
 BOOLEAN, INT32, INT64, INT96, FLOAT, DOUBLE, BYTE_ARRAY, FLBA = range(8)
 PLAIN, PLAIN_DICT, RLE, DELTA_BINARY_PACKED, RLE_DICTIONARY = 0, 2, 3, 5, 8
-DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY = 6, 7
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT = 6, 7, 9
 DATA_PAGE, DICTIONARY_PAGE, DATA_PAGE_V2 = 0, 2, 3
 REQUIRED, OPTIONAL = 0, 1
 
@@ -365,12 +365,31 @@ _SELECTOR_TO_WIRE = {
 }
 
 
-def _auto_encoding(arr: pa.Array, phys: int) -> str:
+def _maybe_bss(wire: str, dense: pa.Array, phys: int, codec: str) -> str:
+    """Upgrade a ``plain`` float column to BYTE_STREAM_SPLIT only when a
+    sampled compress-both trial says so. BSS is NOT a universal win:
+    it groups exponent bytes into runs (great for smooth physical
+    series), but it also destroys whole-value repeats that the block
+    codec would otherwise match (decimal-ish prices: measured 1.8x
+    WORSE on lineitem doubles) — so measure, don't guess, same posture
+    as functions/selector.py."""
+    if wire != "plain" or phys not in (FLOAT, DOUBLE) or codec == "none":
+        return wire
+    sample = dense.slice(0, 4096)
+    plain = _plain_values(sample, phys, None)
+    split = bss_encode(plain, 4 if phys == FLOAT else 8)
+    if len(compress(split, codec)) < 0.98 * len(compress(plain, codec)):
+        return "byte_stream_split"
+    return wire
+
+
+def _auto_encoding(arr: pa.Array, phys: int, codec: str = "none") -> str:
     """Column encoding choice for ``auto``: the engine's sampled-stats
     trial selector (functions/selector.py — the realized `allowDict`
     heuristic of the reference), mapped onto the Parquet encodings this
     writer emits; falls back to a cardinality check if the selector
-    can't price the type."""
+    can't price the type. Float columns that land on ``plain`` get a
+    sampled BYTE_STREAM_SPLIT-vs-PLAIN compression trial."""
     if phys == BOOLEAN:
         return "plain"
     n = len(arr)
@@ -381,8 +400,8 @@ def _auto_encoding(arr: pa.Array, phys: int) -> str:
         try:
             from ..functions.selector import select_codec
 
-            codec, _comp, _stats = select_codec(dense)
-            wire = _SELECTOR_TO_WIRE.get(codec, "plain")
+            sel, _comp, _stats = select_codec(dense)
+            wire = _SELECTOR_TO_WIRE.get(sel, "plain")
             # The engine's container is laxer than Parquet's wire
             # legality matrix: DELTA_* byte-array encodings exist only
             # for the BYTE_ARRAY physical type (not FLBA), delta-BP
@@ -391,11 +410,13 @@ def _auto_encoding(arr: pa.Array, phys: int) -> str:
                 wire = "plain"
             if wire == "delta" and phys not in (INT32, INT64):
                 wire = "plain"
-            return wire
+            return _maybe_bss(wire, dense, phys, codec)
         except (TypeError, ValueError):
             pass
     nunique = pc.count_distinct(arr).as_py()
-    return "dict" if nunique <= max(1, n // 2) else "plain"
+    if nunique > max(1, n // 2):
+        return _maybe_bss("plain", dense, phys, codec)
+    return "dict"
 
 
 class _ColumnChunkWriter:
@@ -446,6 +467,26 @@ class _ColumnChunkWriter:
         self.pages += hdr
         self.pages += comp
         self.uncompressed += len(hdr) + len(payload)
+
+    def _bss_width(self) -> int:
+        phys = self.plan["phys"]
+        if phys in (INT32, FLOAT):
+            return 4
+        if phys in (INT64, DOUBLE):
+            return 8
+        if phys == FLBA:
+            return int(self.plan["type_length"])
+        raise ValueError("byte_stream_split needs a fixed-width column "
+                         f"(INT32/INT64/FLOAT/DOUBLE/FLBA), not phys {phys}")
+
+    def _dense_payload(self, dense: pa.Array) -> tuple[bytes, int]:
+        """Value bytes + wire encoding for a dense (null-free) slice on
+        the paths that otherwise emit PLAIN (lists, Dremel leaves, the
+        flat byte_stream_split branch)."""
+        plain = _plain_values(dense, self.plan["phys"], self.plan["type_length"])
+        if self.encoding == "byte_stream_split":
+            return bss_encode(plain, self._bss_width()), BYTE_STREAM_SPLIT
+        return plain, PLAIN
 
     def write_dictionary(self, dictionary: pa.Array) -> None:
         payload = _plain_values(
@@ -623,9 +664,9 @@ class _ColumnChunkWriter:
                 defs[elem_slot] = max_def
 
             dense = elems.drop_null()
+            value_bytes, enc = self._dense_payload(dense)
             self._emit_data_page(
-                total, e - s, PLAIN,
-                _plain_values(dense, phys, self.plan["type_length"]),
+                total, e - s, enc, value_bytes,
                 rep, 1, defs, def_width,
                 total - int((defs == max_def).sum()),
                 stats_arr=elems,
@@ -653,9 +694,9 @@ class _ColumnChunkWriter:
             v0 = int(cum[a])
             nv = int(cum[b] - cum[a])
             dense_sl = leaf.dense.slice(v0, nv)
+            value_bytes, enc = self._dense_payload(dense_sl)
             self._emit_data_page(
-                len(rep_sl), int((rep_sl == 0).sum()), PLAIN,
-                _plain_values(dense_sl, phys, self.plan["type_length"]),
+                len(rep_sl), int((rep_sl == 0).sum()), enc, value_bytes,
                 rep_sl if leaf.max_rep > 0 else None, rep_w,
                 de_sl, def_w, len(de_sl) - nv,
                 stats_arr=dense_sl,
@@ -686,7 +727,7 @@ class _ColumnChunkWriter:
             return
         self.stats = _chunk_statistics(arr, phys)
         if enc_name == "auto":
-            enc_name = _auto_encoding(arr, phys)
+            enc_name = _auto_encoding(arr, phys, self.codec)
         if enc_name == "dict":
             # One dictionary for the whole chunk (Parquet requirement:
             # the dictionary page precedes all data pages).
@@ -754,6 +795,12 @@ class _ColumnChunkWriter:
                     wire = DELTA_BYTE_ARRAY
                 self.write_data_page(
                     sl, payload, wire, defs=pd_, max_def=max_def,
+                )
+            elif enc_name == "byte_stream_split":
+                plain = _plain_values(dense, phys, self.plan["type_length"])
+                self.write_data_page(
+                    sl, bss_encode(plain, self._bss_width()),
+                    BYTE_STREAM_SPLIT, defs=pd_, max_def=max_def,
                 )
             elif enc_name == "plain":
                 self.write_data_page(
