@@ -42,6 +42,8 @@ now reads natively; pyarrow supplies only footer metadata (SURVEY
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -552,6 +554,15 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
                 continue
             if first_kept is None:
                 first_kept = rows
+        if hdr.get("crc") is not None:
+            # PageHeader.crc covers the on-wire payload (levels included
+            # for v2). Only pages actually decoded pay the check —
+            # row-range-skipped payloads above are never touched.
+            if (zlib.crc32(payload) & 0xFFFFFFFF) != (hdr["crc"] & 0xFFFFFFFF):
+                raise ValueError(
+                    f"page CRC mismatch in {path!r} row_group={row_group} "
+                    f"column={column}: corrupt page at chunk offset {pos}"
+                )
         rdr.add_page(hdr, payload)
         if is_data:
             rows += hdr["num_values"]

@@ -29,7 +29,11 @@ their list<struct<key,value>> view). Encodings per column: ``plain``,
 ``dict`` (RLE_DICTIONARY data pages + PLAIN dictionary page),
 ``delta`` (DELTA_BINARY_PACKED, integer columns), ``delta_length``
 (DELTA_LENGTH_BYTE_ARRAY) or ``delta_prefix`` (DELTA_BYTE_ARRAY front
-coding) for byte-array columns. Page compression:
+coding) for byte-array columns, ``byte_stream_split`` (encoding 9,
+fixed-width types; ``auto`` upgrades plain floats only when a sampled
+compress-both trial wins). Every page header carries a CRC-32 of its
+on-wire payload by default (``write_page_checksum=False`` to drop it);
+the native reader verifies whatever CRCs are present. Page compression:
 any ``functions/block.py`` codec that Parquet names (snappy / gzip /
 brotli / zstd) or none (deep-shredded leaves write PLAIN values).
 
@@ -46,6 +50,8 @@ involvement beyond the task graph.
 """
 
 from __future__ import annotations
+
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -365,6 +371,15 @@ _SELECTOR_TO_WIRE = {
 }
 
 
+def _page_crc(wire_payload: bytes) -> int:
+    """PageHeader.crc (field 4): CRC-32 of the page's on-wire payload —
+    everything between the header and the next page, levels included
+    for v2 — as the signed i32 thrift carries (matches what pyarrow
+    emits with write_page_checksum=True, verified byte-for-byte)."""
+    crc = zlib.crc32(wire_payload) & 0xFFFFFFFF
+    return crc - (1 << 32) if crc >= (1 << 31) else crc
+
+
 def _maybe_bss(wire: str, dense: pa.Array, phys: int, codec: str) -> str:
     """Upgrade a ``plain`` float column to BYTE_STREAM_SPLIT only when a
     sampled compress-both trial says so. BSS is NOT a universal win:
@@ -424,7 +439,7 @@ class _ColumnChunkWriter:
 
     def __init__(self, name: str, plan: dict, encoding: str, codec: str,
                  nullable: bool, path: list[str] | None = None,
-                 page_version: int = 1):
+                 page_version: int = 1, page_checksum: bool = True):
         self.name = name
         self.plan = plan
         self.encoding = encoding
@@ -433,6 +448,7 @@ class _ColumnChunkWriter:
         if page_version not in (1, 2):
             raise ValueError(f"page_version must be 1 or 2, got {page_version}")
         self.page_version = page_version
+        self.page_checksum = page_checksum
         self.nullable_elem = bool(plan.get("list_elem_nullable", False))
         self.path = ([name, "list", "element"] if plan.get("list")
                      else [name])
@@ -463,6 +479,7 @@ class _ColumnChunkWriter:
         hdr = _struct_bytes(header_fields + [
             (2, _T_I32, len(payload)),
             (3, _T_I32, len(comp)),
+            (4, _T_I32, _page_crc(comp) if self.page_checksum else None),
         ])
         self.pages += hdr
         self.pages += comp
@@ -529,6 +546,8 @@ class _ColumnChunkWriter:
                 (1, _T_I32, DATA_PAGE_V2),
                 (2, _T_I32, len(rl) + len(dl) + len(value_bytes)),
                 (3, _T_I32, len(rl) + len(dl) + len(comp)),
+                (4, _T_I32, (_page_crc(rl + dl + comp)
+                             if self.page_checksum else None)),
                 (8, _T_STRUCT, [
                     (1, _T_I32, n_entries),
                     (2, _T_I32, n_nulls),
@@ -947,7 +966,7 @@ def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
 
 def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
                          codec: str, data_page_rows: int,
-                         page_version: int = 1):
+                         page_version: int = 1, page_checksum: bool = True):
     """Encode one top-level field into its leaf column-chunk writers:
     one chunk for flat/list fields, one per child for struct fields
     (each child leaf gets multi-level def levels: 0 = struct null,
@@ -966,7 +985,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             cw = _ColumnChunkWriter(
                 path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=path,
-                page_version=page_version,
+                page_version=page_version, page_checksum=page_checksum,
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -978,7 +997,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             cw = _ColumnChunkWriter(
                 leaf.path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=leaf.path,
-                page_version=page_version,
+                page_version=page_version, page_checksum=page_checksum,
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -987,6 +1006,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
         cw = _ColumnChunkWriter(
             field.name, plan, encodings.get(field.name, "auto"), codec,
             field.nullable, page_version=page_version,
+            page_checksum=page_checksum,
         )
         cw.add_rows(col, data_page_rows)
         yield cw
@@ -1023,7 +1043,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             ch_name, ch_plan,
             encodings.get(f"{field.name}.{ch_name}", "auto"), codec,
             nullable=max_def > 0, path=[field.name, ch_name],
-            page_version=page_version,
+            page_version=page_version, page_checksum=page_checksum,
         )
         cw.add_rows(
             child, data_page_rows,
@@ -1042,6 +1062,7 @@ def write_parquet_native(
     row_group_rows: int = 1_000_000,
     data_page_rows: int = 20_000,
     page_version: int = 1,
+    write_page_checksum: bool = True,
 ) -> dict:
     """Write ``table`` as a standard Parquet file using the engine's
     wire encoders. ``encodings`` maps column name → ``plain`` / ``dict``
@@ -1074,6 +1095,7 @@ def write_parquet_native(
                 for cw in _field_chunk_writers(
                     field, plans[i], rg.column(i), encodings, codec,
                     data_page_rows, page_version=page_version,
+                    page_checksum=write_page_checksum,
                 ):
                     meta = cw.metadata_fields(offset)
                     fields = [
@@ -1158,6 +1180,7 @@ def write_parquet_files_native(
     data_page_rows: int = 20_000,
     rows_per_file: int | None = 250_000,
     page_version: int = 1,
+    write_page_checksum: bool = True,
 ):
     """Ray Data sink: one engine-written Parquet file per ~rows_per_file
     rows (consecutive input blocks coalesce into a batch — no shuffle;
@@ -1219,6 +1242,7 @@ def write_parquet_files_native(
                     batch, tmp, codec=codec, encodings=encodings,
                     data_page_rows=data_page_rows,
                     page_version=page_version,
+                    write_page_checksum=write_page_checksum,
                 )
                 os.replace(tmp, path)
                 size = info["bytes"]

@@ -918,3 +918,62 @@ class TestByteStreamSplit:
         encs = pq.ParquetFile(p2).metadata.row_group(0).column(0).encodings
         assert "BYTE_STREAM_SPLIT" in encs
         assert pq.read_table(p2).equals(sm)
+
+
+class TestPageChecksums:
+    """PageHeader.crc (field 4): CRC-32 of the on-wire page payload,
+    emitted by default and verified on read. Interop pinned against
+    pyarrow's write_page_checksum / page_checksum_verification."""
+
+    @pytest.mark.parametrize("page_version", [1, 2])
+    def test_pyarrow_verifies_native_crc(self, tmp_path, page_version):
+        t = sample_table(3000, seed=21)
+        path = str(tmp_path / "crc.parquet")
+        write_parquet_native(t, path, page_version=page_version)
+        got = pq.ParquetFile(path, page_checksum_verification=True).read()
+        assert got.equals(t)
+
+    def test_native_reader_verifies_pyarrow_crc(self, tmp_path):
+        t = sample_table(2000, seed=22)
+        path = str(tmp_path / "pa_crc.parquet")
+        pq.write_table(t, path, write_page_checksum=True, compression="zstd")
+        from parquet_go_ray.sources.parquet_pages import read_row_group_native
+
+        assert read_row_group_native(path, 0).equals(t)
+
+    @pytest.mark.parametrize("page_version", [1, 2])
+    def test_corrupt_page_detected_both_readers(self, tmp_path, page_version):
+        from parquet_go_ray.sources.parquet_pages import (
+            read_page_header,
+            read_row_group_native,
+        )
+
+        t = sample_table(2000, seed=23)
+        path = str(tmp_path / "c.parquet")
+        write_parquet_native(t, path, page_version=page_version)
+        buf = bytearray(open(path, "rb").read())
+        md = pq.ParquetFile(path).metadata.row_group(0).column(0)
+        off = (md.dictionary_page_offset if md.has_dictionary_page
+               else md.data_page_offset)
+        _, p = read_page_header(buf, off)
+        buf[p + 5] ^= 0xFF
+        bad = str(tmp_path / "bad.parquet")
+        open(bad, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="page CRC mismatch"):
+            read_row_group_native(bad, 0)
+        with pytest.raises(OSError):
+            pq.ParquetFile(bad, page_checksum_verification=True).read()
+
+    def test_checksum_off_omits_field(self, tmp_path):
+        from parquet_go_ray.sources.parquet_pages import (
+            read_page_header,
+            read_row_group_native,
+        )
+
+        t = sample_table(500, seed=24)
+        path = str(tmp_path / "nocrc.parquet")
+        write_parquet_native(t, path, write_page_checksum=False)
+        hdr, _ = read_page_header(open(path, "rb").read(), 4)
+        assert hdr["crc"] is None
+        # absent crc -> reader skips verification and still reads
+        assert read_row_group_native(path, 0).equals(t)
