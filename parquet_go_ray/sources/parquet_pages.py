@@ -597,9 +597,9 @@ def read_page_index(path: str, row_group: int = 0,
         md = _Compact(footer).read_struct()
         col = md[4][row_group][1][column]  # FileMetaData.row_groups[].columns[]
         out: dict = {}
-        if 18 in col:  # column_index_offset / _length
-            f.seek(col[18])
-            ci = _Compact(f.read(col[19])).read_struct()
+        if 6 in col:  # column_index_offset / _length (ColumnChunk 6/7)
+            f.seek(col[6])
+            ci = _Compact(f.read(col[7])).read_struct()
             out["column_index"] = {
                 "null_pages": ci[1],
                 "min_values": ci[2],
@@ -607,9 +607,9 @@ def read_page_index(path: str, row_group: int = 0,
                 "boundary_order": ci[4],
                 "null_counts": ci.get(5),
             }
-        if 16 in col:  # offset_index_offset / _length
-            f.seek(col[16])
-            oi = _Compact(f.read(col[17])).read_struct()
+        if 4 in col:  # offset_index_offset / _length (ColumnChunk 4/5)
+            f.seek(col[4])
+            oi = _Compact(f.read(col[5])).read_struct()
             out["offset_index"] = [
                 {"offset": p[1], "compressed_page_size": p[2],
                  "first_row_index": p[3]}

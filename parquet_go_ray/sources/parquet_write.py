@@ -1133,8 +1133,8 @@ def write_parquet_native(
                     (5, _T_LIST, (_T_I64, [s[3] for s in cw.page_stats])),
                 ])
                 f.write(ci)
-                fields.append((18, _T_I64, offset))
-                fields.append((19, _T_I32, len(ci)))
+                fields.append((6, _T_I64, offset))
+                fields.append((7, _T_I32, len(ci)))
                 offset += len(ci)
         for fields, cw, choff in index_chunks:
             oi = _struct_bytes([
@@ -1146,8 +1146,8 @@ def write_parquet_native(
                 ])),
             ])
             f.write(oi)
-            fields.append((16, _T_I64, offset))
-            fields.append((17, _T_I32, len(oi)))
+            fields.append((4, _T_I64, offset))
+            fields.append((5, _T_I32, len(oi)))
             offset += len(oi)
         footer = _struct_bytes([
             (1, _T_I32, 2),  # format version

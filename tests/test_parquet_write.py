@@ -977,3 +977,34 @@ class TestPageChecksums:
         assert hdr["crc"] is None
         # absent crc -> reader skips verification and still reads
         assert read_row_group_native(path, 0).equals(t)
+
+
+def test_pyarrow_page_index_parses_with_engine_reader(tmp_path):
+    """Golden interop for the ColumnChunk page-index field ids (4/5 =
+    offset index, 6/7 = column index — NOT 16-19): parse a PYARROW-
+    written page index with the engine's thrift reader. This is the
+    cross-vendor direction our own writer→reader round-trip can't
+    check (a consistent wrong id passes it silently)."""
+    from parquet_go_ray.sources.parquet_pages import (
+        read_page_header,
+        read_page_index,
+    )
+
+    t = sample_table(4000, seed=31)
+    path = str(tmp_path / "pa_pi.parquet")
+    pq.write_table(t, path, write_page_index=True, data_page_size=4096,
+                   compression="zstd")
+    buf = open(path, "rb").read()
+    idx = read_page_index(path, 0, 1)  # i64 column
+    assert idx and "offset_index" in idx and "column_index" in idx
+    locs = idx["offset_index"]
+    assert len(locs) >= 2  # small pages -> several entries
+    rows = [p["first_row_index"] for p in locs]
+    assert rows == sorted(rows) and rows[0] == 0
+    for p in locs:  # offsets land on real page headers
+        hdr, _ = read_page_header(buf, p["offset"])
+        assert hdr["type"] in (0, 3)
+    ci = idx["column_index"]
+    assert len(ci["min_values"]) == len(locs)
+    lo = min(v for v in t.column("i64").to_pylist() if v is not None)
+    assert int.from_bytes(ci["min_values"][0][:8], "little", signed=True) >= lo
