@@ -707,6 +707,31 @@ def _q_native_bss_embeddings(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_native_bloom_lookup_events(sf_dir: str):
+    """Point lookup through split-block bloom filters: events are
+    written UNSORTED with a bloom on user_id (every row group spans the
+    full key range, so zone maps can never prune — the case blooms
+    exist for), then read back with an equality filter; the listing
+    tasks consult each chunk's SBBF and skip row groups that provably
+    lack the key. Results are exact regardless of pruning (the page
+    reader re-applies the predicate per batch)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources.parquet_pages import read_parquet_native
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    out = os.path.join(tempfile.mkdtemp(prefix="pgr_bloom_"), "ev.parquet")
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    write_parquet_native(t, out, row_group_rows=1000,
+                         bloom_filter_columns=["user_id"])
+    ds = read_parquet_native(out, filters=[("user_id", "==", 7)],
+                             max_rows_per_task=1000)
+    return ds.map_batches(
+        lambda b: b.select(["event_id", "user_id", "event_type", "value"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_native_filter_pushdown(sf_dir: str):
     """Writer zone maps driving reader pruning: events sorted by value,
     written with per-chunk Statistics by the native writer, read back by
@@ -966,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_nested": _q_native_roundtrip_nested,
         "native_roundtrip_uint": _q_native_roundtrip_uint,
         "native_bss_embeddings": _q_native_bss_embeddings,
+        "native_bloom_lookup_events": _q_native_bloom_lookup_events,
         "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
@@ -1102,6 +1128,10 @@ def oracle_sql() -> dict[str, str]:
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
+        ),
+        "native_bloom_lookup_events": (
+            "SELECT event_id, user_id, event_type, value FROM events"
+            " WHERE user_id = 7"
         ),
         "native_bss_embeddings": (
             "SELECT vec_id, label,"

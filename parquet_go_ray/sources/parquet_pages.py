@@ -618,6 +618,98 @@ def read_page_index(path: str, row_group: int = 0,
     return out or None
 
 
+def read_bloom_filter(path: str, row_group: int = 0, column: int = 0):
+    """Load one chunk's split-block bloom filter (parquet-format
+    BloomFilter.md): ColumnMetaData fields 14/15 point at a
+    thrift-compact BloomFilterHeader {1: numBytes, 2: algorithm union
+    (BLOCK), 3: hash union (XXHASH), 4: compression union
+    (UNCOMPRESSED)} followed by the raw bitset. Returns a
+    ``functions.bloom.SplitBlockBloomFilter`` or None when the chunk
+    carries no filter; raises on an algorithm/hash/compression the spec
+    names but this engine doesn't speak (there are none today — the
+    unions are single-member)."""
+    from ..functions.bloom import SplitBlockBloomFilter
+
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        flen = int.from_bytes(f.read(4), "little")
+        f.seek(-8 - flen, 2)
+        md = _Compact(f.read(flen)).read_struct()
+        col = md[4][row_group][1][column]
+        meta = col.get(3)
+        if not meta or 14 not in meta:
+            return None
+        f.seek(meta[14])
+        if 15 in meta:
+            raw = f.read(meta[15])
+        else:
+            raw = f.read(64)  # header fits; bitset read after parsing
+        r = _Compact(raw)
+        hdr = r.read_struct()
+        nbytes = hdr[1]
+        for fid, name in ((2, "algorithm"), (3, "hash"), (4, "compression")):
+            union = hdr.get(fid)
+            if union is not None and 1 not in union:
+                raise NotImplementedError(
+                    f"bloom filter {name} {union} not supported"
+                )
+        bitset = raw[r.p : r.p + nbytes]
+        if len(bitset) < nbytes:
+            f.seek(meta[14] + r.p)
+            bitset = f.read(nbytes)
+        if len(bitset) < nbytes:
+            raise ValueError("truncated bloom filter bitset")
+        return SplitBlockBloomFilter.from_bytes(bitset)
+
+
+def _bloom_value_hash(value, phys: str, type_length: int) -> int:
+    """XXH64 of a predicate literal's PLAIN representation, mirroring
+    the writer's `_bloom_hash_values` per physical type."""
+    from ..functions.bloom import xxh64
+
+    phys = str(phys)
+    if phys == "INT32":
+        return xxh64(int(value).to_bytes(4, "little", signed=True))
+    if phys == "INT64":
+        return xxh64(int(value).to_bytes(8, "little", signed=True))
+    if phys == "FLOAT":
+        return xxh64(np.float32(value).tobytes())
+    if phys == "DOUBLE":
+        return xxh64(np.float64(value).tobytes())
+    if phys in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+        raw = value.encode() if isinstance(value, str) else bytes(value)
+        return xxh64(raw)
+    raise ValueError(f"no bloom literal encoding for {phys}")
+
+
+def _rg_bloom_may_match(path: str, md, row_group: int, name_to_idx: dict,
+                        filters) -> bool:
+    """Equality-predicate bloom check for one row group: False only
+    when a present filter PROVES the literal absent. Any missing
+    filter, unsupported type, or parse trouble keeps the group (same
+    never-prune-on-absent-evidence posture as the zone maps)."""
+    for col, op, val in filters:
+        if op not in ("=", "=="):
+            continue
+        i = name_to_idx.get(col)
+        if i is None:
+            continue
+        try:
+            bf = read_bloom_filter(path, row_group, i)
+            if bf is None:
+                continue
+            cmd = md.row_group(row_group).column(i)
+            h = _bloom_value_hash(
+                val, cmd.physical_type,
+                getattr(md.schema.column(i), "length", 0),
+            )
+            if not bf.contains(h):
+                return False
+        except (ValueError, NotImplementedError, KeyError, OSError):
+            continue
+    return True
+
+
 def _cast_to_logical(arr: pa.Array, typ: pa.DataType) -> pa.Array:
     """Cast a physical-typed chunk to the footer's Arrow (logical) type.
 
@@ -842,6 +934,8 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             drop_after_filter = list(dict.fromkeys(extra))
             read_columns = list(columns) + drop_after_filter
 
+    has_eq = bool(filters) and any(op in ("=", "==") for _, op, _ in filters)
+
     def _list_groups(batch: pa.Table):
         # Footer walk runs IN the tasks (one open per file, parallel) —
         # the driver never touches file metadata, so a 100 TB listing
@@ -859,6 +953,10 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             for g in range(md.num_row_groups):
                 if filters and not _rg_may_match(
                     md.row_group(g), n2i, filters
+                ):
+                    continue
+                if has_eq and not _rg_bloom_may_match(
+                    p, md, g, n2i, filters
                 ):
                     continue
                 n = md.row_group(g).num_rows

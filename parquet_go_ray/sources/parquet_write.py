@@ -380,6 +380,33 @@ def _page_crc(wire_payload: bytes) -> int:
     return crc - (1 << 32) if crc >= (1 << 31) else crc
 
 
+def _bloom_hash_values(arr: pa.Array, phys: int,
+                       type_length: int | None) -> "np.ndarray":
+    """XXH64 of each value's PLAIN representation — exactly the bytes
+    the file stores (logical ints/timestamps hash their physical
+    encoding; byte arrays hash raw bytes, no length prefix)."""
+    from ..functions.bloom import _xxh64_matrix, xxh64_bytes
+
+    if phys in (INT32, FLOAT, INT64, DOUBLE):
+        width = 4 if phys in (INT32, FLOAT) else 8
+        plain = _plain_values(arr, phys, None)
+        return _xxh64_matrix(
+            np.frombuffer(plain, np.uint8).reshape(-1, width)
+        )
+    if phys == FLBA:
+        plain = _plain_values(arr, phys, type_length)
+        return _xxh64_matrix(
+            np.frombuffer(plain, np.uint8).reshape(-1, type_length)
+        )
+    if phys == BYTE_ARRAY:
+        lens, data = arrow_strings_to_parts(arr)
+        return xxh64_bytes(lens, np.frombuffer(data, np.uint8))
+    raise ValueError(
+        "bloom filters cover INT32/INT64/FLOAT/DOUBLE/BYTE_ARRAY/FLBA"
+        f" columns, not physical type {phys}"
+    )
+
+
 def _maybe_bss(wire: str, dense: pa.Array, phys: int, codec: str) -> str:
     """Upgrade a ``plain`` float column to BYTE_STREAM_SPLIT only when a
     sampled compress-both trial says so. BSS is NOT a universal win:
@@ -439,7 +466,8 @@ class _ColumnChunkWriter:
 
     def __init__(self, name: str, plan: dict, encoding: str, codec: str,
                  nullable: bool, path: list[str] | None = None,
-                 page_version: int = 1, page_checksum: bool = True):
+                 page_version: int = 1, page_checksum: bool = True,
+                 bloom_fpp: float | None = None):
         self.name = name
         self.plan = plan
         self.encoding = encoding
@@ -449,6 +477,8 @@ class _ColumnChunkWriter:
             raise ValueError(f"page_version must be 1 or 2, got {page_version}")
         self.page_version = page_version
         self.page_checksum = page_checksum
+        self.bloom_fpp = bloom_fpp
+        self.bloom_bytes: bytes | None = None
         self.nullable_elem = bool(plan.get("list_elem_nullable", False))
         self.path = ([name, "list", "element"] if plan.get("list")
                      else [name])
@@ -484,6 +514,38 @@ class _ColumnChunkWriter:
         self.pages += hdr
         self.pages += comp
         self.uncompressed += len(hdr) + len(payload)
+
+    def _finish_bloom(self, values: pa.Array) -> None:
+        """Build this chunk's split-block bloom filter over the DISTINCT
+        non-null values (one pass: pc.unique sizes the filter and
+        bounds the hash work). Serialized shape per parquet-format:
+        thrift-compact BloomFilterHeader {numBytes, BLOCK, XXHASH,
+        UNCOMPRESSED} followed by the raw bitset."""
+        if self.bloom_fpp is None:
+            return
+        from ..functions.bloom import (
+            SplitBlockBloomFilter,
+            optimal_num_blocks,
+        )
+
+        dense = values.drop_null() if values.null_count else values
+        if isinstance(dense, pa.ChunkedArray):
+            dense = dense.combine_chunks()
+        uniq = pc.unique(dense)
+        bf = SplitBlockBloomFilter(
+            optimal_num_blocks(len(uniq), self.bloom_fpp)
+        )
+        if len(uniq):
+            bf.insert_hashes(_bloom_hash_values(
+                uniq, self.plan["phys"], self.plan["type_length"]
+            ))
+        bitset = bf.to_bytes()
+        self.bloom_bytes = _struct_bytes([
+            (1, _T_I32, len(bitset)),
+            (2, _T_STRUCT, [(1, _T_STRUCT, [])]),  # algorithm: BLOCK
+            (3, _T_STRUCT, [(1, _T_STRUCT, [])]),  # hash: XXHASH
+            (4, _T_STRUCT, [(1, _T_STRUCT, [])]),  # compression: UNCOMPRESSED
+        ]) + bitset
 
     def _bss_width(self) -> int:
         phys = self.plan["phys"]
@@ -700,6 +762,7 @@ class _ColumnChunkWriter:
         phys = self.plan["phys"]
         row_starts = np.flatnonzero(leaf.rep == 0)
         self.stats = _chunk_statistics(leaf.dense, phys)
+        self._finish_bloom(leaf.dense)
         self.stats["null_count"] = len(leaf.de) - len(leaf.dense)
         cum = np.zeros(len(leaf.de) + 1, dtype=np.int64)
         np.cumsum(leaf.de == leaf.max_def, out=cum[1:])
@@ -742,9 +805,11 @@ class _ColumnChunkWriter:
             ).sum()) if len(arr) else 0
             st["null_count"] = n_entries - (len(flat) - flat.null_count)
             self.stats = st
+            self._finish_bloom(flat)
             self._add_list_rows(arr, page_rows)
             return
         self.stats = _chunk_statistics(arr, phys)
+        self._finish_bloom(arr)
         if enc_name == "auto":
             enc_name = _auto_encoding(arr, phys, self.codec)
         if enc_name == "dict":
@@ -964,9 +1029,18 @@ def _schema_elements(schema: pa.Schema, plans: list[dict]) -> list:
     return out
 
 
+def _bloom_for(bloom_columns: dict | None, path: list[str]) -> float | None:
+    """fpp for a leaf: bloom_filter_columns entries match the top-level
+    column name or the dotted leaf path (struct children, map leaves)."""
+    if not bloom_columns:
+        return None
+    return bloom_columns.get(path[0], bloom_columns.get(".".join(path)))
+
+
 def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
                          codec: str, data_page_rows: int,
-                         page_version: int = 1, page_checksum: bool = True):
+                         page_version: int = 1, page_checksum: bool = True,
+                         bloom_columns: dict | None = None):
     """Encode one top-level field into its leaf column-chunk writers:
     one chunk for flat/list fields, one per child for struct fields
     (each child leaf gets multi-level def levels: 0 = struct null,
@@ -986,6 +1060,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
                 path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=path,
                 page_version=page_version, page_checksum=page_checksum,
+                bloom_fpp=_bloom_for(bloom_columns, path),
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -998,6 +1073,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
                 leaf.path[-1], _column_plan(leaf.field), "plain", codec,
                 nullable=leaf.field.nullable, path=leaf.path,
                 page_version=page_version, page_checksum=page_checksum,
+                bloom_fpp=_bloom_for(bloom_columns, leaf.path),
             )
             cw.add_shredded(leaf, data_page_rows)
             yield cw
@@ -1007,6 +1083,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             field.name, plan, encodings.get(field.name, "auto"), codec,
             field.nullable, page_version=page_version,
             page_checksum=page_checksum,
+            bloom_fpp=_bloom_for(bloom_columns, [field.name]),
         )
         cw.add_rows(col, data_page_rows)
         yield cw
@@ -1044,6 +1121,7 @@ def _field_chunk_writers(field: pa.Field, plan: dict, col, encodings: dict,
             encodings.get(f"{field.name}.{ch_name}", "auto"), codec,
             nullable=max_def > 0, path=[field.name, ch_name],
             page_version=page_version, page_checksum=page_checksum,
+            bloom_fpp=_bloom_for(bloom_columns, [field.name, ch_name]),
         )
         cw.add_rows(
             child, data_page_rows,
@@ -1063,6 +1141,8 @@ def write_parquet_native(
     data_page_rows: int = 20_000,
     page_version: int = 1,
     write_page_checksum: bool = True,
+    bloom_filter_columns=None,
+    bloom_filter_fpp: float = 0.01,
 ) -> dict:
     """Write ``table`` as a standard Parquet file using the engine's
     wire encoders. ``encodings`` maps column name → ``plain`` / ``dict``
@@ -1073,6 +1153,10 @@ def write_parquet_native(
     row_groups}``."""
     if codec not in _CODEC_ENUM:
         raise ValueError(f"parquet has no codec {codec!r}")
+    if bloom_filter_columns and not isinstance(bloom_filter_columns, dict):
+        bloom_filter_columns = {
+            c: bloom_filter_fpp for c in bloom_filter_columns
+        }
     from .dremel import column_depth
 
     # depth >= 2 columns and maps go through the general Dremel
@@ -1096,6 +1180,7 @@ def write_parquet_native(
                     field, plans[i], rg.column(i), encodings, codec,
                     data_page_rows, page_version=page_version,
                     page_checksum=write_page_checksum,
+                    bloom_columns=bloom_filter_columns,
                 ):
                     meta = cw.metadata_fields(offset)
                     fields = [
@@ -1117,6 +1202,16 @@ def write_parquet_native(
                 (5, _T_I64, rg_offset),
                 (6, _T_I64, total_comp),
             ])
+        # Bloom filter region (parquet-format BloomFilter.md): each
+        # chunk's thrift BloomFilterHeader + raw SBBF bitset, pointed at
+        # by ColumnMetaData.bloom_filter_offset/_length (fields 14/15).
+        for fields, cw, _choff in index_chunks:
+            if cw.bloom_bytes:
+                meta = fields[1][2]  # the (3, STRUCT, ColumnMetaData) list
+                meta.append((14, _T_I64, offset))
+                meta.append((15, _T_I32, len(cw.bloom_bytes)))
+                f.write(cw.bloom_bytes)
+                offset += len(cw.bloom_bytes)
         # Page index (optional ColumnIndex/OffsetIndex structures, the
         # spec's layout: all column indexes, then all offset indexes,
         # between the last data page and the footer). ColumnIndex is
@@ -1181,6 +1276,7 @@ def write_parquet_files_native(
     rows_per_file: int | None = 250_000,
     page_version: int = 1,
     write_page_checksum: bool = True,
+    bloom_filter_columns=None,
 ):
     """Ray Data sink: one engine-written Parquet file per ~rows_per_file
     rows (consecutive input blocks coalesce into a batch — no shuffle;
@@ -1243,6 +1339,7 @@ def write_parquet_files_native(
                     data_page_rows=data_page_rows,
                     page_version=page_version,
                     write_page_checksum=write_page_checksum,
+                    bloom_filter_columns=bloom_filter_columns,
                 )
                 os.replace(tmp, path)
                 size = info["bytes"]
