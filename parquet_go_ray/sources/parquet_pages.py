@@ -42,6 +42,9 @@ now reads natively; pyarrow supplies only footer metadata (SURVEY
 
 from __future__ import annotations
 
+import bisect as _bisect
+import functools as _functools
+import os as _os
 import zlib
 
 import numpy as np
@@ -485,6 +488,39 @@ _CODEC_MAP = {
 }
 
 
+def _offset_index_window(path: str, row_group: int, column: int,
+                         entry_range: tuple[int, int], chunk_start: int,
+                         md) -> tuple[int, int, int, int] | None:
+    """Byte window of the data pages overlapping ``entry_range`` rows,
+    from the chunk's OffsetIndex (when the writer emitted one):
+    ``(dict_prefix_end, win_start, win_stop, first_row_of_window)``.
+    None when there is no index, one page, or the window would span the
+    whole chunk anyway — the caller then reads the chunk in one piece.
+    The kept byte stream (dictionary prefix + window) is a valid
+    contiguous page walk, so the caller's skip/decode loop is
+    unchanged."""
+    try:
+        idx = read_page_index(path, row_group, column)
+    except (ValueError, KeyError, IndexError, OSError):
+        return None
+    if not idx or "offset_index" not in idx:
+        return None
+    locs = idx["offset_index"]
+    if len(locs) < 2:
+        return None
+    firsts = [p["first_row_index"] for p in locs]
+    k0 = max(0, _bisect.bisect_right(firsts, entry_range[0]) - 1)
+    k1 = _bisect.bisect_left(firsts, entry_range[1], lo=k0)
+    if k1 <= k0:
+        k1 = k0 + 1  # empty window still needs one page for schema
+    if k0 == 0 and k1 == len(locs):
+        return None
+    chunk_end = chunk_start + md.total_compressed_size
+    win_start = locs[k0]["offset"]
+    win_stop = (locs[k1]["offset"] if k1 < len(locs) else chunk_end)
+    return locs[0]["offset"], win_start, win_stop, firsts[k0]
+
+
 def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
                 keep_defs: bool = False,
                 entry_range: tuple[int, int] | None = None,
@@ -523,9 +559,26 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
     start = md.data_page_offset
     if md.dictionary_page_offset is not None:
         start = min(start, md.dictionary_page_offset)
-    with open(path, "rb") as f:
-        f.seek(start)
-        buf = f.read(md.total_compressed_size)
+    row0 = 0
+    window = None
+    if entry_range is not None and not raw and sch.max_repetition_level == 0:
+        window = _offset_index_window(path, row_group, column,
+                                      entry_range, start, md)
+    if window is not None:
+        # OffsetIndex-guided byte-range read: only the dictionary-page
+        # prefix and the data pages overlapping the row window leave
+        # storage — at 100 TB this turns a whole-chunk fetch into two
+        # small range requests instead of filtering after the fact.
+        prefix_end, win_start, win_stop, row0 = window
+        with open(path, "rb") as f:
+            f.seek(start)
+            buf = f.read(prefix_end - start)
+            f.seek(win_start)
+            buf += f.read(win_stop - win_start)
+    else:
+        with open(path, "rb") as f:
+            f.seek(start)
+            buf = f.read(md.total_compressed_size)
     rdr = _ChunkReader(
         md.physical_type,
         getattr(sch, "length", 0),
@@ -538,7 +591,7 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
     if sch.max_repetition_level > 0 or raw:
         entry_range = None  # entries != rows; caller slices rows
     pos = 0
-    rows = 0
+    rows = row0
     first_kept = None
     while rows < md.num_values and pos < len(buf):
         hdr, pos = read_page_header(buf, pos)
@@ -581,6 +634,22 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
     return arr, defs
 
 
+@_functools.lru_cache(maxsize=16)
+def _footer_struct_at(path: str, _mtime_ns: int, _size: int) -> dict:
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        flen = int.from_bytes(f.read(4), "little")
+        f.seek(-8 - flen, 2)
+        return _Compact(f.read(flen)).read_struct()
+
+
+def _footer_struct(path: str) -> dict:
+    """Engine-parsed FileMetaData, cached per (path, mtime, size) so a
+    row-group task touching many columns parses the footer once."""
+    st = _os.stat(path)
+    return _footer_struct_at(path, st.st_mtime_ns, st.st_size)
+
+
 def read_page_index(path: str, row_group: int = 0,
                     column: int = 0) -> dict | None:
     """Parse the optional ColumnIndex / OffsetIndex structures of one
@@ -589,13 +658,9 @@ def read_page_index(path: str, row_group: int = 0,
     Returns ``{"column_index": {...}, "offset_index": [...]}`` with
     whichever structures the writer emitted, or None if neither exists.
     """
+    md = _footer_struct(path)
+    col = md[4][row_group][1][column]  # FileMetaData.row_groups[].columns[]
     with open(path, "rb") as f:
-        f.seek(-8, 2)
-        flen = int.from_bytes(f.read(4), "little")
-        f.seek(-8 - flen, 2)
-        footer = f.read(flen)
-        md = _Compact(footer).read_struct()
-        col = md[4][row_group][1][column]  # FileMetaData.row_groups[].columns[]
         out: dict = {}
         if 6 in col:  # column_index_offset / _length (ColumnChunk 6/7)
             f.seek(col[6])
@@ -630,15 +695,12 @@ def read_bloom_filter(path: str, row_group: int = 0, column: int = 0):
     unions are single-member)."""
     from ..functions.bloom import SplitBlockBloomFilter
 
+    md = _footer_struct(path)
+    col = md[4][row_group][1][column]
+    meta = col.get(3)
+    if not meta or 14 not in meta:
+        return None
     with open(path, "rb") as f:
-        f.seek(-8, 2)
-        flen = int.from_bytes(f.read(4), "little")
-        f.seek(-8 - flen, 2)
-        md = _Compact(f.read(flen)).read_struct()
-        col = md[4][row_group][1][column]
-        meta = col.get(3)
-        if not meta or 14 not in meta:
-            return None
         f.seek(meta[14])
         if 15 in meta:
             raw = f.read(meta[15])

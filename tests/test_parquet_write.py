@@ -1008,3 +1008,74 @@ def test_pyarrow_page_index_parses_with_engine_reader(tmp_path):
     assert len(ci["min_values"]) == len(locs)
     lo = min(v for v in t.column("i64").to_pylist() if v is not None)
     assert int.from_bytes(ci["min_values"][0][:8], "little", signed=True) >= lo
+
+
+class TestOffsetIndexWindowedRead:
+    """Row-range reads fetch only the overlapping pages' byte ranges
+    (plus the dictionary prefix) when an OffsetIndex exists — the
+    100-TB point of the page index: a 2k-row window out of a 50k-row
+    chunk must not pull the whole chunk from storage."""
+
+    def _spy_reads(self, path, fn):
+        import builtins
+
+        counts = []
+        real_open = builtins.open
+        def spy(*a, **k):
+            f = real_open(*a, **k)
+            if a and isinstance(a[0], str) and a[0] == path:
+                orig = f.read
+                def rd(n=-1):
+                    b = orig(n)
+                    counts.append(len(b))
+                    return b
+                f.read = rd
+            return f
+        builtins.open = spy
+        try:
+            out = fn()
+        finally:
+            builtins.open = real_open
+        return out, sum(counts)
+
+    @pytest.mark.parametrize("writer", ["native", "pyarrow"])
+    def test_window_reads_fewer_bytes(self, tmp_path, writer):
+        from parquet_go_ray.sources.parquet_pages import (
+            read_row_group_native,
+        )
+
+        rng = np.random.default_rng(3)
+        t = pa.table({
+            "a": pa.array(rng.integers(0, 10**6, 40_000)),
+            "s": pa.array([f"v{i % 997}" for i in range(40_000)]),
+        })
+        path = str(tmp_path / "w.parquet")
+        if writer == "native":
+            write_parquet_native(t, path, data_page_rows=2000)
+        else:
+            pq.write_table(t, path, write_page_index=True,
+                           data_page_size=8_000, compression="zstd",
+                           use_dictionary=False)
+        full, full_bytes = self._spy_reads(
+            path, lambda: read_row_group_native(path, 0)
+        )
+        assert full.equals(t)
+        win, win_bytes = self._spy_reads(
+            path, lambda: read_row_group_native(path, 0,
+                                                row_range=(5_000, 7_000))
+        )
+        assert win.equals(t.slice(5_000, 2_000))
+        assert win_bytes < full_bytes / 3
+
+    def test_windows_cover_edges(self, tmp_path):
+        from parquet_go_ray.sources.parquet_pages import (
+            read_row_group_native,
+        )
+
+        t = pa.table({"x": pa.array(range(10_000))})
+        path = str(tmp_path / "e.parquet")
+        write_parquet_native(t, path, data_page_rows=777)
+        for rr in [(0, 1), (0, 777), (776, 778), (9_999, 10_000),
+                   (0, 10_000), (5_000, 5_000)]:
+            got = read_row_group_native(path, 0, row_range=rr)
+            assert got.equals(t.slice(rr[0], rr[1] - rr[0])), rr
