@@ -230,6 +230,8 @@ def bench_queries(sf_dir: str) -> tuple[dict, dict]:
         "ann_cosine_embeddings",
         "native_read_lineitem",
         "native_write_events",
+        "native_bss_embeddings",
+        "native_bloom_lookup_events",
     ):
         cold, warm = _timed(lambda: consume(queries[name](sf_dir)))
         q[name] = statistics.median(warm)

@@ -360,6 +360,38 @@ def _chunk_statistics(arr: pa.Array, phys: int) -> dict | None:
     return stats
 
 
+def _truncated_page_bounds(arr: pa.Array, phys: int) -> dict | None:
+    """Truncated min/max for a ColumnIndex entry when exact bounds are
+    too long (>64 B strings). Unlike chunk Statistics (omit, never
+    truncate — a reader treats those as exact), the ColumnIndex is
+    pruning-only, so the spec allows a 64-byte PREFIX as the lower
+    bound and a prefix with its last byte incremented as the upper
+    bound. None when no upper bound exists (max prefix is all 0xFF) —
+    the chunk then drops its ColumnIndex as before."""
+    if phys not in (BYTE_ARRAY, FLBA):
+        return None
+    dense = arr.drop_null() if arr.null_count else arr
+    if len(dense) == 0:
+        return None
+    mm = pc.min_max(dense)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if lo is None:
+        return None
+    lo_b, hi_b = _stat_bytes(lo, phys), _stat_bytes(hi, phys)
+    lo_t = lo_b[:64]  # a prefix byte-wise sorts <= the full string
+    if len(hi_b) <= 64:
+        hi_t = hi_b
+    else:
+        pre = bytearray(hi_b[:64])
+        while pre and pre[-1] == 0xFF:
+            pre.pop()  # 0xFF can't increment: shorten, bump earlier byte
+        if not pre:
+            return None  # all-0xFF prefix has no short upper bound
+        pre[-1] += 1
+        hi_t = bytes(pre)
+    return {"min": lo_t, "max": hi_t}
+
+
 # Engine codec -> the Parquet wire encoding this writer can emit for it.
 # Codecs with no standard wire shape (fsst, for_bitpack, rle_bool, …)
 # fall back to PLAIN and let the page compressor take the entropy.
@@ -496,6 +528,10 @@ class _ColumnChunkWriter:
         # drops the ColumnIndex when any page lacks min/max (NaN floats,
         # booleans, >64B strings) — OffsetIndex is emitted regardless.
         self.page_locs: list[tuple[int, int, int]] = []
+        # PageEncodingStats (ColumnMetaData field 13): how many pages of
+        # each (page_type, encoding) — lets readers decide e.g. that a
+        # chunk is fully dictionary-encoded without walking headers.
+        self.enc_counts: dict[tuple[int, int], int] = {}
         self.page_stats: list[tuple[bool, bytes, bytes, int]] = []
         self.stats_ok = True
         self.rows_emitted = 0
@@ -579,6 +615,9 @@ class _ColumnChunkWriter:
             payload,
         )
         self.dict_page_len = len(self.pages) - before
+        self.enc_counts[(DICTIONARY_PAGE, PLAIN)] = (
+            self.enc_counts.get((DICTIONARY_PAGE, PLAIN), 0) + 1
+        )
 
     def _emit_data_page(self, n_entries: int, n_rows: int, enc: int,
                         value_bytes: bytes,
@@ -642,6 +681,10 @@ class _ColumnChunkWriter:
         self.num_values += n_entries
         if enc not in self.encodings:
             self.encodings.append(enc)
+        page_type = DATA_PAGE_V2 if self.page_version == 2 else DATA_PAGE
+        self.enc_counts[(page_type, enc)] = (
+            self.enc_counts.get((page_type, enc), 0) + 1
+        )
         self.page_locs.append((rel, len(self.pages) - rel, self.rows_emitted))
         self.rows_emitted += n_rows
         if not self.stats_ok:
@@ -654,6 +697,8 @@ class _ColumnChunkWriter:
         else:
             st = _chunk_statistics(stats_arr, self.plan["phys"])
             if st["min"] is None:
+                st = _truncated_page_bounds(stats_arr, self.plan["phys"])
+            if st is None or st["min"] is None:
                 self.stats_ok = False
             else:
                 self.page_stats.append(
@@ -911,6 +956,11 @@ class _ColumnChunkWriter:
         ]
         if self.dict_page_len:
             fields.append((11, _T_I64, file_offset))
+        if self.enc_counts:
+            fields.append((13, _T_LIST, (_T_STRUCT, [
+                [(1, _T_I32, pt), (2, _T_I32, enc), (3, _T_I32, cnt)]
+                for (pt, enc), cnt in sorted(self.enc_counts.items())
+            ])))
         if self.stats is not None:
             # Statistics struct: 3=null_count, 5=max_value, 6=min_value
             # (the modern TYPE_DEFINED_ORDER pair; legacy 1/2 omitted —

@@ -1079,3 +1079,53 @@ class TestOffsetIndexWindowedRead:
                    (0, 10_000), (5_000, 5_000)]:
             got = read_row_group_native(path, 0, row_range=rr)
             assert got.equals(t.slice(rr[0], rr[1] - rr[0])), rr
+
+
+def test_column_index_truncated_long_strings(tmp_path):
+    """>64 B strings used to drop the whole ColumnIndex; the index now
+    carries truncated pruning bounds (prefix min, incremented-prefix
+    max) while chunk Statistics stay omitted-not-truncated."""
+    from parquet_go_ray.sources.parquet_pages import read_page_index
+
+    vals = [f"{'x' * 100}{i:04d}" for i in range(500)] + ["zz" * 60]
+    t = pa.table({"s": pa.array(vals)})
+    path = str(tmp_path / "long.parquet")
+    write_parquet_native(t, path, data_page_rows=200)
+    assert pq.read_table(path).equals(t)
+    idx = read_page_index(path, 0, 0)
+    ci = idx["column_index"]
+    assert len(ci["min_values"]) >= 3
+    for mn, mx in zip(ci["min_values"], ci["max_values"]):
+        assert len(mn) <= 64 and len(mx) <= 64
+    # bounds really bound: every value within [page_min, page_max]
+    locs = idx["offset_index"]
+    for k, (mn, mx) in enumerate(zip(ci["min_values"], ci["max_values"])):
+        r0 = locs[k]["first_row_index"]
+        r1 = (locs[k + 1]["first_row_index"]
+              if k + 1 < len(locs) else t.num_rows)
+        for v in vals[r0:r1]:
+            assert mn <= v.encode() <= mx
+    # chunk Statistics remain omitted for long strings
+    st = pq.ParquetFile(path).metadata.row_group(0).column(0).statistics
+    assert st is None or not st.has_min_max
+
+
+def test_encoding_stats_emitted(tmp_path):
+    """ColumnMetaData.encoding_stats (field 13): per-(page_type,
+    encoding) page counts, parsed back via the engine's footer walk."""
+    from parquet_go_ray.sources.parquet_pages import _footer_struct
+
+    t = pa.table({
+        "d": pa.array([f"k{i % 9}" for i in range(2000)]),  # dict-friendly
+        "x": pa.array(np.random.default_rng(0).integers(0, 9, 2000)),
+    })
+    path = str(tmp_path / "es.parquet")
+    write_parquet_native(t, path, data_page_rows=400,
+                         encodings={"d": "dict", "x": "plain"})
+    assert pq.read_table(path).equals(t)
+    md = _footer_struct(path)
+    d_stats = {(e[1], e[2]): e[3] for e in md[4][0][1][0][3][13]}
+    assert d_stats[(2, 0)] == 1  # one PLAIN dictionary page
+    assert d_stats[(0, 8)] == 5  # five RLE_DICTIONARY data pages
+    x_stats = {(e[1], e[2]): e[3] for e in md[4][0][1][1][3][13]}
+    assert x_stats == {(0, 0): 5}  # five PLAIN data pages
