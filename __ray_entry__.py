@@ -672,6 +672,45 @@ def _q_native_roundtrip_uint(sf_dir: str):
     return read_parquet_native(paths)
 
 
+def _q_grouped_topk_events(sf_dir: str):
+    """Partition-wise top-k (SQL row_number() <= k): top-3 events per
+    user by value — batch-local per-group combiner, then one coarse
+    bucketed shuffle of the k-row partials (ops/topk.py grouped_topk);
+    event_id tiebreak makes the order total, so results are
+    byte-deterministic against the window-function oracle."""
+    from parquet_go_ray.ops.topk import grouped_topk
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "value"])
+    out = grouped_topk(ds, by="user_id", keys=["value", "event_id"],
+                       k=3, descending=[True, False])
+    return out.map_batches(
+        lambda b: b.select(["user_id", "event_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_range_join_events(sf_dir: str):
+    """Inner range join (interval containment, overlapping intervals):
+    events land in every value bucket whose [lo, hi) window contains
+    them — broadcast interval table + per-batch binary search
+    (ops/join.py range_join_broadcast), no shuffle of the big side."""
+    import numpy as np
+
+    from parquet_go_ray.ops.join import range_join_broadcast
+
+    buckets = np.arange(10, dtype=np.int64)
+    intervals = pa.table({
+        "lo": pa.array((buckets * 10 - 5).astype(np.float64)),
+        "hi": pa.array((buckets * 10 + 10).astype(np.float64)),
+        "bucket": pa.array(buckets),
+    })
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+    return range_join_broadcast(ds, intervals, on="value",
+                                lo_col="lo", hi_col="hi",
+                                select=["bucket"])
+
+
 def _q_native_bss_embeddings(sf_dir: str):
     """BYTE_STREAM_SPLIT (encoding 9) through the full native file loop:
     the embeddings list<float> leaf is written as byte streams by the
@@ -1001,6 +1040,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
         "top_documents_by_chars": _q_top_documents,
+        "grouped_topk_events": _q_grouped_topk_events,
+        "range_join_events": _q_range_join_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1128,6 +1169,20 @@ def oracle_sql() -> dict[str, str]:
         "native_roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
+        ),
+        "grouped_topk_events": (
+            "SELECT user_id, event_id, value FROM ("
+            "SELECT user_id, event_id, value,"
+            " row_number() OVER (PARTITION BY user_id"
+            " ORDER BY value DESC, event_id) AS rn FROM events)"
+            " WHERE rn <= 3"
+        ),
+        "range_join_events": (
+            "SELECT e.event_id, e.value, r.bucket FROM events e JOIN"
+            " (SELECT CAST(x * 10 - 5 AS DOUBLE) AS lo,"
+            "  CAST(x * 10 + 10 AS DOUBLE) AS hi, x AS bucket"
+            "  FROM range(0, 10) t(x)) r"
+            " ON e.value >= r.lo AND e.value < r.hi"
         ),
         "native_bloom_lookup_events": (
             "SELECT event_id, user_id, event_type, value FROM events"

@@ -213,3 +213,97 @@ def broadcast_join(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class _RangeJoiner:
+    """Inner range join probe: each batch is sorted once on the probe
+    key; every interval then resolves to a contiguous probe-index
+    window via two ``searchsorted`` calls, and the matched (row,
+    interval) pairs are emitted by one repeat/gather — O(m log n +
+    output), never an n×m mask."""
+
+    def __init__(self, small_ref, on, lo_col, hi_col, select):
+        small: pa.Table = ray.get(small_ref) if not isinstance(
+            small_ref, pa.Table
+        ) else small_ref
+        self.small = small.combine_chunks()
+        self.lo = self.small.column(lo_col).to_numpy(zero_copy_only=False)
+        self.hi = self.small.column(hi_col).to_numpy(zero_copy_only=False)
+        self.on = on
+        self.select = select or [
+            c for c in self.small.column_names if c not in (lo_col, hi_col)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        probe_col = batch.column(self.on)
+        if probe_col.null_count:
+            batch = batch.filter(pc.is_valid(probe_col))  # inner join
+            probe_col = batch.column(self.on)
+        probe = probe_col.to_numpy(zero_copy_only=False)
+        if probe.dtype.kind in "Mm":
+            probe = probe.view("i8")
+        order = np.argsort(probe, kind="stable")
+        sorted_probe = probe[order]
+        lo, hi = self.lo, self.hi
+        if lo.dtype.kind in "Mm":
+            lo, hi = lo.view("i8"), hi.view("i8")
+        i0 = np.searchsorted(sorted_probe, lo, side="left")
+        i1 = np.searchsorted(sorted_probe, hi, side="left")
+        counts = i1 - i0
+        m = counts > 0
+        if not m.any():
+            out = batch.slice(0, 0)
+            for c in self.select:
+                out = out.append_column(
+                    c, self.small.column(c).slice(0, 0)
+                )
+            return out
+        reps = counts[m]
+        starts = i0[m]
+        # matched probe positions: for interval j, sorted rows
+        # [starts[j], starts[j]+reps[j])
+        offs = np.concatenate(([0], np.cumsum(reps[:-1])))
+        flat = np.arange(int(reps.sum())) - np.repeat(offs, reps) \
+            + np.repeat(starts, reps)
+        big_idx = order[flat]
+        small_idx = np.repeat(np.flatnonzero(m), reps)
+        out = batch.take(pa.array(big_idx, pa.int64()))
+        sm = pa.array(small_idx, pa.int64())
+        for c in self.select:
+            out = out.append_column(c, self.small.column(c).take(sm))
+        return out
+
+
+def range_join_broadcast(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    on: str,
+    lo_col: str,
+    hi_col: str,
+    select: list[str] | None = None,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Inner range join ``big.on ∈ [small.lo, small.hi)`` — the interval
+    analogue of the as-of join, as a broadcast + per-batch binary
+    search. Overlapping intervals are fully supported: a row matching
+    several intervals is emitted once per match (SQL
+    ``JOIN ... ON t >= lo AND t < hi`` semantics); null probe keys drop
+    (inner join). Partitioning assumption: the interval table is global
+    and worker-heap-sized (calendars, rate schedules, bucket specs); a
+    huge interval side needs a partition-by-range plan instead."""
+    return big.map_batches(
+        _RangeJoiner,
+        fn_constructor_kwargs={
+            "small_ref": ray.put(small),
+            "on": on,
+            "lo_col": lo_col,
+            "hi_col": hi_col,
+            "select": select,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

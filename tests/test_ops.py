@@ -392,3 +392,148 @@ def test_asof_join_small_side_not_reshipped(ray_session, monkeypatch):
     ).take_all()
     assert [r["rate"] for r in sorted(out, key=lambda r: r["ts"])] == [7, 7]
     assert len(puts) == 1  # shipped exactly once, as a ref
+
+
+class TestGroupedTopK:
+    def _make(self, n=30_000, groups=400, seed=3):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "g": pa.array(rng.integers(0, groups, n)),
+            "v": pa.array(rng.normal(size=n)),
+            "id": pa.array(np.arange(n)),
+        })
+
+    def test_matches_pandas_window(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import grouped_topk
+
+        t = self._make()
+        got = grouped_topk(
+            ray.data.from_arrow(t).repartition(8),
+            by="g", keys=["v", "id"], k=3, descending=[True, False],
+        ).to_pandas()
+        exp = (t.to_pandas()
+               .sort_values(["v", "id"], ascending=[False, True])
+               .groupby("g").head(3))
+        key = ["g", "v", "id"]
+        assert (got.sort_values(key).reset_index(drop=True)[key]
+                .equals(exp.sort_values(key).reset_index(drop=True)[key]))
+
+    def test_small_groups_and_k_larger_than_group(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import grouped_topk
+
+        t = pa.table({"g": pa.array([1, 1, 2]),
+                      "v": pa.array([5.0, 3.0, 9.0]),
+                      "id": pa.array([0, 1, 2])})
+        got = grouped_topk(
+            ray.data.from_arrow(t), by="g", keys=["v", "id"], k=10,
+        ).to_pandas()
+        assert len(got) == 3  # k > group size keeps everything once
+
+    def test_string_groups(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import grouped_topk
+
+        rng = np.random.default_rng(5)
+        t = pa.table({
+            "g": pa.array([f"dom-{i % 37}.com" for i in range(4000)]),
+            "v": pa.array(rng.normal(size=4000)),
+            "id": pa.array(np.arange(4000)),
+        })
+        got = grouped_topk(
+            ray.data.from_arrow(t).repartition(4),
+            by="g", keys=["v", "id"], k=2, descending=[True, False],
+        ).to_pandas()
+        exp = (t.to_pandas()
+               .sort_values(["v", "id"], ascending=[False, True])
+               .groupby("g").head(2))
+        key = ["g", "v", "id"]
+        assert (got.sort_values(key).reset_index(drop=True)[key]
+                .equals(exp.sort_values(key).reset_index(drop=True)[key]))
+
+    def test_null_group_keys_raise(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.topk import grouped_topk
+
+        t = pa.table({"g": pa.array([1, None]), "v": pa.array([1.0, 2.0]),
+                      "id": pa.array([0, 1])})
+        with pytest.raises(Exception, match="null group keys"):
+            grouped_topk(ray.data.from_arrow(t), "g", ["v", "id"], 1
+                         ).to_pandas()
+
+
+class TestRangeJoin:
+    def test_overlapping_intervals_match_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.join import range_join_broadcast
+
+        rng = np.random.default_rng(7)
+        n = 10_000
+        mask = rng.random(n) < 0.05
+        t = pa.table({
+            "id": pa.array(np.arange(n)),
+            "v": pa.array(np.where(mask, 0, rng.uniform(0, 100, n)),
+                          mask=mask),
+        })
+        iv = pa.table({
+            "lo": pa.array(np.arange(0, 100, 10) - 5.0),
+            "hi": pa.array(np.arange(0, 100, 10) + 10.0),
+            "bucket": pa.array(np.arange(10)),
+        })
+        got = range_join_broadcast(
+            ray.data.from_arrow(t).repartition(4), iv,
+            on="v", lo_col="lo", hi_col="hi",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        con.register("r", iv.to_pandas())
+        exp = con.sql(
+            "SELECT t.id, t.v, r.bucket FROM t JOIN r"
+            " ON t.v >= r.lo AND t.v < r.hi"
+        ).df()
+        key = ["id", "bucket"]
+        assert (got.sort_values(key).reset_index(drop=True)[["id", "v", "bucket"]]
+                .equals(exp.sort_values(key).reset_index(drop=True)))
+
+    def test_no_matches_yields_schema(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import range_join_broadcast
+
+        t = pa.table({"id": pa.array([1, 2]), "v": pa.array([500.0, 600.0])})
+        iv = pa.table({"lo": pa.array([0.0]), "hi": pa.array([1.0]),
+                       "bucket": pa.array([0])})
+        out = range_join_broadcast(
+            ray.data.from_arrow(t), iv, on="v", lo_col="lo", hi_col="hi",
+        )
+        assert out.count() == 0
+        assert out.schema().names == ["id", "v", "bucket"]
+
+    def test_timestamp_intervals(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import range_join_broadcast
+
+        ts = pa.array(
+            np.arange(0, 100, 1, dtype="datetime64[us]").astype(
+                "datetime64[us]"
+            )
+        )
+        t = pa.table({"ts": ts, "id": pa.array(np.arange(100))})
+        iv = pa.table({
+            "lo": pa.array(np.array([10, 50], dtype="datetime64[us]")),
+            "hi": pa.array(np.array([20, 60], dtype="datetime64[us]")),
+            "w": pa.array([0, 1]),
+        })
+        got = range_join_broadcast(
+            ray.data.from_arrow(t), iv, on="ts", lo_col="lo", hi_col="hi",
+        ).to_pandas()
+        assert len(got) == 20
+        assert sorted(got["id"]) == list(range(10, 20)) + list(range(50, 60))
