@@ -690,6 +690,18 @@ def _q_grouped_topk_events(sf_dir: str):
     )
 
 
+def _q_quantiles_events(sf_dir: str):
+    """Exact distributed quantiles with NO global sort: histogram
+    refinement (ops/quantiles.py) — per-round streaming bin counts
+    through a tiny groupby, candidate range shrinks ~1024x per round,
+    final in-range pull is bounded. Matches SQL's row_number selection
+    at index floor((n-1)*q) exactly."""
+    from parquet_go_ray.ops.quantiles import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+
+
 def _q_range_join_events(sf_dir: str):
     """Inner range join (interval containment, overlapping intervals):
     events land in every value bucket whose [lo, hi) window contains
@@ -1042,6 +1054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_documents_by_chars": _q_top_documents,
         "grouped_topk_events": _q_grouped_topk_events,
         "range_join_events": _q_range_join_events,
+        "quantiles_events_value": _q_quantiles_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1176,6 +1189,15 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "quantiles_events_value": (
+            "WITH s AS (SELECT value,"
+            " row_number() OVER (ORDER BY value) AS rn,"
+            " count(*) OVER () AS n FROM events WHERE value IS NOT NULL)"
+            " SELECT CAST(qt.q AS DOUBLE) AS q,"
+            " CAST(s.value AS DOUBLE) AS value"
+            " FROM (VALUES (0.1), (0.5), (0.9), (0.99)) qt(q) JOIN s"
+            " ON s.rn = CAST(floor((s.n - 1) * qt.q) AS BIGINT) + 1"
         ),
         "range_join_events": (
             "SELECT e.event_id, e.value, r.bucket FROM events e JOIN"

@@ -537,3 +537,63 @@ class TestRangeJoin:
         ).to_pandas()
         assert len(got) == 20
         assert sorted(got["id"]) == list(range(10, 20)) + list(range(50, 60))
+
+
+class TestExactQuantiles:
+    def _run(self, ray_session, vals, qs, **kw):
+        import ray
+
+        from parquet_go_ray.ops.quantiles import exact_quantiles
+
+        t = pa.table({"v": pa.array(vals)})
+        return exact_quantiles(
+            ray.data.from_arrow(t).repartition(4), "v", qs, **kw
+        ).to_pandas()
+
+    def test_matches_numpy_lower_interpolation(self, ray_session):
+        rng = np.random.default_rng(0)
+        vals = rng.normal(50, 20, 100_000)
+        qs = [0.0, 0.1, 0.5, 0.95, 1.0]
+        got = self._run(ray_session, vals, qs)
+        sv = np.sort(vals)
+        exp = [sv[int(np.floor((len(sv) - 1) * q))] for q in qs]
+        assert np.array_equal(got["value"].to_numpy(), exp)
+
+    def test_refinement_rounds_engage(self, ray_session):
+        # Tiny pull cap forces at least one histogram round; result
+        # must stay exact.
+        import parquet_go_ray.ops.quantiles as qm
+
+        rng = np.random.default_rng(1)
+        vals = rng.uniform(0, 1, 60_000)
+        old = qm._PULL_CAP
+        qm._PULL_CAP = 500
+        try:
+            got = self._run(ray_session, vals, [0.5], n_bins=64)
+        finally:
+            qm._PULL_CAP = old
+        sv = np.sort(vals)
+        assert got["value"][0] == sv[int(np.floor((len(sv) - 1) * 0.5))]
+
+    def test_heavy_duplicates_width_underflow(self, ray_session):
+        import parquet_go_ray.ops.quantiles as qm
+
+        vals = np.repeat([7.0, 7.0, 9.0], 40_000)
+        old = qm._PULL_CAP
+        qm._PULL_CAP = 100  # duplicates can never fit the cap
+        try:
+            got = self._run(ray_session, vals, [0.25, 0.9], n_bins=16)
+        finally:
+            qm._PULL_CAP = old
+        assert list(got["value"]) == [7.0, 9.0]
+
+    def test_nulls_nans_and_empty(self, ray_session):
+        vals = pa.array([1.0, None, float("nan"), 3.0, 2.0])
+        got = self._run(ray_session, vals, [0.0, 0.5, 1.0])
+        assert list(got["value"]) == [1.0, 2.0, 3.0]
+        empty = self._run(ray_session, pa.array([], pa.float64()), [0.5])
+        assert empty["value"].isna().all()
+
+    def test_invalid_q_raises(self, ray_session):
+        with pytest.raises(ValueError, match="outside"):
+            self._run(ray_session, [1.0], [1.5])
