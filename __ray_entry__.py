@@ -690,6 +690,24 @@ def _q_grouped_topk_events(sf_dir: str):
     )
 
 
+def _q_stratified_sample_events(sf_dir: str):
+    """Stratified sampling (ops/sampling.py): per-event-type keep
+    rates — downsample the dominant types, keep the rare — as a pure
+    deterministic hash filter, reproducible on any cluster size. This
+    oracle run uses the md5 SQL-parity mode (per-row, DuckDB-replayable,
+    same boundary as sample_documents); the engine path is the
+    vectorized xxh64 mode, pinned equal-behavior in pytest."""
+    from parquet_go_ray.ops.sampling import stratified_sample
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id", "value"])
+    return stratified_sample(
+        ds, key_col="event_type", id_col="event_id",
+        rates={"click": 10, "view": 25}, default_rate=80,
+        hash_mode="md5",
+    )
+
+
 def _q_quantiles_events(sf_dir: str):
     """Exact distributed quantiles with NO global sort: histogram
     refinement (ops/quantiles.py) — per-round streaming bin counts
@@ -1055,6 +1073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": _q_grouped_topk_events,
         "range_join_events": _q_range_join_events,
         "quantiles_events_value": _q_quantiles_events,
+        "stratified_sample_events": _q_stratified_sample_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1189,6 +1208,13 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "stratified_sample_events": (
+            "SELECT event_id, event_type, user_id, value FROM events"
+            " WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),"
+            " 1, 8)) AS UBIGINT) % 100 <"
+            " CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 25"
+            " ELSE 80 END"
         ),
         "quantiles_events_value": (
             "WITH s AS (SELECT value,"

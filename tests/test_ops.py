@@ -597,3 +597,79 @@ class TestExactQuantiles:
     def test_invalid_q_raises(self, ray_session):
         with pytest.raises(ValueError, match="outside"):
             self._run(ray_session, [1.0], [1.5])
+
+
+class TestStratifiedSample:
+    def _events(self, n=40_000, seed=11):
+        rng = np.random.default_rng(seed)
+        types = np.array(["click", "view", "rare_a", "rare_b"])
+        return pa.table({
+            "id": pa.array(np.arange(n)),
+            "kind": pa.array(types[rng.choice(
+                4, n, p=[0.6, 0.3, 0.05, 0.05]
+            )]),
+        })
+
+    def test_rates_honored_and_deterministic(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import stratified_sample
+
+        t = self._events()
+        rates = {"click": 10, "view": 50}
+        out1 = stratified_sample(
+            ray.data.from_arrow(t).repartition(8), "kind", "id", rates,
+            default_rate=100,
+        ).to_pandas()
+        # identical output under a different partitioning
+        out2 = stratified_sample(
+            ray.data.from_arrow(t).repartition(3), "kind", "id", rates,
+            default_rate=100,
+        ).to_pandas()
+        key = ["id"]
+        assert (out1.sort_values(key).reset_index(drop=True)
+                .equals(out2.sort_values(key).reset_index(drop=True)))
+        src = t.to_pandas().groupby("kind").size()
+        got = out1.groupby("kind").size()
+        assert abs(got["click"] / src["click"] - 0.10) < 0.02
+        assert abs(got["view"] / src["view"] - 0.50) < 0.03
+        assert got["rare_a"] == src["rare_a"]  # default 100% keeps all
+
+    def test_md5_mode_matches_sql_predicate(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.sampling import stratified_sample
+
+        t = self._events(3000)
+        out = stratified_sample(
+            ray.data.from_arrow(t), "kind", "id",
+            {"click": 15}, default_rate=60, hash_mode="md5",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.sql(
+            "SELECT id, kind FROM t WHERE CAST(('0x' ||"
+            " substring(md5(CAST(id AS VARCHAR)), 1, 8)) AS UBIGINT)"
+            " % 100 < CASE kind WHEN 'click' THEN 15 ELSE 60 END"
+        ).df()
+        assert (out.sort_values("id").reset_index(drop=True)
+                .equals(exp.sort_values("id").reset_index(drop=True)))
+
+    def test_string_ids_and_bad_mode(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import stratified_sample
+
+        t = pa.table({"id": pa.array([f"doc-{i}" for i in range(2000)]),
+                      "kind": pa.array(["a", "b"] * 1000)})
+        out = stratified_sample(
+            ray.data.from_arrow(t), "kind", "id", {"a": 30}, 70
+        ).to_pandas()
+        frac_a = (out["kind"] == "a").sum() / 1000
+        assert 0.2 < frac_a < 0.4
+        with pytest.raises(Exception, match="hash_mode"):
+            stratified_sample(
+                ray.data.from_arrow(t), "kind", "id", {}, 50,
+                hash_mode="bogus",
+            ).to_pandas()
