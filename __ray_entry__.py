@@ -690,6 +690,38 @@ def _q_grouped_topk_events(sf_dir: str):
     )
 
 
+def _q_approx_distinct_events(sf_dir: str):
+    """HyperLogLog approximate distinct (ops/sketch.py): one streaming
+    pass builds a 16 KiB register sketch per batch (vectorized XXH64 +
+    np.maximum.at), merged by element-wise max — vs the exact
+    distributed distinct, computed side by side. rows-only gate (an
+    estimate has no SQL oracle); the returned rel_err row IS the
+    evidence, and pytest pins the error band across cardinalities."""
+    from parquet_go_ray.ops.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=14)
+    exact = _read(sf_dir, "events", columns=["user_id"]).unique("user_id")
+    exact_n = len(exact)
+    return pa.table({
+        "column": pa.array(["user_id"]),
+        "estimate": pa.array([float(est)]),
+        "exact": pa.array([float(exact_n)]),
+        "rel_err": pa.array([abs(est - exact_n) / max(1, exact_n)]),
+    })
+
+
+def _q_doc_frequency(sf_dir: str):
+    """Document frequency per token (the df half of TF-IDF): Arrow C++
+    tokenization with SQL string_split parity, batch-local (token, doc)
+    pair dedup as the combiner, one coarse-bucket shuffle, two C++
+    group-bys per bucket (ops/text.py doc_frequency)."""
+    from parquet_go_ray.ops.text import doc_frequency
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return doc_frequency(ds)
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Stratified sampling (ops/sampling.py): per-event-type keep
     rates — downsample the dominant types, keep the rare — as a pure
@@ -1074,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_events": _q_range_join_events,
         "quantiles_events_value": _q_quantiles_events,
         "stratified_sample_events": _q_stratified_sample_events,
+        "doc_frequency_documents": _q_doc_frequency,
+        "approx_distinct_users_events": _q_approx_distinct_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1208,6 +1242,11 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "doc_frequency_documents": (
+            "SELECT token, count(DISTINCT doc_id) AS df FROM ("
+            "SELECT doc_id, unnest(string_split(text, ' ')) AS token"
+            " FROM documents) GROUP BY token"
         ),
         "stratified_sample_events": (
             "SELECT event_id, event_type, user_id, value FROM events"

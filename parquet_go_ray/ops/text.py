@@ -485,3 +485,59 @@ def apply_actor(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def doc_frequency(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Document frequency per token: ``count(DISTINCT doc) GROUP BY
+    token`` — the df half of TF-IDF over a web corpus.
+
+    100-TB shape: tokenization is one Arrow C++ kernel per batch
+    (split semantics identical to SQL ``string_split(text, ' ')``,
+    empty tokens included), each batch DEDUPS its own (token, doc)
+    pairs before anything moves (pyarrow hash group-by — the combiner:
+    shuffle volume is bounded by distinct pairs, not token
+    occurrences), and ONE coarse-bucket exchange (``pk = xxh64(token)
+    % num_buckets``) lets each bucket task resolve all of its tokens
+    with two more C++ group-bys. No per-token Python anywhere."""
+    import ray  # noqa: F401  (type only; library code never inits)
+
+    from ..functions.bloom import xxh64_bytes
+    from ..functions.bytearray import arrow_strings_to_parts
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(
+            batch.column(id_col).to_numpy(zero_copy_only=False),
+            lens.astype(np.int64),
+        )
+        t = pa.table({"token": pc.list_flatten(toks), id_col: pa.array(ids)})
+        d = t.group_by(["token", id_col]).aggregate([])  # local pair dedup
+        tok = d.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        tl, td = arrow_strings_to_parts(tok)
+        pk = (xxh64_bytes(tl, np.frombuffer(td, np.uint8))
+              % np.uint64(num_buckets)).astype(np.int32)
+        return d.append_column("pk", pa.array(pk))
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        d = group.group_by(["token", id_col]).aggregate([])  # global dedup
+        out = d.group_by("token").aggregate([(id_col, "count")])
+        return pa.table({
+            "token": out.column("token"),
+            "df": out.column(f"{id_col}_count").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -673,3 +673,80 @@ class TestStratifiedSample:
                 ray.data.from_arrow(t), "kind", "id", {}, 50,
                 hash_mode="bogus",
             ).to_pandas()
+
+
+class TestDocFrequency:
+    def test_matches_sql_distinct_count(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import doc_frequency
+
+        rng = np.random.default_rng(2)
+        vocab = [f"w{i}" for i in range(50)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+                 for _ in range(2000)]
+        texts[7] = "a  b c "  # double space + trailing: empty tokens
+        t = pa.table({"doc_id": pa.array(np.arange(2000)),
+                      "text": pa.array(texts)})
+        got = doc_frequency(
+            ray.data.from_arrow(t).repartition(4)
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("d", t.to_pandas())
+        exp = con.sql(
+            "SELECT token, count(DISTINCT doc_id) AS df FROM (SELECT"
+            " doc_id, unnest(string_split(text, ' ')) AS token FROM d)"
+            " GROUP BY token"
+        ).df()
+        key = "token"
+        assert (got.sort_values(key).reset_index(drop=True)
+                .equals(exp.sort_values(key).reset_index(drop=True)))
+
+
+class TestHyperLogLog:
+    def test_error_band_across_cardinalities(self):
+        from parquet_go_ray.functions.bloom import xxh64_fixed
+        from parquet_go_ray.ops.sketch import hll_estimate, hll_registers
+
+        for n in (100, 5_000, 200_000):
+            reg = hll_registers(
+                xxh64_fixed(np.arange(n, dtype=np.int64)), 14
+            )
+            est = hll_estimate(reg)
+            assert abs(est - n) / n < 0.03, (n, est)
+
+    def test_merge_equals_single_shot(self):
+        from parquet_go_ray.functions.bloom import xxh64_fixed
+        from parquet_go_ray.ops.sketch import hll_registers
+
+        h = xxh64_fixed(np.arange(30_000, dtype=np.int64))
+        whole = hll_registers(h, 12)
+        parts = np.maximum(
+            hll_registers(h[:13_000], 12), hll_registers(h[13_000:], 12)
+        )
+        assert (whole == parts).all()
+
+    def test_distributed_strings_and_validation(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sketch import approx_distinct
+
+        t = pa.table({"s": pa.array([f"u-{i % 2345}" for i in range(80_000)])})
+        est = approx_distinct(ray.data.from_arrow(t).repartition(6), "s")
+        assert abs(est - 2345) / 2345 < 0.03
+        with pytest.raises(ValueError, match="p must be"):
+            approx_distinct(ray.data.from_arrow(t), "s", p=25)
+
+    def test_rank_boundaries(self):
+        # hashes whose suffix stresses the float-exponent bit-length:
+        # all-ones (rounds up to 2^64) and a single low bit.
+        from parquet_go_ray.ops.sketch import hll_registers
+
+        p = 4
+        h = np.array([(1 << 64) - 1, 1 << (64 - p)], dtype=np.uint64)
+        reg = hll_registers(h, p)
+        # first: register 15, remaining bits all ones -> rank 1
+        assert reg[15] == 1
+        # second: register 1, remaining bits zero -> sentinel caps rank
+        assert reg[1] == 64 - p + 1
