@@ -722,6 +722,18 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds)
 
 
+def _q_grouped_median_events(sf_dir: str):
+    """Exact per-group median (ops/quantiles.py grouped_quantile):
+    projected (key, value) pairs co-locate on a coarse xxh64 bucket,
+    one lexsort + segment arithmetic answers every group in the bucket
+    vectorized. Same floor((n-1)*q) index semantics as the global
+    operator, so the window-function oracle matches bit-for-bit."""
+    from parquet_go_ray.ops.quantiles import grouped_quantile
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_quantile(ds, by="event_type", col="value", q=0.5)
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Stratified sampling (ops/sampling.py): per-event-type keep
     rates — downsample the dominant types, keep the rare — as a pure
@@ -1108,6 +1120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "doc_frequency_documents": _q_doc_frequency,
         "approx_distinct_users_events": _q_approx_distinct_events,
+        "grouped_median_events": _q_grouped_median_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1242,6 +1255,13 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "grouped_median_events": (
+            "SELECT event_type, value FROM (SELECT event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY value)"
+            " AS rn, count(*) OVER (PARTITION BY event_type) AS n"
+            " FROM events WHERE value IS NOT NULL)"
+            " WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1"
         ),
         "doc_frequency_documents": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("

@@ -190,3 +190,81 @@ def _final_pull(ds, col, targets: dict) -> None:
             continue
         k = min(t[0], len(vs) - 1)
         t[3] = float(np.partition(vs, k)[k])
+
+
+def grouped_quantile(
+    ds: ray.data.Dataset,
+    by: str,
+    col: str,
+    q: float,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exact per-group q-quantile (same "lower" index semantics as
+    :func:`exact_quantiles`) → one row per group.
+
+    Unlike the global operator, per-group exactness has no combinable
+    partial (quantiles don't merge), so the plan co-locates each
+    group's (key, value) PAIRS — projected to two columns, never whole
+    rows — on a coarse ``pk = xxh64(key) % num_buckets`` bucket, then
+    one lexsort + segment arithmetic resolves ALL of a bucket's groups
+    vectorized. Shuffle volume is the projected pair stream; driver
+    sees nothing. Nulls/NaNs drop per SQL aggregate semantics; groups
+    with only nulls vanish (as SQL GROUP BY of an empty aggregate)."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile {q} outside [0, 1]")
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(f"grouped_quantile: null group keys in {by!r}")
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        vals = vals.astype(np.float64, copy=False)
+        ok = ~np.isnan(vals)
+        import pyarrow.compute as pc
+
+        if batch.column(col).null_count:
+            ok &= np.asarray(pc.is_valid(batch.column(col)))
+        if pa.types.is_string(keys.type) or pa.types.is_binary(keys.type) \
+                or pa.types.is_large_string(keys.type):
+            from ..functions.bloom import xxh64_bytes
+            from ..functions.bytearray import arrow_strings_to_parts
+
+            lens, data = arrow_strings_to_parts(keys)
+            h = xxh64_bytes(lens, np.frombuffer(data, np.uint8))
+        else:
+            from ..functions.bloom import xxh64_fixed
+
+            h = xxh64_fixed(keys.to_numpy(zero_copy_only=False))
+        t = pa.table({
+            by: keys,
+            "__v": pa.array(vals),
+            "__pk": pa.array((h % np.uint64(num_buckets)).astype(np.int32)),
+        })
+        return t.filter(pa.array(ok)) if not ok.all() else t
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({by: group.column(by).slice(0, 0),
+                             "value": pa.array([], pa.float64())})
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        vals = group.column("__v").to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        order = np.lexsort([vals, codes])
+        cs = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(cs[1:] != cs[:-1]) + 1))
+        sizes = np.diff(np.append(starts, n))
+        pick = starts + np.floor((sizes - 1) * q).astype(np.int64)
+        sel = order[pick]
+        return pa.table({
+            by: group.take(pa.array(sel, pa.int64())).column(by),
+            "value": pa.array(vals[sel]),
+        })
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -750,3 +750,41 @@ class TestHyperLogLog:
         assert reg[15] == 1
         # second: register 1, remaining bits zero -> sentinel caps rank
         assert reg[1] == 64 - p + 1
+
+
+class TestGroupedQuantile:
+    def test_matches_pandas_per_group(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.quantiles import grouped_quantile
+
+        rng = np.random.default_rng(13)
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 200, 40_000)),
+            "v": pa.array(rng.normal(size=40_000)),
+        })
+        got = grouped_quantile(
+            ray.data.from_arrow(t).repartition(8), "g", "v", 0.5
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        exp = (t.to_pandas().groupby("g")["v"]
+               .quantile(0.5, interpolation="lower")
+               .reset_index().rename(columns={"v": "value"}))
+        assert np.array_equal(got["g"].to_numpy(), exp["g"].to_numpy())
+        assert np.array_equal(got["value"].to_numpy(),
+                              exp["value"].to_numpy())
+
+    def test_nulls_nans_drop_and_string_groups(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.quantiles import grouped_quantile
+
+        t = pa.table({
+            "g": pa.array(["a", "a", "a", "b", "b", "c"]),
+            "v": pa.array([3.0, None, 1.0, float("nan"), 5.0, None]),
+        })
+        got = grouped_quantile(
+            ray.data.from_arrow(t), "g", "v", 0.5
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        # a: {1,3} -> lower median 1; b: {5}; c: all null -> vanishes
+        assert list(got["g"]) == ["a", "b"]
+        assert list(got["value"]) == [1.0, 5.0]
