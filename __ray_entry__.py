@@ -722,6 +722,21 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds)
 
 
+def _q_shuffle_join_lineitem_orders(sf_dir: str):
+    """BIG x BIG partitioned hash join (ops/join.py shuffle_join): the
+    shuffle join the broadcast variants defer to. Both sides envelope
+    into a shared schema (absent columns are validity-only nulls), one
+    union -> groupby(coarse xxh64 pk) co-locates keys, each bucket
+    joins vectorized (sort + searchsorted ranges, full M:N)."""
+    from parquet_go_ray.ops.join import shuffle_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderstatus"])
+    return shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
+
+
 def _q_grouped_median_events(sf_dir: str):
     """Exact per-group median (ops/quantiles.py grouped_quantile):
     projected (key, value) pairs co-locate on a coarse xxh64 bucket,
@@ -1121,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency_documents": _q_doc_frequency,
         "approx_distinct_users_events": _q_approx_distinct_events,
         "grouped_median_events": _q_grouped_median_events,
+        "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1255,6 +1271,11 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "shuffle_join_lineitem_orders": (
+            "SELECT l_orderkey, l_quantity, l_extendedprice,"
+            " o_custkey, o_orderstatus FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
         ),
         "grouped_median_events": (
             "SELECT event_type, value FROM (SELECT event_type, value,"

@@ -307,3 +307,136 @@ def range_join_broadcast(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def _key_hash_pk(col: pa.Array, num_buckets: int) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
+            or pa.types.is_binary(col.type):
+        from ..functions.bloom import xxh64_bytes
+        from ..functions.bytearray import arrow_strings_to_parts
+
+        lens, data = arrow_strings_to_parts(col)
+        h = xxh64_bytes(lens, np.frombuffer(data, np.uint8))
+    else:
+        from ..functions.bloom import xxh64_fixed
+
+        h = xxh64_fixed(col.to_numpy(zero_copy_only=False))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def shuffle_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Partitioned inner hash join for BIG × BIG inputs — the shuffle
+    join the broadcast variants explicitly defer to when neither side
+    fits a worker heap.
+
+    Plan: both sides map their batches into a shared ENVELOPE schema
+    (union of columns; the absent side's columns are all-null Arrow
+    arrays — validity bitmaps only, no data copied) tagged with a
+    ``side`` bit and a coarse ``pk = xxh64(key) % num_buckets``, then
+    ONE ``union → groupby(pk) → map_groups`` co-locates matching keys
+    and joins each bucket vectorized (sort the right side once per
+    bucket, ``searchsorted`` ranges, repeat/gather — full M:N
+    semantics, one output row per key pair, exactly SQL INNER JOIN).
+    Null join keys drop on both sides. Column names must be disjoint
+    apart from the key (rename/select upstream otherwise — same rule
+    as SQL without aliases).
+    """
+    import pyarrow.compute as pc
+
+    right_on = right_on or on
+    ls = left.schema()
+    rs = right.schema()
+    lcols = list(ls.names)
+    rcols = [c for c in rs.names if c != right_on]
+    clash = set(lcols) & set(rcols)
+    if clash:
+        raise ValueError(
+            f"shuffle_join: column name collision {sorted(clash)};"
+            " rename or select before joining"
+        )
+    l_arrow = ls.base_schema
+    r_arrow = rs.base_schema
+    r_types = {c: r_arrow.field(c).type for c in rcols}
+    l_types = {c: l_arrow.field(c).type for c in lcols}
+
+    def env_left(batch: pa.Table) -> pa.Table:
+        key = batch.column(on)
+        if key.null_count:
+            batch = batch.filter(pc.is_valid(key))
+        n = batch.num_rows
+        cols = {c: batch.column(c) for c in lcols}
+        for c in rcols:
+            cols[c] = pa.nulls(n, r_types[c])
+        cols["__side"] = pa.array(np.zeros(n, np.int8))
+        cols["__pk"] = pa.array(_key_hash_pk(batch.column(on), num_buckets))
+        return pa.table(cols)
+
+    def env_right(batch: pa.Table) -> pa.Table:
+        key = batch.column(right_on)
+        if key.null_count:
+            batch = batch.filter(pc.is_valid(key))
+        n = batch.num_rows
+        cols = {}
+        for c in lcols:
+            cols[c] = (batch.column(right_on) if c == on
+                       else pa.nulls(n, l_types[c]))
+        for c in rcols:
+            cols[c] = batch.column(c)
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        cols["__pk"] = pa.array(
+            _key_hash_pk(batch.column(right_on), num_buckets)
+        )
+        return pa.table(cols)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lt = group.filter(pa.array(side == 0)).select(lcols)
+        rt = group.filter(pa.array(side == 1)).select([on] + rcols)
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            empty = {c: lt.column(c).slice(0, 0) for c in lcols}
+            for c in rcols:
+                empty[c] = rt.column(c).slice(0, 0)
+            return pa.table(empty)
+        lk = lt.column(on).to_numpy(zero_copy_only=False)
+        rk = rt.column(on).to_numpy(zero_copy_only=False)
+        order = np.argsort(rk, kind="stable")
+        rk_sorted = rk[order]
+        i0 = np.searchsorted(rk_sorted, lk, side="left")
+        i1 = np.searchsorted(rk_sorted, lk, side="right")
+        counts = i1 - i0
+        m = counts > 0
+        reps = counts[m]
+        total = int(reps.sum())
+        if total == 0:  # keys co-bucketed but none equal
+            empty = {c: lt.column(c).slice(0, 0) for c in lcols}
+            for c in rcols:
+                empty[c] = rt.column(c).slice(0, 0)
+            return pa.table(empty)
+        offs = np.concatenate(([0], np.cumsum(reps[:-1])))
+        flat = (np.arange(total) - np.repeat(offs, reps)
+                + np.repeat(i0[m], reps))
+        l_idx = np.repeat(np.flatnonzero(m), reps)
+        r_idx = order[flat]
+        out = lt.take(pa.array(l_idx, pa.int64()))
+        rsel = pa.array(r_idx, pa.int64())
+        for c in rcols:
+            out = out.append_column(c, rt.column(c).take(rsel))
+        return out
+
+    env = (
+        left.map_batches(env_left, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(right.map_batches(env_right, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    )
+    return env.groupby("__pk").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

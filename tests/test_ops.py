@@ -788,3 +788,67 @@ class TestGroupedQuantile:
         # a: {1,3} -> lower median 1; b: {5}; c: all null -> vanishes
         assert list(got["g"]) == ["a", "b"]
         assert list(got["value"]) == [1.0, 5.0]
+
+
+class TestShuffleJoin:
+    def test_m_to_n_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        rng = np.random.default_rng(17)
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 300, 5000)),
+            "lv": pa.array(np.arange(5000)),
+        })
+        rt = pa.table({
+            "rk": pa.array(rng.integers(100, 400, 2000)),  # partial overlap
+            "rv": pa.array([f"r{i}" for i in range(2000)]),
+        })
+        got = shuffle_join(
+            ray.data.from_arrow(lt).repartition(6),
+            ray.data.from_arrow(rt).repartition(3),
+            on="k", right_on="rk",
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        exp = con.sql(
+            "SELECT k, lv, rv FROM l JOIN r ON l.k = r.rk"
+        ).df()
+        key = ["k", "lv", "rv"]
+        assert (got.sort_values(key).reset_index(drop=True)[key]
+                .equals(exp.sort_values(key).reset_index(drop=True)[key]))
+
+    def test_null_keys_drop_and_clash_raises(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt = pa.table({"k": pa.array([1, None, 2]), "a": pa.array([1, 2, 3])})
+        rt = pa.table({"k2": pa.array([None, 2]), "b": pa.array([9, 8])})
+        got = shuffle_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", right_on="k2",
+        ).to_pandas()
+        assert got.to_dict("records") == [{"k": 2, "a": 3, "b": 8}]
+        rt2 = pa.table({"k2": pa.array([1]), "a": pa.array([7])})
+        with pytest.raises(ValueError, match="collision"):
+            shuffle_join(ray.data.from_arrow(lt),
+                         ray.data.from_arrow(rt2), on="k", right_on="k2")
+
+    def test_string_keys(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt = pa.table({"k": pa.array(["a", "b", "b", "z"]),
+                       "x": pa.array([1, 2, 3, 4])})
+        rt = pa.table({"k2": pa.array(["b", "a"]),
+                       "y": pa.array([10, 20])})
+        got = shuffle_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", right_on="k2",
+        ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
+        assert got["y"].tolist() == [20, 10, 10]
