@@ -711,6 +711,17 @@ def _q_approx_distinct_events(sf_dir: str):
     })
 
 
+def _q_repetition_documents(sf_dir: str):
+    """Gopher/C4-style repetition quality signals per document: token
+    count, distinct tokens, top-token share (ops/text.py
+    repetition_stats) — batch-local, exact via one Arrow
+    dictionary_encode + lexsort run-length pass, zero per-row Python."""
+    from parquet_go_ray.ops.text import repetition_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
 def _q_doc_frequency(sf_dir: str):
     """Document frequency per token (the df half of TF-IDF): Arrow C++
     tokenization with SQL string_split parity, batch-local (token, doc)
@@ -1134,6 +1145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_events_value": _q_quantiles_events,
         "stratified_sample_events": _q_stratified_sample_events,
         "doc_frequency_documents": _q_doc_frequency,
+        "repetition_documents": _q_repetition_documents,
         "approx_distinct_users_events": _q_approx_distinct_events,
         "grouped_median_events": _q_grouped_median_events,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
@@ -1288,6 +1300,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token"
             " FROM documents) GROUP BY token"
+        ),
+        "repetition_documents": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS token FROM documents),"
+            " cnt AS (SELECT doc_id, token, count(*) AS c FROM tok"
+            " GROUP BY doc_id, token)"
+            " SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,"
+            " CAST(count(*) AS BIGINT) AS n_distinct,"
+            " CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
+            " AS top_token_frac FROM cnt GROUP BY doc_id"
         ),
         "stratified_sample_events": (
             "SELECT event_id, event_type, user_id, value FROM events"

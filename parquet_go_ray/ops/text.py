@@ -541,3 +541,72 @@ def doc_frequency(
         .groupby("pk")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def repetition_stats(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document repetition signals (the Gopher/C4-style quality
+    rules): token count, distinct-token count, and the most-frequent
+    token's share of the document. High ``top_token_frac`` flags
+    boilerplate/spam for corpus filtering.
+
+    Purely batch-local (each doc lives in one row — no shuffle), and
+    exact without per-row Python: tokens flatten once per batch, one
+    Arrow ``dictionary_encode`` gives exact integer codes (no hash
+    collisions), and one ``lexsort`` + run-length arithmetic yields
+    per-(doc, token) counts, per-doc distinct counts, and per-doc max
+    counts in a handful of numpy passes. Null texts drop (SQL unnest
+    semantics)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            batch = batch.filter(pc.is_valid(text))
+            text = batch.column(text_col)
+        n_docs = batch.num_rows
+        ids = batch.column(id_col)
+        if n_docs == 0:
+            return pa.table({
+                id_col: ids.slice(0, 0),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "top_token_frac": pa.array([], pa.float64()),
+            })
+        toks = pc.split_pattern(text, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        order = np.lexsort([codes, doc_idx])
+        d, c = doc_idx[order], codes[order]
+        new_run = np.ones(len(d), dtype=bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new_run)
+        run_counts = np.diff(np.append(starts, len(d)))
+        run_doc = d[starts]
+        n_distinct = np.bincount(run_doc, minlength=n_docs)
+        top = np.zeros(n_docs, dtype=np.int64)
+        np.maximum.at(top, run_doc, run_counts)
+        return pa.table({
+            id_col: ids,
+            "n_tokens": pa.array(lens),
+            "n_distinct": pa.array(n_distinct.astype(np.int64)),
+            "top_token_frac": pa.array(
+                top.astype(np.float64) / np.maximum(lens, 1)
+            ),
+        })
+
+    return ds.map_batches(stats, batch_format="pyarrow",
+                          zero_copy_batch=True)

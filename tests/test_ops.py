@@ -852,3 +852,68 @@ class TestShuffleJoin:
             on="k", right_on="k2",
         ).to_pandas().sort_values(["k", "x"]).reset_index(drop=True)
         assert got["y"].tolist() == [20, 10, 10]
+
+
+class TestRepetitionStats:
+    def test_matches_sql_and_known_values(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import repetition_stats
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2, 3]),
+            "text": pa.array([
+                "spam spam spam spam ham",   # top_frac 4/5
+                "all tokens here distinct",  # 1/4
+                "x",                         # single token
+                None,                        # drops
+            ]),
+        })
+        got = repetition_stats(
+            ray.data.from_arrow(t)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == [0, 1, 2]
+        assert got["n_tokens"].tolist() == [5, 4, 1]
+        assert got["n_distinct"].tolist() == [2, 4, 1]
+        assert got["top_token_frac"].tolist() == [0.8, 0.25, 1.0]
+        con = duckdb.connect()
+        con.register("d", t.to_pandas())
+        exp = con.sql(
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS token FROM d), cnt AS (SELECT doc_id, token, count(*)"
+            " AS c FROM tok GROUP BY doc_id, token) SELECT doc_id,"
+            " CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS"
+            " BIGINT) AS n_distinct, CAST(max(c) AS DOUBLE) /"
+            " CAST(sum(c) AS DOUBLE) AS top_token_frac FROM cnt"
+            " GROUP BY doc_id"
+        ).df().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(exp)
+
+    def test_random_corpus_matches_sql(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import repetition_stats
+
+        rng = np.random.default_rng(23)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 40)))
+                 for _ in range(1500)]
+        t = pa.table({"doc_id": pa.array(np.arange(1500)),
+                      "text": pa.array(texts)})
+        got = repetition_stats(
+            ray.data.from_arrow(t).repartition(5)
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("d", t.to_pandas())
+        exp = con.sql(
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS token FROM d), cnt AS (SELECT doc_id, token, count(*)"
+            " AS c FROM tok GROUP BY doc_id, token) SELECT doc_id,"
+            " CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS"
+            " BIGINT) AS n_distinct, CAST(max(c) AS DOUBLE) /"
+            " CAST(sum(c) AS DOUBLE) AS top_token_frac FROM cnt"
+            " GROUP BY doc_id"
+        ).df().sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(exp)
