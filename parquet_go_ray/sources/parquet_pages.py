@@ -285,6 +285,11 @@ class _ChunkReader:
     def _decompress(self, payload, uncompressed: int) -> bytes:
         if self.codec == "none":
             return bytes(payload)
+        if self.codec == "lz4_raw":
+            try:
+                return decompress(bytes(payload), "lz4_raw", uncompressed)
+            except Exception:
+                return _lz4_hadoop_decompress(bytes(payload), uncompressed)
         return decompress(bytes(payload), self.codec, uncompressed)
 
     def _decode_values(self, enc: int, data, nn: int) -> pa.Array:
@@ -485,7 +490,35 @@ _CODEC_MAP = {
     "ZSTD": "zstd",
     "GZIP": "gzip",
     "BROTLI": "brotli",
+    # pyarrow's metadata prints "LZ4" for BOTH wire enums: 7 (LZ4_RAW,
+    # what it writes) and 5 (deprecated Hadoop-framed). Decode tries
+    # raw first and falls back to the Hadoop framing — the same
+    # dual-read strategy Arrow C++ uses.
+    "LZ4": "lz4_raw",
+    "LZ4_RAW": "lz4_raw",
 }
+
+
+def _lz4_hadoop_decompress(data: bytes, uncompressed: int) -> bytes:
+    """Deprecated Hadoop LZ4 framing (wire enum 5): repeated
+    [4-byte BE uncompressed length, 4-byte BE compressed length,
+    raw-LZ4 block] records."""
+    import pyarrow as _pa
+
+    codec = _pa.Codec("lz4_raw")
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < uncompressed:
+        if pos + 8 > len(data):
+            raise ValueError("truncated Hadoop-LZ4 frame header")
+        ulen = int.from_bytes(data[pos:pos + 4], "big")
+        clen = int.from_bytes(data[pos + 4:pos + 8], "big")
+        pos += 8
+        out += codec.decompress(data[pos:pos + clen], ulen, asbytes=True)
+        pos += clen
+    if len(out) != uncompressed:
+        raise ValueError("Hadoop-LZ4 frame length mismatch")
+    return bytes(out)
 
 
 def _offset_index_window(path: str, row_group: int, column: int,

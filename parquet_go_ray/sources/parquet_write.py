@@ -168,7 +168,11 @@ DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT = 6, 7, 9
 DATA_PAGE, DICTIONARY_PAGE, DATA_PAGE_V2 = 0, 2, 3
 REQUIRED, OPTIONAL = 0, 1
 
-_CODEC_ENUM = {"none": 0, "snappy": 1, "gzip": 2, "brotli": 4, "zstd": 6}
+# lz4_raw is parquet's LZ4_RAW (enum 7, block-level LZ4 without frame
+# headers — what modern writers emit); the deprecated Hadoop-framed
+# LZ4 (enum 5) is read-side only.
+_CODEC_ENUM = {"none": 0, "snappy": 1, "gzip": 2, "brotli": 4,
+               "zstd": 6, "lz4_raw": 7}
 
 # converted_type enum values (legacy, still what DuckDB keys logical
 # strings/timestamps off) + LogicalType union field ids.

@@ -1129,3 +1129,50 @@ def test_encoding_stats_emitted(tmp_path):
     assert d_stats[(0, 8)] == 5  # five RLE_DICTIONARY data pages
     x_stats = {(e[1], e[2]): e[3] for e in md[4][0][1][1][3][13]}
     assert x_stats == {(0, 0): 5}  # five PLAIN data pages
+
+
+class TestLz4Raw:
+    """LZ4_RAW (wire enum 7) both directions; the deprecated
+    Hadoop-framed LZ4 (enum 5) read-side via the dual-try fallback —
+    the same strategy Arrow C++ uses (pyarrow's metadata prints "LZ4"
+    for both)."""
+
+    def test_both_directions(self, tmp_path):
+        import duckdb
+
+        from parquet_go_ray.sources.parquet_pages import (
+            _footer_struct,
+            read_row_group_native,
+        )
+
+        t = sample_table(3000, seed=41)
+        pa_path = str(tmp_path / "pa.parquet")
+        pq.write_table(t, pa_path, compression="lz4")
+        assert read_row_group_native(pa_path, 0).equals(t)
+        nat = str(tmp_path / "nat.parquet")
+        write_parquet_native(t, nat, codec="lz4_raw")
+        assert pq.read_table(nat).equals(t)
+        assert _footer_struct(nat)[4][0][1][0][3][4] == 7  # LZ4_RAW enum
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{nat}')"
+        ).fetchone()[0]
+        assert n == 3000
+        assert read_row_group_native(nat, 0).equals(t)
+
+    def test_hadoop_frame_fallback(self):
+        import pyarrow as pa_
+
+        from parquet_go_ray.sources.parquet_pages import (
+            _lz4_hadoop_decompress,
+        )
+
+        codec = pa_.Codec("lz4_raw")
+        blocks = [b"hello world " * 20, b"second block" * 10]
+        framed = b""
+        for b in blocks:
+            c = codec.compress(b, asbytes=True)
+            framed += len(b).to_bytes(4, "big") + len(c).to_bytes(4, "big") + c
+        total = b"".join(blocks)
+        assert _lz4_hadoop_decompress(framed, len(total)) == total
+        with pytest.raises((ValueError, OSError)):
+            _lz4_hadoop_decompress(framed[:-3], len(total) + 5)
