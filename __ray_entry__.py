@@ -711,6 +711,18 @@ def _q_approx_distinct_events(sf_dir: str):
     })
 
 
+def _q_tfidf_documents(sf_dir: str):
+    """Top-3 TF-IDF terms per document (ops/text.py tfidf_topk):
+    df via one bucketed shuffle + ray.put broadcast, tf and the
+    per-doc top-k batch-local. Score is the log-free tf/df rational
+    (IEEE-exact on both sides) with token tiebreak, so the window-
+    function oracle hash-matches."""
+    from parquet_go_ray.ops.text import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return tfidf_topk(ds, k=3)
+
+
 def _q_repetition_documents(sf_dir: str):
     """Gopher/C4-style repetition quality signals per document: token
     count, distinct tokens, top-token share (ops/text.py
@@ -1146,6 +1158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "doc_frequency_documents": _q_doc_frequency,
         "repetition_documents": _q_repetition_documents,
+        "tfidf_topk_documents": _q_tfidf_documents,
         "approx_distinct_users_events": _q_approx_distinct_events,
         "grouped_median_events": _q_grouped_median_events,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
@@ -1300,6 +1313,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
             "SELECT doc_id, unnest(string_split(text, ' ')) AS token"
             " FROM documents) GROUP BY token"
+        ),
+        "tfidf_topk_documents": (
+            "WITH tok AS (SELECT doc_id,"
+            " unnest(string_split(text, ' ')) AS token FROM documents),"
+            " tf AS (SELECT doc_id, token, count(*) AS c FROM tok"
+            " GROUP BY doc_id, token),"
+            " df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok"
+            " GROUP BY token),"
+            " s AS (SELECT tf.doc_id, tf.token,"
+            " CAST(tf.c AS DOUBLE) / CAST(df.df AS DOUBLE) AS score"
+            " FROM tf JOIN df USING (token))"
+            " SELECT doc_id, token, score FROM (SELECT doc_id, token,"
+            " score, row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, token) AS rn FROM s) WHERE rn <= 3"
         ),
         "repetition_documents": (
             "WITH tok AS (SELECT doc_id,"

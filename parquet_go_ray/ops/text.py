@@ -610,3 +610,114 @@ def repetition_stats(
 
     return ds.map_batches(stats, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+class _TfIdfScorer:
+    """Actor: holds the broadcast document-frequency table (fetched
+    once from the object store per actor) and scores each batch
+    locally — a doc's tokens all live in its own row, so tf and the
+    per-doc top-k never shuffle; only the vocabulary-sized df table
+    moves, once."""
+
+    def __init__(self, df_ref, text_col: str, id_col: str, k: int):
+        import ray
+
+        df_tbl: pa.Table = ray.get(df_ref)
+        tok = df_tbl.column("token")
+        self.df_tokens = (tok.combine_chunks()
+                          if isinstance(tok, pa.ChunkedArray) else tok)
+        self.df_counts = df_tbl.column("df").to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .topk import _per_group_topk
+
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        if text.null_count:
+            batch = batch.filter(pc.is_valid(text))
+            text = batch.column(self.text_col)
+        n_docs = batch.num_rows
+        empty = pa.table({
+            self.id_col: batch.column(self.id_col).slice(0, 0),
+            "token": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        })
+        if n_docs == 0:
+            return empty
+        toks = pc.split_pattern(text, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        enc = pc.dictionary_encode(pc.list_flatten(toks))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        if len(codes) == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        order = np.lexsort([codes, doc_idx])
+        d, c = doc_idx[order], codes[order]
+        new_run = np.ones(len(d), dtype=bool)
+        new_run[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new_run)
+        tf = np.diff(np.append(starts, len(d))).astype(np.float64)
+        run_doc, run_code = d[starts], c[starts]
+        # df per batch-dictionary code via ONE Arrow index_in lookup
+        pos = pc.index_in(enc.dictionary, value_set=self.df_tokens)
+        df_by_code = self.df_counts[
+            pos.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        score = tf / df_by_code[run_code]
+        rows = pa.table({
+            self.id_col: batch.column(self.id_col).take(
+                pa.array(run_doc, pa.int64())
+            ),
+            "token": enc.dictionary.take(pa.array(run_code, pa.int64())),
+            "score": pa.array(score),
+        })
+        return _per_group_topk(
+            rows, self.id_col, ["score", "token"], [True, False], self.k
+        )
+
+
+def tfidf_topk(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF-style terms per document, score = tf / df (the
+    log-free rational form: IEEE-exact on both engine and SQL sides,
+    so the oracle can hash-compare; same ranking as tf*idf for a fixed
+    corpus size). Composition of three primitives: df from
+    :func:`doc_frequency` (one bucketed shuffle, vocabulary-sized
+    result broadcast via ``ray.put``), batch-local tf (dictionary
+    codes + run-length — a doc never spans batches), and the grouped
+    top-k kernel per batch. Ties at rank k break on the token,
+    matching ``row_number() ... ORDER BY score DESC, token``."""
+    import ray
+
+    df_tbl = pa.concat_tables(
+        ray.get(doc_frequency(ds, text_col, id_col).to_arrow_refs())
+    ).combine_chunks()
+    return ds.map_batches(
+        _TfIdfScorer,
+        fn_constructor_kwargs={
+            "df_ref": ray.put(df_tbl),
+            "text_col": text_col,
+            "id_col": id_col,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )

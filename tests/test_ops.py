@@ -917,3 +917,56 @@ class TestRepetitionStats:
             " GROUP BY doc_id"
         ).df().sort_values("doc_id").reset_index(drop=True)
         assert got.equals(exp)
+
+
+class TestTfIdf:
+    def test_matches_sql_window(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import tfidf_topk
+
+        rng = np.random.default_rng(31)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(vocab, rng.integers(2, 25)))
+                 for _ in range(1200)]
+        t = pa.table({"doc_id": pa.array(np.arange(1200)),
+                      "text": pa.array(texts)})
+        got = tfidf_topk(
+            ray.data.from_arrow(t).repartition(5), k=2
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("documents", t.to_pandas())
+        exp = con.sql(
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))"
+            " AS token FROM documents), tf AS (SELECT doc_id, token,"
+            " count(*) AS c FROM tok GROUP BY doc_id, token), df AS"
+            " (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP"
+            " BY token), s AS (SELECT tf.doc_id, tf.token, CAST(tf.c AS"
+            " DOUBLE) / CAST(df.df AS DOUBLE) AS score FROM tf JOIN df"
+            " USING (token)) SELECT doc_id, token, score FROM (SELECT"
+            " doc_id, token, score, row_number() OVER (PARTITION BY"
+            " doc_id ORDER BY score DESC, token) AS rn FROM s)"
+            " WHERE rn <= 2"
+        ).df()
+        key = ["doc_id", "token"]
+        assert (got.sort_values(key).reset_index(drop=True)[
+                    ["doc_id", "token", "score"]]
+                .equals(exp.sort_values(key).reset_index(drop=True)))
+
+    def test_rare_term_outranks_common(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.text import tfidf_topk
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2]),
+            "text": pa.array([
+                "common common unique",   # unique: df 1 -> top term
+                "common filler filler",
+                "common filler other",
+            ]),
+        })
+        got = tfidf_topk(ray.data.from_arrow(t), k=1).to_pandas()
+        d0 = got[got["doc_id"] == 0]
+        assert d0["token"].tolist() == ["unique"]
