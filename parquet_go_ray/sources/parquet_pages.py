@@ -784,7 +784,7 @@ def _rg_bloom_may_match(path: str, md, row_group: int, name_to_idx: dict,
     filter, unsupported type, or parse trouble keeps the group (same
     never-prune-on-absent-evidence posture as the zone maps)."""
     for col, op, val in filters:
-        if op not in ("=", "=="):
+        if op not in ("=", "==", "in"):
             continue
         i = name_to_idx.get(col)
         if i is None:
@@ -794,11 +794,12 @@ def _rg_bloom_may_match(path: str, md, row_group: int, name_to_idx: dict,
             if bf is None:
                 continue
             cmd = md.row_group(row_group).column(i)
-            h = _bloom_value_hash(
-                val, cmd.physical_type,
-                getattr(md.schema.column(i), "length", 0),
-            )
-            if not bf.contains(h):
+            tl = getattr(md.schema.column(i), "length", 0)
+            vals = val if op == "in" else (val,)
+            if not any(
+                bf.contains(_bloom_value_hash(v, cmd.physical_type, tl))
+                for v in vals
+            ):
                 return False
         except (ValueError, NotImplementedError, KeyError, OSError):
             continue
@@ -975,6 +976,10 @@ _FILTER_OPS = {
     ">=": lambda lo, hi, v: hi is None or hi >= v,
     "=": lambda lo, hi, v: (lo is None or lo <= v) and (hi is None or hi >= v),
     "==": lambda lo, hi, v: (lo is None or lo <= v) and (hi is None or hi >= v),
+    # "in": keep the group if ANY listed value could be present.
+    "in": lambda lo, hi, vs: any(
+        (lo is None or lo <= v) and (hi is None or hi >= v) for v in vs
+    ),
 }
 
 
@@ -1029,7 +1034,9 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             drop_after_filter = list(dict.fromkeys(extra))
             read_columns = list(columns) + drop_after_filter
 
-    has_eq = bool(filters) and any(op in ("=", "==") for _, op, _ in filters)
+    has_eq = bool(filters) and any(
+        op in ("=", "==", "in") for _, op, _ in filters
+    )
 
     def _list_groups(batch: pa.Table):
         # Footer walk runs IN the tasks (one open per file, parallel) —
@@ -1068,7 +1075,10 @@ def read_parquet_native(paths, columns: list[str] | None = None,
                         "row_stop": pa.array(out_b, pa.int64())})
 
     _OP_KERNEL = {"<": _pc.less, "<=": _pc.less_equal, ">": _pc.greater,
-                  ">=": _pc.greater_equal, "=": _pc.equal, "==": _pc.equal}
+                  ">=": _pc.greater_equal, "=": _pc.equal, "==": _pc.equal,
+                  "in": lambda a, vs: _pc.is_in(
+                      a, value_set=pa.array(list(vs))
+                  )}
 
     def _read(batch: pa.Table):
         for p, g, a, b in zip(

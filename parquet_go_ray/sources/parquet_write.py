@@ -178,6 +178,7 @@ _CODEC_ENUM = {"none": 0, "snappy": 1, "gzip": 2, "brotli": 4,
 # strings/timestamps off) + LogicalType union field ids.
 _CT_UTF8, _CT_DATE = 0, 6
 _CT_TS_MILLIS, _CT_TS_MICROS = 9, 10
+_CT_UINT8, _CT_UINT16, _CT_UINT32, _CT_UINT64 = 11, 12, 13, 14
 
 
 def _timestamp_logical(unit: str, utc: bool) -> list:
@@ -362,6 +363,35 @@ def _chunk_statistics(arr: pa.Array, phys: int) -> dict | None:
     if len(lo_b) <= 64 and len(hi_b) <= 64:
         stats["min"], stats["max"] = lo_b, hi_b
     return stats
+
+
+def _boundary_order(page_stats: list, phys: int, unsigned: bool) -> int:
+    """ColumnIndex.boundary_order: 1 = ASCENDING / 2 = DESCENDING when
+    both the page min and max sequences are monotone in the column's
+    declared order (readers may then binary-search the index), else
+    0 = UNORDERED. Null pages are skipped (their min/max are empty).
+    Unsigned-annotated ints compare in the unsigned domain; strings
+    and FLBA compare as raw bytes (their TypeDefinedOrder)."""
+    vals = [(mn, mx) for null_page, mn, mx, _nc in page_stats
+            if not null_page]
+    if len(vals) < 2:
+        return 1  # trivially ascending
+    if phys in (INT32, INT64, FLOAT, DOUBLE):
+        dt = {INT32: "<i4", INT64: "<i8",
+              FLOAT: "<f4", DOUBLE: "<f8"}[phys]
+        if unsigned:
+            dt = {"<i4": "<u4", "<i8": "<u8"}[dt]
+        dec = [(np.frombuffer(mn, dt)[0], np.frombuffer(mx, dt)[0])
+               for mn, mx in vals]
+    else:
+        dec = vals  # bytes compare in the declared unsigned-byte order
+    mins = [d[0] for d in dec]
+    maxs = [d[1] for d in dec]
+    if all(a <= b for a, b in zip(mins, mins[1:])) and             all(a <= b for a, b in zip(maxs, maxs[1:])):
+        return 1
+    if all(a >= b for a, b in zip(mins, mins[1:])) and             all(a >= b for a, b in zip(maxs, maxs[1:])):
+        return 2
+    return 0
 
 
 def _truncated_page_bounds(arr: pa.Array, phys: int) -> dict | None:
@@ -1274,11 +1304,16 @@ def write_parquet_native(
         # OffsetIndex (page locations + first_row_index) always emits.
         for fields, cw, _choff in index_chunks:
             if cw.stats_ok and cw.page_stats:
+                unsigned = (cw.plan.get("converted") or 0) in (
+                    _CT_UINT8, _CT_UINT16, _CT_UINT32, _CT_UINT64
+                )
                 ci = _struct_bytes([
                     (1, _T_LIST, (_T_TRUE, [s[0] for s in cw.page_stats])),
                     (2, _T_LIST, (_T_BINARY, [s[1] for s in cw.page_stats])),
                     (3, _T_LIST, (_T_BINARY, [s[2] for s in cw.page_stats])),
-                    (4, _T_I32, 0),  # BoundaryOrder UNORDERED
+                    (4, _T_I32, _boundary_order(
+                        cw.page_stats, cw.plan["phys"], unsigned
+                    )),
                     (5, _T_LIST, (_T_I64, [s[3] for s in cw.page_stats])),
                 ])
                 f.write(ci)

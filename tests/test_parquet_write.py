@@ -750,7 +750,9 @@ class TestPageIndex:
         write_parquet_native(t, path, data_page_rows=120)
         ci = read_page_index(path)["column_index"]
         assert ci["null_pages"] == [False, False, True, False, False]
-        assert ci["boundary_order"] == 0
+        # i*3 is monotone across the non-null pages -> ASCENDING (the
+        # null page's empty min/max is skipped by the order check)
+        assert ci["boundary_order"] == 1
         for p, (mn, mx) in enumerate(zip(ci["min_values"],
                                          ci["max_values"])):
             if ci["null_pages"][p]:
@@ -1176,3 +1178,35 @@ class TestLz4Raw:
         assert _lz4_hadoop_decompress(framed, len(total)) == total
         with pytest.raises((ValueError, OSError)):
             _lz4_hadoop_decompress(framed[:-3], len(total) + 5)
+
+
+def test_boundary_order_and_in_filter(tmp_path, ray_session):
+    """BoundaryOrder reflects the real page-min/max monotonicity, and
+    the reader's `in` filter prunes via zone maps + blooms and
+    re-applies exactly per batch."""
+    from parquet_go_ray.sources.parquet_pages import (
+        read_page_index,
+        read_parquet_native,
+    )
+
+    # sorted column -> ASCENDING; shuffled column -> UNORDERED
+    srt = pa.table({"a": pa.array(np.arange(5000))})
+    p1 = str(tmp_path / "s.parquet")
+    write_parquet_native(srt, p1, data_page_rows=500)
+    assert read_page_index(p1, 0, 0)["column_index"]["boundary_order"] == 1
+    rng = np.random.default_rng(5)
+    shuf = pa.table({"a": pa.array(rng.permutation(5000))})
+    p2 = str(tmp_path / "u.parquet")
+    write_parquet_native(shuf, p2, data_page_rows=500,
+                         bloom_filter_columns=["a"])
+    assert read_page_index(p2, 0, 0)["column_index"]["boundary_order"] == 0
+    desc = pa.table({"a": pa.array(np.arange(5000)[::-1].copy())})
+    p3 = str(tmp_path / "d.parquet")
+    write_parquet_native(desc, p3, data_page_rows=500)
+    assert read_page_index(p3, 0, 0)["column_index"]["boundary_order"] == 2
+    # `in` filter end to end over the bloom-filtered file
+    want = [3, 1234, 4999]
+    got = read_parquet_native(
+        p2, filters=[("a", "in", want)], max_rows_per_task=1000
+    ).to_pandas()
+    assert sorted(got["a"]) == want
