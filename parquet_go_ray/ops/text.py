@@ -531,8 +531,11 @@ def doc_frequency(
     def per_bucket(group: pa.Table) -> pa.Table:
         d = group.group_by(["token", id_col]).aggregate([])  # global dedup
         out = d.group_by("token").aggregate([(id_col, "count")])
+        # pin the output schema: Acero may promote token to
+        # large_string on big buckets, and downstream concat_tables
+        # requires identical block schemas
         return pa.table({
-            "token": out.column("token"),
+            "token": out.column("token").cast(pa.string()),
             "df": out.column(f"{id_col}_count").cast(pa.int64()),
         })
 
@@ -705,9 +708,16 @@ def tfidf_topk(
     matching ``row_number() ... ORDER BY score DESC, token``."""
     import ray
 
-    df_tbl = pa.concat_tables(
-        ray.get(doc_frequency(ds, text_col, id_col).to_arrow_refs())
-    ).combine_chunks()
+    schema = pa.schema([("token", pa.string()), ("df", pa.int64())])
+    # empty blocks out of groupby/map_groups can carry the UPSTREAM
+    # schema (no rows ever passed through the group fn) — skip them
+    parts = [
+        t.select(["token", "df"]).cast(schema)
+        for t in ray.get(doc_frequency(ds, text_col, id_col).to_arrow_refs())
+        if t.num_rows
+    ]
+    df_tbl = (pa.concat_tables(parts).combine_chunks()
+              if parts else schema.empty_table())
     return ds.map_batches(
         _TfIdfScorer,
         fn_constructor_kwargs={
