@@ -384,16 +384,23 @@ def shuffle_join(
         if key.null_count:
             batch = batch.filter(pc.is_valid(key))
         n = batch.num_rows
+        # the right key travels in the LEFT key's column slot, so it
+        # must arrive in the left key's exact Arrow type (an int32 key
+        # joining an int64 key would otherwise split the union schema)
+        rkey = batch.column(right_on)
+        if not rkey.type.equals(l_types[on]):
+            rkey = rkey.cast(l_types[on])
         cols = {}
         for c in lcols:
-            cols[c] = (batch.column(right_on) if c == on
+            cols[c] = (rkey if c == on
                        else pa.nulls(n, l_types[c]))
         for c in rcols:
             cols[c] = batch.column(c)
         cols["__side"] = pa.array(np.ones(n, np.int8))
-        cols["__pk"] = pa.array(
-            _key_hash_pk(batch.column(right_on), num_buckets)
-        )
+        # hash the CASTED key: xxh64 covers the value's bytes, so an
+        # int32 right key must widen to the left type before hashing or
+        # equal values land in different buckets
+        cols["__pk"] = pa.array(_key_hash_pk(rkey, num_buckets))
         return pa.table(cols)
 
     def join_bucket(group: pa.Table) -> pa.Table:

@@ -970,3 +970,24 @@ class TestTfIdf:
         got = tfidf_topk(ray.data.from_arrow(t), k=1).to_pandas()
         d0 = got[got["doc_id"] == 0]
         assert d0["token"].tolist() == ["unique"]
+
+
+def test_shuffle_join_mixed_key_widths(ray_session):
+    """An int32 right key joining an int64 left key must widen BEFORE
+    bucket hashing (xxh64 covers the value's bytes) — otherwise equal
+    values land in different buckets and silently never match."""
+    import ray
+
+    from parquet_go_ray.ops.join import shuffle_join
+
+    lt = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                   "a": pa.array([10, 20, 30])})
+    rt = pa.table({"k2": pa.array(np.array([2, 3], np.int32)),
+                   "b": pa.array(["x", "y"])})
+    got = shuffle_join(
+        ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+        on="k", right_on="k2",
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got.to_dict("records") == [
+        {"k": 2, "a": 20, "b": "x"}, {"k": 3, "a": 30, "b": "y"},
+    ]
