@@ -32,20 +32,22 @@ import ray
 
 def _rates_for(keys: pa.Array, rates: dict, default_rate: float) -> np.ndarray:
     """Per-row keep-rate in [0, 100): dictionary-encode the group key
-    once per batch, map the (few) distinct codes through the dict."""
+    once per batch, map the (few) distinct codes through the dict.
+    Null keys take the default rate (a null dictionary index is
+    undefined memory if read raw — fill it first)."""
     enc = pc.dictionary_encode(keys)
-    dic = enc.combine_chunks().dictionary if isinstance(
-        enc, pa.ChunkedArray
-    ) else enc.dictionary
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dic = enc.dictionary
     lut = np.array(
         [float(rates.get(v.as_py(), default_rate)) for v in dic],
         dtype=np.float64,
     )
-    codes = np.asarray(
-        (enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc)
-        .indices
-    )
-    return lut[codes]
+    idx = enc.indices
+    if idx.null_count:
+        codes = np.asarray(idx.fill_null(-1))
+        return np.where(codes < 0, float(default_rate), lut[codes])
+    return lut[np.asarray(idx)]
 
 
 def _hash_mod100(ids: pa.Array, hash_mode: str) -> np.ndarray:

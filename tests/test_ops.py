@@ -991,3 +991,19 @@ def test_shuffle_join_mixed_key_widths(ray_session):
     assert got.to_dict("records") == [
         {"k": 2, "a": 20, "b": "x"}, {"k": 3, "a": 30, "b": "y"},
     ]
+
+
+def test_stratified_sample_null_keys_take_default(ray_session):
+    import ray
+
+    from parquet_go_ray.ops.sampling import stratified_sample
+
+    t = pa.table({
+        "id": pa.array(range(1000)),
+        "kind": pa.array([None if i % 3 == 0 else "a" for i in range(1000)]),
+    })
+    out = stratified_sample(
+        ray.data.from_arrow(t), "kind", "id", {"a": 0}, default_rate=100
+    ).to_pandas()
+    assert out["kind"].isna().all()  # rate-0 'a' all dropped
+    assert len(out) == 334           # every null-key row kept (rate 100)
