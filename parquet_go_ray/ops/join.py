@@ -313,7 +313,8 @@ def _key_hash_pk(col: pa.Array, num_buckets: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
-            or pa.types.is_binary(col.type):
+            or pa.types.is_binary(col.type) \
+            or pa.types.is_large_binary(col.type):
         from ..functions.bloom import xxh64_bytes
         from ..functions.bytearray import arrow_strings_to_parts
 

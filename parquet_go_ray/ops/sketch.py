@@ -42,7 +42,8 @@ def _hash_column(col: pa.Array) -> np.ndarray:
     if col.null_count:
         col = col.drop_null()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
-            or pa.types.is_binary(col.type):
+            or pa.types.is_binary(col.type) \
+            or pa.types.is_large_binary(col.type):
         from ..functions.bytearray import arrow_strings_to_parts
 
         lens, data = arrow_strings_to_parts(col)
