@@ -227,7 +227,8 @@ def grouped_quantile(
         if batch.column(col).null_count:
             ok &= np.asarray(pc.is_valid(batch.column(col)))
         if pa.types.is_string(keys.type) or pa.types.is_binary(keys.type) \
-                or pa.types.is_large_string(keys.type):
+                or pa.types.is_large_string(keys.type) \
+                or pa.types.is_large_binary(keys.type):
             from ..functions.bloom import xxh64_bytes
             from ..functions.bytearray import arrow_strings_to_parts
 

@@ -151,7 +151,7 @@ def grouped_topk(
             col = col.combine_chunks()
         if col.null_count:
             raise ValueError(f"grouped_topk: null group keys in {by!r}")
-        if pa.types.is_string(col.type) or pa.types.is_binary(col.type)                 or pa.types.is_large_string(col.type):
+        if pa.types.is_string(col.type) or pa.types.is_binary(col.type)                 or pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type):
             from ..functions.bloom import xxh64_bytes
             from ..functions.bytearray import arrow_strings_to_parts
 
