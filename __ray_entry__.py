@@ -745,6 +745,46 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds)
 
 
+def _q_semi_join_lineitem_part(sf_dir: str):
+    """Left SEMI join (SQL WHERE EXISTS): lineitem rows whose part is
+    size > 40 — the small side reduces to a deduplicated sorted key
+    array, ray.put once, and each batch filters by one searchsorted
+    membership probe (ops/join.py broadcast_semi_join). No payload
+    moves, no row duplication."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.ops.join import broadcast_semi_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    keys = part.filter(
+        pa.compute.greater(part.column("p_size"), 40)
+    ).column("p_partkey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+    return broadcast_semi_join(li, keys, on="l_partkey")
+
+
+def _q_anti_join_lineitem_part(sf_dir: str):
+    """Left ANTI join (SQL WHERE NOT EXISTS): the complement of
+    semi_join_lineitem_part through the same broadcast membership
+    probe with anti=True."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.ops.join import broadcast_semi_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    keys = part.filter(
+        pa.compute.greater(part.column("p_size"), 40)
+    ).column("p_partkey")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_quantity"])
+    return broadcast_semi_join(li, keys, on="l_partkey", anti=True)
+
+
 def _q_shuffle_join_lineitem_orders(sf_dir: str):
     """BIG x BIG partitioned hash join (ops/join.py shuffle_join): the
     shuffle join the broadcast variants defer to. Both sides envelope
@@ -1162,6 +1202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users_events": _q_approx_distinct_events,
         "grouped_median_events": _q_grouped_median_events,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
+        "semi_join_lineitem_part": _q_semi_join_lineitem_part,
+        "anti_join_lineitem_part": _q_anti_join_lineitem_part,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_minhash_planted": _q_dedup_minhash_planted,
@@ -1296,6 +1338,16 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "semi_join_lineitem_part": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l"
+            " WHERE EXISTS (SELECT 1 FROM part p"
+            " WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)"
+        ),
+        "anti_join_lineitem_part": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l"
+            " WHERE NOT EXISTS (SELECT 1 FROM part p"
+            " WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)"
         ),
         "shuffle_join_lineitem_orders": (
             "SELECT l_orderkey, l_quantity, l_extendedprice,"

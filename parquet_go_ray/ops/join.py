@@ -448,3 +448,73 @@ def shuffle_join(
     return env.groupby("__pk").map_groups(
         join_bucket, batch_format="pyarrow"
     )
+
+
+class _SemiJoiner:
+    """Semi / anti filter against a broadcast key set: one sorted
+    membership probe per batch, no payload movement at all."""
+
+    def __init__(self, keys_ref, on: str, anti: bool):
+        keys = ray.get(keys_ref) if not isinstance(
+            keys_ref, np.ndarray
+        ) else keys_ref
+        self.keys = np.sort(np.asarray(keys))
+        self.on = on
+        self.anti = anti
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(self.on)
+        probe = col.to_numpy(zero_copy_only=False)
+        if len(self.keys) == 0:
+            hit = np.zeros(len(probe), dtype=bool)
+        else:
+            idx = np.searchsorted(self.keys, probe)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            hit = self.keys[idx_c] == probe
+        if col.null_count:
+            # SQL semantics: a null key matches nothing (semi drops it);
+            # NOT IN over a non-empty set also drops it, but EXISTS-style
+            # anti KEEPS it — this operator implements NOT EXISTS.
+            hit &= ~np.asarray(pc.is_null(col))
+        keep = ~hit if self.anti else hit
+        return batch.filter(pa.array(keep))
+
+
+def broadcast_semi_join(
+    big: ray.data.Dataset,
+    keys,
+    on: str,
+    anti: bool = False,
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Left SEMI (``anti=False``) / left ANTI (``anti=True``) join
+    against a broadcast key set — the existence filter of SQL
+    ``WHERE [NOT] EXISTS (...)``: keeps (or drops) big-side rows whose
+    ``on`` key appears in ``keys``; never duplicates rows and moves no
+    payload. ``keys`` may be a numpy array, pyarrow Array, or a
+    one-column table; it is deduplicated, sorted once, and ``ray.put``
+    once (actor-constructor fetch). Null big-side keys match nothing:
+    semi drops them, anti keeps them (NOT EXISTS semantics)."""
+    if isinstance(keys, pa.Table):
+        keys = keys.column(0)
+    if isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = (keys.combine_chunks()
+                if isinstance(keys, pa.ChunkedArray) else keys)
+        if keys.null_count:
+            keys = keys.drop_null()
+        keys = keys.to_numpy(zero_copy_only=False)
+    keys = np.unique(np.asarray(keys))
+    return big.map_batches(
+        _SemiJoiner,
+        fn_constructor_kwargs={
+            "keys_ref": ray.put(keys),
+            "on": on,
+            "anti": anti,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1007,3 +1007,40 @@ def test_stratified_sample_null_keys_take_default(ray_session):
     ).to_pandas()
     assert out["kind"].isna().all()  # rate-0 'a' all dropped
     assert len(out) == 334           # every null-key row kept (rate 100)
+
+
+class TestSemiAntiJoin:
+    def test_semi_anti_partition_and_nulls(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import broadcast_semi_join
+
+        t = pa.table({
+            "k": pa.array([1, 2, None, 3, 2]),
+            "v": pa.array(list("abcde")),
+        })
+        ds = ray.data.from_arrow(t)
+        semi = broadcast_semi_join(
+            ds, np.array([2, 3, 9]), on="k"
+        ).to_pandas()
+        anti = broadcast_semi_join(
+            ds, np.array([2, 3, 9]), on="k", anti=True
+        ).to_pandas()
+        assert sorted(semi["v"]) == ["b", "d", "e"]
+        # NOT EXISTS keeps the null-key row
+        assert sorted(anti["v"]) == ["a", "c"]
+        # semi + anti partition the input exactly
+        assert len(semi) + len(anti) == t.num_rows
+
+    def test_empty_and_arrow_key_inputs(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import broadcast_semi_join
+
+        t = pa.table({"k": pa.array([1, 2]), "v": pa.array(["a", "b"])})
+        ds = ray.data.from_arrow(t)
+        none = broadcast_semi_join(ds, np.array([], np.int64), on="k")
+        assert none.count() == 0
+        keys = pa.table({"k": pa.array([2, 2, None])})  # dedup + null drop
+        semi = broadcast_semi_join(ds, keys, on="k").to_pandas()
+        assert semi["v"].tolist() == ["b"]
