@@ -745,6 +745,21 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds)
 
 
+def _q_rolling_max_events(sf_dir: str):
+    """Sliding-row-frame window aggregate (ops/window.py rolling_max):
+    per-user max of value over the current + 2 preceding events in
+    (ts, event_id) order — the streaming-window shape, resolved with
+    one coarse-bucket shuffle and k-1 shifted segment-masked maximum
+    passes per bucket (MIN/MAX frames are float-exact, so the DuckDB
+    window oracle hash-matches)."""
+    from parquet_go_ray.ops.window import rolling_max
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+    return rolling_max(ds, by="user_id", order_cols=["ts", "event_id"],
+                       val_col="value", window=3)
+
+
 def _q_semi_join_lineitem_part(sf_dir: str):
     """Left SEMI join (SQL WHERE EXISTS): lineitem rows whose part is
     size > 40 — the small side reduces to a deduplicated sorted key
@@ -1203,6 +1218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_median_events": _q_grouped_median_events,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
         "semi_join_lineitem_part": _q_semi_join_lineitem_part,
+        "rolling_max_events": _q_rolling_max_events,
         "anti_join_lineitem_part": _q_anti_join_lineitem_part,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
@@ -1338,6 +1354,12 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "rolling_max_events": (
+            "SELECT user_id, ts, event_id, value,"
+            " MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max"
+            " FROM events"
         ),
         "semi_join_lineitem_part": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l"

@@ -1044,3 +1044,57 @@ class TestSemiAntiJoin:
         keys = pa.table({"k": pa.array([2, 2, None])})  # dedup + null drop
         semi = broadcast_semi_join(ds, keys, on="k").to_pandas()
         assert semi["v"].tolist() == ["b"]
+
+
+class TestRollingMax:
+    def test_matches_duckdb_window_frame(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import rolling_max
+
+        rng = np.random.default_rng(41)
+        n = 12_000
+        mask = rng.random(n) < 0.08
+        t = pa.table({
+            "u": pa.array(rng.integers(0, 150, n)),
+            "ts": pa.array(rng.integers(0, 10**5, n)),
+            "eid": pa.array(np.arange(n)),
+            "v": pa.array(np.where(mask, 0, rng.normal(size=n)),
+                          mask=mask),
+        })
+        got = rolling_max(
+            ray.data.from_arrow(t).repartition(5),
+            "u", ["ts", "eid"], "v", window=4,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.sql(
+            "SELECT u, ts, eid, v, MAX(v) OVER (PARTITION BY u ORDER BY"
+            " ts, eid ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS"
+            " rolling_max FROM t"
+        ).df()
+        key = ["u", "ts", "eid"]
+        assert (got.sort_values(key).reset_index(drop=True)[
+                    exp.columns.tolist()]
+                .equals(exp.sort_values(key).reset_index(drop=True)))
+
+    def test_window_one_and_null_frames(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.window import rolling_max
+
+        t = pa.table({
+            "u": pa.array([1, 1, 1]),
+            "ts": pa.array([1, 2, 3]),
+            "eid": pa.array([0, 1, 2]),
+            "v": pa.array([None, None, 5.0]),
+        })
+        got = rolling_max(
+            ray.data.from_arrow(t), "u", ["ts", "eid"], "v", window=1
+        ).to_pandas().sort_values("ts")
+        # window=1: rolling max == the value itself (nulls stay null)
+        assert got["rolling_max"].tolist()[2] == 5.0
+        assert np.isnan(got["rolling_max"].tolist()[0])
+        with pytest.raises(ValueError, match="window"):
+            rolling_max(ray.data.from_arrow(t), "u", ["ts"], "v", 0)
