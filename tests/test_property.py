@@ -87,3 +87,53 @@ def test_fsst_roundtrip(blobs):
     lens, data = _parts(blobs)
     dl, dd, pos = fsst_decode(fsst_encode(lens, data), len(lens))
     assert (dl == lens).all() and dd.tobytes() == data.tobytes()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31),
+    n=st.integers(1, 400),
+    codec=st.sampled_from(["none", "zstd", "snappy", "lz4_raw"]),
+    page_version=st.sampled_from([1, 2]),
+    checksum=st.booleans(),
+    page_rows=st.integers(7, 200),
+)
+def test_native_writer_fuzz_roundtrip(
+    tmp_path_factory, seed, n, codec, page_version, checksum, page_rows
+):
+    """Random tables x codec x page dialect x CRC x page size through
+    the full native write -> (pyarrow AND native) read loop, with BSS
+    on the float column and a bloom on the int column every time —
+    the features must compose, not just pass their own tests."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.sources.parquet_pages import (
+        read_bloom_filter,
+        read_row_group_native,
+    )
+    from parquet_go_ray.sources.parquet_write import write_parquet_native
+
+    rng = np.random.default_rng(seed)
+    mask = rng.random(n) < 0.2
+    t = __import__("pyarrow").table({
+        "i": __import__("pyarrow").array(
+            [None if m else int(v) for m, v in
+             zip(mask, rng.integers(-(2**50), 2**50, n))],
+            __import__("pyarrow").int64(),
+        ),
+        "f": __import__("pyarrow").array(rng.normal(size=n)),
+        "s": __import__("pyarrow").array(
+            [f"k{int(v) % 23}" for v in rng.integers(0, 100, n)]
+        ),
+    })
+    path = str(tmp_path_factory.mktemp("fuzz") / "f.parquet")
+    write_parquet_native(
+        t, path, codec=codec, page_version=page_version,
+        write_page_checksum=checksum, data_page_rows=page_rows,
+        encodings={"f": "byte_stream_split"},
+        bloom_filter_columns=["i"],
+    )
+    assert pq.read_table(path).equals(t)
+    assert read_row_group_native(path, 0).equals(t)
+    bf = read_bloom_filter(path, 0, 0)
+    assert bf is not None
