@@ -24,6 +24,8 @@ import tempfile
 
 import numpy as np
 
+from parquet_go_ray.functions import _native_cache
+
 _C_SRC = r"""
 #include <stdint.h>
 #include <string.h>
@@ -122,8 +124,8 @@ def _compile() -> ctypes.CDLL | None:
     if os.environ.get("PGR_FSST_NATIVE", "1") == "0":
         return None
     key = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"pgr_fsst_{key}.so")
     try:
+        so_path = os.path.join(_native_cache.cache_dir(), f"pgr_fsst_{key}.so")
         if not os.path.exists(so_path):
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".c", delete=False
@@ -144,7 +146,7 @@ def _compile() -> ctypes.CDLL | None:
                     return None
             finally:
                 os.unlink(c_path)
-        lib = ctypes.CDLL(so_path)
+        lib = _native_cache.safe_cdll(so_path)
     except Exception:
         return None
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")

@@ -28,6 +28,8 @@ import tempfile
 
 import numpy as np
 
+from parquet_go_ray.functions import _native_cache
+
 _C_SRC = r"""
 #include <stdint.h>
 #include <string.h>
@@ -156,6 +158,12 @@ int64_t pgr_hybrid_decode(const uint8_t* data, int64_t nd, int width,
         if (header & 1) {
             int64_t groups = (int64_t)(header >> 1);
             if (groups == 0) return -1;
+            /* reject BEFORE multiplying: a file-controlled varint can
+               otherwise overflow nbytes/nvals to a negative value that
+               passes the bounds check and sends pgr_unpack out of
+               bounds (width is validated 1..64 by the wrapper) */
+            if (groups > (nd - pos) / width) return -1;
+            if (groups > INT64_MAX / 8) return -1;
             int64_t nbytes = groups * width;
             if (nbytes > nd - pos) return -1;
             int64_t nvals = groups * 8;
@@ -354,8 +362,8 @@ def _compile() -> ctypes.CDLL | None:
     if os.environ.get("PGR_WIRE_NATIVE", "1") == "0":
         return None
     key = hashlib.sha1(_C_SRC.encode()).hexdigest()[:16]
-    so_path = os.path.join(tempfile.gettempdir(), f"pgr_wire_{key}.so")
     try:
+        so_path = os.path.join(_native_cache.cache_dir(), f"pgr_wire_{key}.so")
         if not os.path.exists(so_path):
             with tempfile.NamedTemporaryFile(
                 "w", suffix=".c", delete=False
@@ -377,7 +385,7 @@ def _compile() -> ctypes.CDLL | None:
                     return None
             finally:
                 os.unlink(c_path)
-        lib = ctypes.CDLL(so_path)
+        lib = _native_cache.safe_cdll(so_path)
     except Exception:
         return None
     u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
@@ -435,7 +443,11 @@ def unpack(data, width: int, count: int) -> np.ndarray | None:
     L = lib()
     if L is None:
         return None
+    if not 1 <= width <= 64:
+        return None
     buf = _as_u8(data)
+    if len(buf) * 8 < count * width:
+        return None  # pgr_unpack reads blindly; let numpy raise
     out = np.empty(count, dtype=np.uint64)
     L.pgr_unpack(buf, width, count, out)
     return out
@@ -459,6 +471,10 @@ def hybrid_decode(data, width: int, count: int,
                   pos: int = 0) -> tuple[np.ndarray, int] | None:
     L = lib()
     if L is None:
+        return None
+    if not 1 <= width <= 64:
+        # dict-index bit width comes straight from the file byte; the C
+        # kernel assumes 1..64 — let the numpy decoder raise cleanly
         return None
     buf = _as_u8(data)
     out = np.zeros(count, dtype=np.uint64)

@@ -163,6 +163,10 @@ def hashed_tokens(
     hash 0 and count 1, so ``np.add.reduceat`` over
     ``cumsum(counts)`` segments is safe (no empty segments)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_string(arr.type):
+        # the offsets buffer is read as int32 below; a large_string
+        # column would be silently misparsed (ADVICE r4)
+        arr = arr.cast(pa.string())
     arr = pc.fill_null(arr, "")
     if lower:
         arr = pc.utf8_lower(arr)

@@ -764,9 +764,13 @@ def _bloom_value_hash(value, phys: str, type_length: int) -> int:
 
     phys = str(phys)
     if phys == "INT32":
-        return xxh64(int(value).to_bytes(4, "little", signed=True))
+        # mask to the physical width: unsigned literals >= 2^31 share
+        # the signed bit pattern the writer hashed (ADVICE r4)
+        return xxh64((int(value) & 0xFFFFFFFF).to_bytes(4, "little"))
     if phys == "INT64":
-        return xxh64(int(value).to_bytes(8, "little", signed=True))
+        return xxh64(
+            (int(value) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+        )
     if phys == "FLOAT":
         return xxh64(np.float32(value).tobytes())
     if phys == "DOUBLE":
@@ -801,7 +805,8 @@ def _rg_bloom_may_match(path: str, md, row_group: int, name_to_idx: dict,
                 for v in vals
             ):
                 return False
-        except (ValueError, NotImplementedError, KeyError, OSError):
+        except (ValueError, NotImplementedError, KeyError, OSError,
+                OverflowError):
             continue
     return True
 
@@ -1091,6 +1096,15 @@ def read_parquet_native(paths, columns: list[str] | None = None,
             if filters:
                 mask = None
                 for col, op, val in filters:
+                    ct = t.column(col).type
+                    if isinstance(val, int) and pa.types.is_integer(ct):
+                        # type the literal explicitly: pyarrow's scalar
+                        # inference rejects ints >= 2^63 (uint64 domain)
+                        val = pa.scalar(val, ct)
+                    elif op == "in" and pa.types.is_integer(ct) and not (
+                        isinstance(val, (pa.Array, pa.ChunkedArray))
+                    ):
+                        val = pa.array(list(val), ct)
                     m = _OP_KERNEL[op](t.column(col), val)
                     mask = m if mask is None else _pc.and_kleene(mask, m)
                 if mask is not None:

@@ -1276,6 +1276,11 @@ def write_parquet_native(
                     f.write(cw.pages)
                     offset += len(cw.pages)
                     total_comp += len(cw.pages)
+                    # free the compressed pages now that they're on disk;
+                    # the bloom/index/footer loops below only need
+                    # page_locs/page_stats/bloom_bytes/plan (ADVICE r4:
+                    # keeping them retained the whole file in memory)
+                    cw.pages = b""
             row_groups.append([
                 (1, _T_LIST, (_T_STRUCT, chunk_fields)),
                 (2, _T_I64, sum(

@@ -200,3 +200,41 @@ class TestFileLoop:
         assert bf is not None
         assert bf.contains(_bloom_value_hash(17, "INT64", 0))
         assert read_bloom_filter(path, 0, 1) is None
+
+
+class TestUnsignedLiterals:
+    """ADVICE r4: INT32/INT64 literals >= 2^31 / 2^63 (the UINT domain)
+    used to raise OverflowError out of the signed to_bytes encode — and
+    the read task crashed instead of probing the bloom filter."""
+
+    def test_value_hash_uint_domain(self):
+        # unsigned bit pattern == what the writer hashed
+        assert _bloom_value_hash(2**63 + 5, "INT64", 0) == _bloom_value_hash(
+            (2**63 + 5) - 2**64, "INT64", 0
+        )
+        assert _bloom_value_hash(2**31 + 7, "INT32", 0) == _bloom_value_hash(
+            (2**31 + 7) - 2**32, "INT32", 0
+        )
+
+    def test_uint64_bloom_filter_end_to_end(self, ray_session, tmp_path):
+        from parquet_go_ray.sources.parquet_pages import read_parquet_native
+
+        rng = np.random.default_rng(3)
+        vals = (rng.permutation(4000).astype(np.uint64) + (1 << 63))
+        t = pa.table({"u": pa.array(vals, pa.uint64()),
+                      "i": pa.array(np.arange(4000, dtype=np.int64))})
+        path = str(tmp_path / "u.parquet")
+        write_parquet_native(
+            t, path, row_group_rows=1000, bloom_filter_columns=["u"]
+        )
+        target = int(vals[2345])
+        md = pq.ParquetFile(path).metadata
+        keep = [
+            _rg_bloom_may_match(path, md, g, {"u": 0}, [("u", "==", target)])
+            for g in range(md.num_row_groups)
+        ]
+        assert keep[2] is True and sum(keep) <= 2
+        got = read_parquet_native(
+            path, filters=[("u", "==", target)]
+        ).to_pandas()
+        assert list(got["u"]) == [target] and list(got["i"]) == [2345]

@@ -213,3 +213,16 @@ class TestHashedTokens:
         assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
         assert got[3] == "es" and got[4] == "ru" and got[5] == "zh"
         assert got[6] == "und"
+
+
+def test_hashed_tokens_large_string_matches_string():
+    """ADVICE r4: large_string offsets are int64 — reading them as int32
+    silently produced garbage hashes."""
+    import pyarrow as pa
+
+    from parquet_go_ray.ops.text import hashed_tokens
+
+    docs = ["hello world", "", "  spaced\tout  tokens ", "héllo wörld"]
+    h32, c32 = hashed_tokens(pa.array(docs, pa.string()), lower=True)
+    h64, c64 = hashed_tokens(pa.array(docs, pa.large_string()), lower=True)
+    assert (h32 == h64).all() and (c32 == c64).all()

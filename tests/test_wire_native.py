@@ -4,6 +4,7 @@ and calibration-gated perf bars (VERDICT r3 items 1 + 8 pattern)."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -163,3 +164,62 @@ def test_native_wire_speed():
     assert best_mvps(
         lambda: delta_decode(d, 0, expect=len(sv)), len(sv)
     ) >= 40
+
+
+class TestHostileInput:
+    """ADVICE r4 (high): a file-controlled varint header used to
+    overflow ``groups * width`` to a negative nbytes that passed the
+    bounds check — OOB reads and a potential infinite loop in the C
+    decoder. Both paths must now reject cleanly."""
+
+    @staticmethod
+    def _uvarint(x: int) -> bytes:
+        out = bytearray()
+        while x >= 0x80:
+            out.append((x & 0x7F) | 0x80)
+            x >>= 7
+        out.append(x)
+        return bytes(out)
+
+    def test_huge_bitpack_group_count(self):
+        for groups in (1 << 60, (1 << 62) + 12345, (1 << 63) - 1):
+            buf = self._uvarint((groups << 1) | 1) + b"\x00" * 64
+            with pytest.raises(ValueError):
+                hybrid_decode(buf, 7, 1000)
+
+    def test_large_but_valid_group_count_rejected_by_bounds(self):
+        # groups small enough not to overflow but larger than the buffer
+        buf = self._uvarint((10**6 << 1) | 1) + b"\x00" * 16
+        with pytest.raises(ValueError):
+            hybrid_decode(buf, 32, 10)
+
+    def test_width_validated_at_wrapper(self):
+        from parquet_go_ray.functions import _wire_native
+
+        if _wire_native.lib() is None:
+            pytest.skip("no compiler")
+        # the dict-index bit-width byte comes straight from the file
+        assert _wire_native.hybrid_decode(b"\x02\x00\x00", 65, 4) is None
+        assert _wire_native.hybrid_decode(b"\x02\x00\x00", -1, 4) is None
+        assert _wire_native.unpack(b"\x00\x00", 65, 2) is None
+        assert _wire_native.unpack(b"\x00", 8, 100) is None  # short buf
+
+
+class TestKernelCache:
+    def test_cache_dir_is_private_and_owned(self):
+        import stat
+
+        from parquet_go_ray.functions._native_cache import cache_dir
+
+        d = cache_dir()
+        st = os.lstat(d)
+        assert st.st_uid == os.getuid()
+        assert not (st.st_mode & 0o077)
+
+    def test_safe_cdll_rejects_symlink(self, tmp_path):
+        from parquet_go_ray.functions._native_cache import safe_cdll
+
+        link = tmp_path / "evil.so"
+        link.symlink_to("/bin/true")
+        with pytest.raises(OSError):
+            safe_cdll(str(link))
