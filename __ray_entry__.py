@@ -193,13 +193,32 @@ def _q_token_count(sf_dir: str):
     )
 
 
-def _q_quality(sf_dir: str):
+
+def _q_quality_normalize(sf_dir: str):
+    """Quality scoring + NFC/lower/whitespace normalization fused into
+    one hash-oracled query (r5 gate consolidation: both operators were
+    separate r4 rows; the driver gate caps at 50 queries, and the two
+    transforms share the same per-doc grain, so one SELECT verifies
+    both)."""
+    import pyarrow.compute as pc
+
     from parquet_go_ray.ops.text import apply, quality_batch
 
-    ds = apply(_read(sf_dir, "documents"), quality_batch)
+    ds = apply(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), quality_batch
+    )
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(batch.column("text"), form="NFC")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim_whitespace(t)
+        return batch.append_column("text_norm", t).select(
+            ["doc_id", "n_chars", "n_tokens", "chars_per_token", "text_norm"]
+        )
+
     return ds.map_batches(
-        lambda b: b.select(["doc_id", "n_chars", "n_tokens", "chars_per_token"]),
-        batch_format="pyarrow",
+        add_norm, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -320,16 +339,6 @@ def _q_dedup_minhash(sf_dir: str):
     return dedup_minhash(_read(sf_dir, "documents"))
 
 
-def _q_dedup_simhash(sf_dir: str):
-    from parquet_go_ray.ops.dedup import dedup_simhash
-
-    return dedup_simhash(_read(sf_dir, "documents"), max_hamming=3)
-
-
-def _q_dedup_embedding(sf_dir: str):
-    from parquet_go_ray.ops.dedup import dedup_embedding
-
-    return dedup_embedding(_read(sf_dir, "embeddings"), threshold=0.98)
 
 
 def _q_roundtrip_structs(sf_dir: str):
@@ -414,42 +423,42 @@ def _q_decode_filter_events(sf_dir: str):
     )
 
 
-def _q_dedup_minhash_planted(sf_dir: str):
-    """MinHash LSH dedup on the planted clone corpus (deterministic,
-    provable ground truth): survivors = min(doc_id) per clone group.
-    Oracled — the DuckDB side constructs the identical corpus from
-    range() + string formulas and groups by text."""
+
+
+
+
+def _q_dedup_planted_multi(sf_dir: str):
+    """Jaccard-verified MinHash, SimHash and embedding-cosine near-dup
+    in ONE hash-oracled query (r5: the driver gate runs at most 50
+    queries, so the three planted variants that fell out of the r4 gate
+    are unioned under a ``method`` discriminator — every code path and
+    every survivor value still hash-compared against SQL)."""
+    from parquet_go_ray.ops.dedup import dedup_embedding, dedup_simhash
     from parquet_go_ray.ops.dedup import dedup_minhash
-    from parquet_go_ray.sources.planted import planted_clone_documents
+    from parquet_go_ray.sources.planted import (
+        planted_clone_documents,
+        planted_embeddings,
+    )
 
-    ds = ray.data.from_arrow(planted_clone_documents())
-    return dedup_minhash(ds, threshold=0.7)
-
-
-def _q_dedup_jaccard_planted(sf_dir: str):
-    """n-gram Jaccard dedup (LSH candidates + EXACT shingle-set
-    verification) on the planted clone corpus."""
-    from parquet_go_ray.ops.dedup import dedup_minhash
-    from parquet_go_ray.sources.planted import planted_clone_documents
-
-    ds = ray.data.from_arrow(planted_clone_documents())
-    return dedup_minhash(ds, threshold=0.7, verify="jaccard")
-
-
-def _q_dedup_simhash_planted(sf_dir: str):
-    from parquet_go_ray.ops.dedup import dedup_simhash
-    from parquet_go_ray.sources.planted import planted_clone_documents
-
-    ds = ray.data.from_arrow(planted_clone_documents())
-    return dedup_simhash(ds, max_hamming=3)
-
-
-def _q_dedup_embedding_planted(sf_dir: str):
-    from parquet_go_ray.ops.dedup import dedup_embedding
-    from parquet_go_ray.sources.planted import planted_embeddings
-
-    ds = ray.data.from_arrow(planted_embeddings())
-    return dedup_embedding(ds, threshold=0.95)
+    docs = ray.data.from_arrow(planted_clone_documents())
+    emb = ray.data.from_arrow(planted_embeddings())
+    parts = [
+        ("minhash", "doc_id", dedup_minhash(docs, threshold=0.7)),
+        ("jaccard", "doc_id",
+         dedup_minhash(docs, threshold=0.7, verify="jaccard")),
+        ("simhash", "doc_id", dedup_simhash(docs, max_hamming=3)),
+        ("embedding", "vec_id", dedup_embedding(emb, threshold=0.95)),
+    ]
+    outs = []
+    for method, col, ds in parts:
+        outs.append(ds.map_batches(
+            lambda b, m=method, c=col: pa.table({
+                "method": pa.array([m] * b.num_rows, pa.string()),
+                "item_id": b.column(c).cast(pa.int64()),
+            }),
+            batch_format="pyarrow",
+        ))
+    return outs[0].union(*outs[1:])
 
 
 def _q_langid(sf_dir: str):
@@ -460,14 +469,6 @@ def _q_langid(sf_dir: str):
         lambda b: b.select(["doc_id", "lang_pred"]), batch_format="pyarrow"
     )
 
-
-def _q_rolling_fp(sf_dir: str):
-    from parquet_go_ray.ops.text import apply, rolling_fingerprint_batch
-
-    ds = apply(_read(sf_dir, "documents"), rolling_fingerprint_batch)
-    return ds.map_batches(
-        lambda b: b.select(["doc_id", "rolling_fp"]), batch_format="pyarrow"
-    )
 
 
 def _q_encode_manifest(sf_dir: str):
@@ -1021,23 +1022,6 @@ def _q_native_roundtrip_nested(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
-def _q_normalize_documents(sf_dir: str):
-    """Text normalization for training-data pipelines: NFC + lowercase
-    + whitespace collapse, all pyarrow.compute kernels (no Python row
-    loop). Oracle = the same chain in DuckDB."""
-    import pyarrow.compute as pc
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def norm(batch: pa.Table) -> pa.Table:
-        t = pc.utf8_normalize(batch.column("text"), form="NFC")
-        t = pc.utf8_lower(t)
-        t = pc.replace_substring_regex(t, r"\s+", " ")
-        t = pc.utf8_trim_whitespace(t)
-        return pa.table({"doc_id": batch.column("doc_id"), "text_norm": t})
-
-    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
-
 
 def _q_sample_documents(sf_dir: str):
     """Deterministic hash sampling (the reproducible-subset primitive a
@@ -1171,12 +1155,60 @@ def _q_asof_join_by_events(sf_dir: str):
     )
 
 
+def _q_asof_join_both(sf_dir: str):
+    """Both as-of variants — global nearest-earlier and per-key
+    (``by=event_type``) — unioned under a ``variant`` discriminator
+    (r5 gate consolidation; each half is the unchanged r4 query and
+    each rate value is still hash-compared against DuckDB ASOF JOIN)."""
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda b, v=name: b.append_column(
+                "variant", pa.array([v] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(_q_asof_join_events(sf_dir), "global").union(
+        tag(_q_asof_join_by_events(sf_dir), "by_key")
+    )
+
+
+def _q_semi_anti_join(sf_dir: str):
+    """SEMI + ANTI in one hash-oracled query: the two complementary
+    broadcast existence probes over the same key set, unioned under a
+    ``kind`` discriminator (r5 gate consolidation)."""
+
+    def tag(ds, name):
+        return ds.map_batches(
+            lambda b, v=name: b.append_column(
+                "kind", pa.array([v] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return tag(_q_semi_join_lineitem_part(sf_dir), "semi").union(
+        tag(_q_anti_join_lineitem_part(sf_dir), "anti")
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Exactly 50 entries (the driver gate runs at most 50 queries in
+    insertion order — r4 ran indices 0-49 of 61 and silently dropped
+    the tail, VERDICT r4 item 3). Consolidation map, documented in
+    NOTES_r5.md: quality+normalize fused (same per-doc grain); the two
+    as-of variants unioned under ``variant``; semi+anti unioned under
+    ``kind``; the four planted dedup methods unioned under ``method`` —
+    every formerly-separate result is still hash-compared value-for-
+    value inside its union. Dropped outright (pytest-pinned instead):
+    roundtrip_customer (type coverage duplicated by orders/lineitem),
+    the three rows-only corpus demos of the planted dedups, and
+    rolling_fingerprint_documents (fingerprint_documents stays
+    hash-oracled). Hash-oracled queries come first; rows-only last."""
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
         "roundtrip_events": _q_roundtrip("events"),
         "roundtrip_lineitem": _q_roundtrip("lineitem"),
-        "roundtrip_customer": _q_roundtrip("customer"),
         "roundtrip_orders": _q_roundtrip("orders"),
         "roundtrip_embeddings": _q_roundtrip_embeddings,
         "roundtrip_structs": _q_roundtrip_structs,
@@ -1184,7 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dict_cardinality_documents": _q_dict_cardinality_documents,
         "dedup_exact_documents": _q_dedup_exact,
         "token_count_documents": _q_token_count,
-        "quality_documents": _q_quality,
+        "quality_normalize_documents": _q_quality_normalize,
         "fingerprint_documents": _q_fingerprint,
         "events_agg": _q_events_agg,
         "lineitem_agg": _q_lineitem_agg,
@@ -1198,13 +1230,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_uint": _q_native_roundtrip_uint,
         "native_bss_embeddings": _q_native_bss_embeddings,
         "native_bloom_lookup_events": _q_native_bloom_lookup_events,
-        "normalize_documents": _q_normalize_documents,
         "sample_documents": _q_sample_documents,
         "window_events": _q_window_events,
-        "asof_join_events": _q_asof_join_events,
-        "asof_join_by_events": _q_asof_join_by_events,
+        "asof_join_events": _q_asof_join_both,
         "ann_cosine_embeddings": _q_ann,
-        "ann_ivf_recall_embeddings": _q_ann_ivf,
         "sessionize_events": _q_sessionize_events,
         "top_documents_by_chars": _q_top_documents,
         "grouped_topk_events": _q_grouped_topk_events,
@@ -1214,26 +1243,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency_documents": _q_doc_frequency,
         "repetition_documents": _q_repetition_documents,
         "tfidf_topk_documents": _q_tfidf_documents,
-        "approx_distinct_users_events": _q_approx_distinct_events,
         "grouped_median_events": _q_grouped_median_events,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
-        "semi_join_lineitem_part": _q_semi_join_lineitem_part,
+        "semi_anti_join_lineitem_part": _q_semi_anti_join,
         "rolling_max_events": _q_rolling_max_events,
-        "anti_join_lineitem_part": _q_anti_join_lineitem_part,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
-        "dedup_minhash_planted": _q_dedup_minhash_planted,
-        "dedup_jaccard_planted": _q_dedup_jaccard_planted,
-        "dedup_simhash_planted": _q_dedup_simhash_planted,
-        "dedup_embedding_planted": _q_dedup_embedding_planted,
-        # rows-only (non-SQL-expressible):
+        "dedup_planted_multi": _q_dedup_planted_multi,
+        # no_oracle / rows-only (non-SQL-expressible), last on purpose:
+        "ann_ivf_recall_embeddings": _q_ann_ivf,
+        "approx_distinct_users_events": _q_approx_distinct_events,
         "bpe_token_count_documents": _q_bpe_tokens,
         "media_features_synthetic": _q_media_features,
-        "dedup_minhash_documents": _q_dedup_minhash,
-        "dedup_simhash_documents": _q_dedup_simhash,
-        "dedup_embedding_vectors": _q_dedup_embedding,
         "langid_documents": _q_langid,
-        "rolling_fingerprint_documents": _q_rolling_fp,
         "encode_manifest_transcripts": _q_encode_manifest,
     }
 
@@ -1255,7 +1277,6 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_documents": "SELECT * FROM documents",
         "roundtrip_events": "SELECT * FROM events",
         "roundtrip_lineitem": "SELECT * FROM lineitem",
-        "roundtrip_customer": "SELECT * FROM customer",
         "roundtrip_orders": "SELECT * FROM orders",
         "roundtrip_embeddings": (
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
@@ -1294,18 +1315,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
             " AS n_tokens FROM documents"
         ),
-        "quality_documents": (
+        "quality_normalize_documents": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
             " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,"
             " CAST(length(text) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE)"
-            " AS chars_per_token FROM documents"
+            " AS chars_per_token,"
+            " trim(regexp_replace(lower(nfc_normalize(text)),"
+            " '\\s+', ' ', 'g')) AS text_norm FROM documents"
         ),
         "fingerprint_documents": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
-        ),
-        "normalize_documents": (
-            "SELECT doc_id, trim(regexp_replace(lower(nfc_normalize(text)),"
-            " '\\s+', ' ', 'g')) AS text_norm FROM documents"
         ),
         "sample_documents": (
             "SELECT doc_id, n_chars FROM documents"
@@ -1361,14 +1380,13 @@ def oracle_sql() -> dict[str, str]:
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max"
             " FROM events"
         ),
-        "semi_join_lineitem_part": (
-            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l"
-            " WHERE EXISTS (SELECT 1 FROM part p"
+        "semi_anti_join_lineitem_part": (
+            "SELECT l_orderkey, l_partkey, l_quantity, 'semi' AS kind"
+            " FROM lineitem l WHERE EXISTS (SELECT 1 FROM part p"
             " WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)"
-        ),
-        "anti_join_lineitem_part": (
-            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem l"
-            " WHERE NOT EXISTS (SELECT 1 FROM part p"
+            " UNION ALL"
+            " SELECT l_orderkey, l_partkey, l_quantity, 'anti' AS kind"
+            " FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM part p"
             " WHERE p.p_partkey = l.l_partkey AND p.p_size > 40)"
         ),
         "shuffle_join_lineitem_orders": (
@@ -1476,17 +1494,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH rates AS (SELECT TIMESTAMP '2024-01-01'"
             " + to_minutes(k * 37 + (k * k) % 13) AS ts,"
             " CAST(k AS BIGINT) AS rate FROM range(150) t(k))"
-            " SELECT e.event_id, r.rate FROM events e"
+            " SELECT e.event_id, r.rate, 'global' AS variant FROM events e"
             " ASOF LEFT JOIN rates r ON e.ts >= r.ts"
-        ),
-        "asof_join_by_events": (
-            "WITH types AS (SELECT DISTINCT event_type FROM events),"
-            " rates AS (SELECT event_type, TIMESTAMP '2024-01-01'"
-            "  + to_minutes(k * 41 + length(event_type) * 7 + (k * k) % 11)"
-            "  AS ts, CAST(k * 10 + length(event_type) AS BIGINT) AS rate"
-            "  FROM types, range(30) t(k))"
-            " SELECT e.event_id, r.rate FROM events e"
-            " ASOF LEFT JOIN rates r"
+            " UNION ALL"
+            " SELECT e.event_id, r.rate, 'by_key' AS variant FROM events e"
+            " ASOF LEFT JOIN ("
+            "  WITH types AS (SELECT DISTINCT event_type FROM events)"
+            "  SELECT event_type, TIMESTAMP '2024-01-01'"
+            "   + to_minutes(k * 41 + length(event_type) * 7 + (k * k) % 11)"
+            "   AS ts, CAST(k * 10 + length(event_type) AS BIGINT) AS rate"
+            "  FROM types, range(30) t(k)) r"
             " ON e.event_type = r.event_type AND e.ts >= r.ts"
         ),
         "window_events": (
@@ -1503,19 +1520,17 @@ def oracle_sql() -> dict[str, str]:
             "   OR ts - prev > INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions"
             " FROM d GROUP BY user_id"
         ),
-        "dedup_minhash_planted": (
-            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
-            " FROM docs GROUP BY text".format(_planted_docs_sql())
+        "dedup_planted_multi": (
+            "WITH docs AS ({docs}),"
+            " doc_survivors AS (SELECT min(doc_id) AS item_id"
+            "  FROM docs GROUP BY text)"
+            " SELECT 'minhash' AS method, item_id FROM doc_survivors"
+            " UNION ALL SELECT 'jaccard', item_id FROM doc_survivors"
+            " UNION ALL SELECT 'simhash', item_id FROM doc_survivors"
+            " UNION ALL SELECT 'embedding', vec_id FROM ({emb})".format(
+                docs=_planted_docs_sql(), emb=_planted_emb_sql()
+            )
         ),
-        "dedup_jaccard_planted": (
-            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
-            " FROM docs GROUP BY text".format(_planted_docs_sql())
-        ),
-        "dedup_simhash_planted": (
-            "WITH docs AS ({}) SELECT min(doc_id) AS doc_id"
-            " FROM docs GROUP BY text".format(_planted_docs_sql())
-        ),
-        "dedup_embedding_planted": _planted_emb_sql(),
         "ann_cosine_embeddings": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings"
             " ORDER BY vec_id LIMIT 10),"

@@ -60,27 +60,32 @@ def rolling_fingerprint_batch(
     vectorized): FNV-style fold over the raw bytes — the engine-native
     analogue of the reference's FNV-64 value hashing
     (/root/reference/datastore/dict.go:98-105)."""
-    texts = [t.encode() if t else b"" for t in batch.column(text_col).to_pylist()]
-    lens = np.array([len(t) for t in texts], dtype=np.int64)
-    data = (
-        np.frombuffer(b"".join(texts), dtype=np.uint8).astype(np.uint64)
-        if texts
-        else np.empty(0, dtype=np.uint64)
-    )
-    # Segmented polynomial hash via prefix products is unstable; a simple
-    # per-doc reduceat of mixed byte positions is associative and exact.
-    pos = np.arange(len(data), dtype=np.uint64)
-    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-    rel = pos - np.repeat(starts.astype(np.uint64), lens)
-    mixed = (data + np.uint64(1)) * (
-        (rel + np.uint64(0x100000001B3)) * np.uint64(0x9E3779B97F4A7C15)
-    )
-    sums = (
-        np.add.reduceat(mixed, starts)
-        if len(mixed)
-        else np.zeros(len(lens), dtype=np.uint64)
-    )
-    sums = np.where(lens > 0, sums, np.uint64(0))
+    col = batch.column(text_col)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    arr = pc.fill_null(arr, "")
+    # bytes + per-doc segment bounds straight from the Arrow buffers
+    # (r5: was a per-row to_pylist/encode loop; reduceat also crashed
+    # when the batch's LAST doc was empty — start index == len(data))
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    starts, lens = off[:-1], off[1:] - off[:-1]
+    nz = lens > 0
+    sums = np.zeros(len(lens), dtype=np.uint64)
+    if nz.any():
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+            off[0] : off[-1]
+        ].astype(np.uint64)
+        # Segmented polynomial hash via prefix products is unstable; a
+        # per-doc reduceat of mixed byte positions is associative/exact.
+        pos = np.arange(len(data), dtype=np.uint64) + np.uint64(off[0])
+        rel = pos - np.repeat(starts.astype(np.uint64), lens)
+        mixed = (data + np.uint64(1)) * (
+            (rel + np.uint64(0x100000001B3)) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        sums[nz] = np.add.reduceat(mixed, (starts - off[0])[nz])
     return batch.append_column("rolling_fp", pa.array(sums, pa.uint64()))
 
 

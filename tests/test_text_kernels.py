@@ -226,3 +226,36 @@ def test_hashed_tokens_large_string_matches_string():
     h32, c32 = hashed_tokens(pa.array(docs, pa.string()), lower=True)
     h64, c64 = hashed_tokens(pa.array(docs, pa.large_string()), lower=True)
     assert (h32 == h64).all() and (c32 == c64).all()
+
+
+def test_rolling_fingerprint_pinned_and_edge_cases():
+    """r5: rolling_fingerprint_batch left the driver gate (rows-only),
+    so pin it here against a scalar reference — including the empty-
+    last-row case the old reduceat crashed on, nulls, and large_string."""
+    import numpy as np
+    import pyarrow as pa
+
+    from parquet_go_ray.ops.text import rolling_fingerprint_batch
+
+    def ref_fp(s):
+        if not s:
+            return 0
+        total = 0
+        for i, b in enumerate(s.encode()):
+            mixed = ((b + 1) * (
+                ((i + 0x100000001B3) * 0x9E3779B97F4A7C15) % 2**64
+            )) % 2**64
+            total = (total + mixed) % 2**64
+        return total
+
+    docs = ["hello", "", None, "wörld!", "x" * 1000, ""]
+    for typ in (pa.string(), pa.large_string()):
+        out = rolling_fingerprint_batch(
+            pa.table({"text": pa.array(docs, typ)})
+        )
+        got = out.column("rolling_fp").to_pylist()
+        assert got == [ref_fp(d or "") for d in docs]
+    # sliced batch (non-zero Arrow offset)
+    t = pa.table({"text": pa.array(docs)}).slice(2, 3)
+    got = rolling_fingerprint_batch(t).column("rolling_fp").to_pylist()
+    assert got == [ref_fp(d or "") for d in docs[2:5]]
