@@ -268,11 +268,23 @@ def run_bench() -> dict:
     # state it ran under. A 0.0 reading means the probe itself starved
     # (not "slow") — retry, then mark invalid rather than printing a
     # number that silently means "broken" (VERDICT r3 wrong-item 4).
+    #
+    # Starved-host quarantine (VERDICT r4 item 6: BENCH_r04's 3.7 GiB/s
+    # line entered the gate record unmarked and read as a regression):
+    # wait out a starved interval (up to PGR_BENCH_STARVE_WAIT_S), and
+    # if the host never recovers, still emit the record but flag it
+    # `host_starved: true` FIRST in the JSON so no later round compares
+    # its numbers against a healthy run's.
     host_memcpy = 0.0
-    for _ in range(3):
+    deadline = time.time() + float(
+        os.environ.get("PGR_BENCH_STARVE_WAIT_S", "120")
+    )
+    while True:
         host_memcpy = round(hw_mem_probe(2, seconds=3.0), 1)
-        if host_memcpy > 0.0:
+        if host_memcpy >= SCALE_HEALTHY_GIBS or time.time() >= deadline:
             break
+        time.sleep(10)
+    starved = host_memcpy < SCALE_HEALTHY_GIBS
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
     _quiet_ray_data()
     try:
@@ -282,6 +294,21 @@ def run_bench() -> dict:
     total = sum(q.values())
     return {
         "metric": "graft_bench_total",
+        "host_starved": starved,
+        **(
+            {
+                "host_starved_note": (
+                    "memcpy probe under the healthy threshold "
+                    f"({host_memcpy} < {SCALE_HEALTHY_GIBS} GiB/s) for the "
+                    "whole wait window: the host was delivering a fraction "
+                    "of its normal memory bandwidth during this run. Times "
+                    "below measure the hypervisor, not the code — compare "
+                    "only against a BASELINE.md healthy-interval record."
+                )
+            }
+            if starved
+            else {}
+        ),
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in q.items()},
@@ -324,6 +351,9 @@ SCALE_ROWS_PER_PART = 100_000
 # ALU work per turn with the C kernel): a compute-dominated variant that
 # emulates the 100-TB regime even at small inputs.
 SCALE_FSST = os.environ.get("PGR_SCALE_FSST", "") == "1"
+# Core pinning for scaling legs (VERDICT r4 item 1b) — see
+# _scaling_child's docstring. Default on; PGR_SCALE_PIN=0 disables.
+PIN_CORES = os.environ.get("PGR_SCALE_PIN", "1") == "1"
 
 
 def hw_work_probe(nprocs: int, seconds: float = 8.0) -> float:
@@ -394,25 +424,47 @@ def hw_mem_probe(nprocs: int, seconds: float = 6.0, mb: int = 64) -> float:
     return 0.0
 
 
-def _scaling_child(cpus: int) -> dict:
+def _scaling_child(
+    cpus: int, turns: int | None = None, blocks: int | None = None
+) -> dict:
     """One scaling leg in a fresh process: warmup encode on a 1/20-size
     slice (worker spin-up + imports) plus an untimed sweep of the input
     files (page cache), then ONE timed run reporting wall seconds and
-    the Ray workers' busy CPU seconds."""
+    the Ray workers' busy CPU seconds.
+
+    ``turns``/``blocks`` override the job size and split count for
+    WEAK-scaling legs (per-worker work constant; default = the full
+    strong-scaling job with the fixed 4×SCALE_HI split).
+
+    Core pinning (VERDICT r4 item 1b, default on, PGR_SCALE_PIN=0
+    disables): the child pins itself — and therefore, via Linux
+    affinity inheritance through raylet, every Ray worker it spawns —
+    to exactly ``cpus`` physical cores before ray.init. Without the
+    pin, the lo leg's 2 logical workers migrate across all 32 host
+    cores, soaking up turbo/cache headroom the hi leg's 8 workers
+    can't, which deflates measured efficiency below what N separate
+    nodes would show; with it, both legs contend for exactly their
+    own core budget, as on a real N- vs 4N-node cluster."""
     code = f"""
 import json, os, sys, time
 sys.path.insert(0, '/root/repo')
+if {PIN_CORES!r}:
+    try:
+        os.sched_setaffinity(0, set(range({cpus})))
+    except OSError:
+        pass
 import ray
 ray.init(address='local', num_cpus={cpus}, include_dashboard=False)
 import bench
 bench._quiet_ray_data()
-turns = bench.SCALE_TURNS_PER_SF
+turns = {turns if turns is not None else 'bench.SCALE_TURNS_PER_SF'}
 tdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), turns)
 wdir = bench.transcripts_input_dir(bench.sf_from_dir({SF_DIR!r}), turns // 20)
 choices = {{"text": ("fsst", "none")}} if bench.SCALE_FSST else None
-# Both legs run the IDENTICAL plan: a fixed split count (4x the high
-# leg's CPUs) so only the resources differ, as on a real N vs 4N cluster.
-blocks = 4 * {SCALE_HI}
+# Strong legs run the IDENTICAL plan: a fixed split count (4x the high
+# leg's CPUs) so only the resources differ, as on a real N vs 4N
+# cluster. Weak legs scale blocks with cpus (same waves per core).
+blocks = {blocks if blocks is not None else 4 * SCALE_HI}
 bench.run_encode(wdir, rows_per_partition={SCALE_ROWS_PER_PART}, choices=choices, read_blocks=blocks)  # warmup
 for fn in sorted(os.listdir(tdir)):  # fault the input into page cache
     with open(os.path.join(tdir, fn), 'rb') as f:
@@ -453,13 +505,17 @@ def run_scaling() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False)
+    factor = SCALE_HI / SCALE_LO
+    weak_turns = int(SCALE_TURNS_PER_SF // factor)
     try:
         turns = SCALE_TURNS_PER_SF
         transcripts_input_dir(sf_from_dir(SF_DIR), turns)
         transcripts_input_dir(sf_from_dir(SF_DIR), turns // 20)
+        # weak-scaling lo-leg input (1/factor size) + its warmup slice
+        transcripts_input_dir(sf_from_dir(SF_DIR), weak_turns)
+        transcripts_input_dir(sf_from_dir(SF_DIR), weak_turns // 20)
     finally:
         ray.shutdown()
-    factor = SCALE_HI / SCALE_LO
     # Hardware calibration: what efficiency would a PERFECT engine show
     # on this box at these process counts? (Pure-ALU work probe; see
     # hw_work_probe.) Reported so any rerun can separate engine scaling

@@ -197,7 +197,7 @@ def grouped_quantile(
     by: str,
     col: str,
     q: float,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Exact per-group q-quantile (same "lower" index semantics as
     :func:`exact_quantiles`) → one row per group.
@@ -212,6 +212,10 @@ def grouped_quantile(
     with only nulls vanish (as SQL GROUP BY of an empty aggregate)."""
     if not 0.0 <= q <= 1.0:
         raise ValueError(f"quantile {q} outside [0, 1]")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
 
     def project(batch: pa.Table) -> pa.Table:
         keys = batch.column(by)

@@ -500,7 +500,7 @@ def doc_frequency(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> "ray.data.Dataset":
     """Document frequency per token: ``count(DISTINCT doc) GROUP BY
     token`` — the df half of TF-IDF over a web corpus.
@@ -517,6 +517,11 @@ def doc_frequency(
 
     from ..functions.bloom import xxh64_bytes
     from ..functions.bytearray import arrow_strings_to_parts
+
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
 
     def pairs(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern(batch.column(text_col), pattern=" ")

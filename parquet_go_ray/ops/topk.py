@@ -122,7 +122,7 @@ def grouped_topk(
     keys: list[str],
     k: int,
     descending: list[bool] | bool = False,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Top-k rows per ``by``-group, ordered by ``keys`` — the
     partition-wise ``row_number() <= k`` of SQL, with no per-group task
@@ -141,6 +141,10 @@ def grouped_topk(
     arbitrarily, same as SQL row_number over a non-total ORDER BY."""
     if isinstance(descending, bool):
         descending = [descending] * len(keys)
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
 
     def local(batch: pa.Table) -> pa.Table:
         return _per_group_topk(batch, by, keys, descending, k)

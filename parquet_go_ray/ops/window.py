@@ -54,7 +54,7 @@ def rolling_max(
     val_col: str,
     window: int,
     out_col: str = "rolling_max",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Per-``by`` rolling max of ``val_col`` over the current row and
     the ``window - 1`` preceding rows in ``order_cols`` order. Returns
@@ -63,6 +63,10 @@ def rolling_max(
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
 
     def project(batch: pa.Table) -> pa.Table:
         keys = batch.column(by)
