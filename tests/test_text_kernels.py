@@ -259,3 +259,37 @@ def test_rolling_fingerprint_pinned_and_edge_cases():
     t = pa.table({"text": pa.array(docs)}).slice(2, 3)
     got = rolling_fingerprint_batch(t).column("rolling_fp").to_pylist()
     assert got == [ref_fp(d or "") for d in docs[2:5]]
+
+
+def test_utf32_cps_matches_python_strings():
+    """The buffer-direct codepoint extractor (r5: replaces the last
+    to_pylist in langid/BPE stages) must agree with the Python-string
+    path on nulls, multibyte scripts, empties, slices and
+    large_string."""
+    from parquet_go_ray.ops.text import _utf32_cps
+
+    docs = ["héllo", "", None, "日本語テキスト", "x" * 500, "𝄞 clef", ""]
+
+    def ref(texts):
+        joined = "".join(texts)
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        return cps, lens
+
+    for typ in (pa.string(), pa.large_string()):
+        cps, lens = _utf32_cps(pa.array(docs, typ))
+        rcps, rlens = ref([d or "" for d in docs])
+        assert np.array_equal(cps, rcps)
+        assert np.array_equal(lens, rlens)
+        assert lens.sum() == len(cps)
+    # sliced (non-zero Arrow offset) and chunked inputs
+    cps, lens = _utf32_cps(pa.array(docs).slice(2, 4))
+    rcps, rlens = ref([d or "" for d in docs[2:6]])
+    assert np.array_equal(cps, rcps) and np.array_equal(lens, rlens)
+    cps, lens = _utf32_cps(
+        pa.chunked_array([pa.array(docs[:3]), pa.array(docs[3:])])
+    )
+    assert np.array_equal(cps, rcps := ref([d or "" for d in docs])[0])
+    # empty column
+    cps, lens = _utf32_cps(pa.array([], pa.string()))
+    assert len(cps) == 0 and len(lens) == 0
