@@ -212,6 +212,8 @@ def read_page_header(buf, pos: int) -> tuple[dict, int]:
             def_encoding=d.get(3),
             rep_encoding=d.get(4),
         )
+        if isinstance(d.get(5), dict):  # optional Statistics
+            hdr["page_statistics"] = _page_stats_dict(d[5])
     if 7 in s:  # DictionaryPageHeader
         d = s[7]
         hdr.update(num_values=d.get(1), encoding=d.get(2))
@@ -226,7 +228,20 @@ def read_page_header(buf, pos: int) -> tuple[dict, int]:
             rep_levels_len=d.get(6, 0),
             values_compressed=d.get(7, True),
         )
+        if isinstance(d.get(8), dict):  # optional Statistics
+            hdr["page_statistics"] = _page_stats_dict(d[8])
     return hdr, r.p
+
+
+def _page_stats_dict(st: dict) -> dict:
+    """Normalize a page-header ``Statistics`` struct (null_count /
+    min_value / max_value; legacy min/max fields 1-2 accepted when the
+    v2 fields are absent)."""
+    return {
+        "null_count": st.get(3),
+        "min": st.get(6, st.get(2)),
+        "max": st.get(5, st.get(1)),
+    }
 
 
 # --- value decoding per physical type ----------------------------------

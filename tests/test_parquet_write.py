@@ -1210,3 +1210,85 @@ def test_boundary_order_and_in_filter(tmp_path, ray_session):
         p2, filters=[("a", "in", want)], max_rows_per_task=1000
     ).to_pandas()
     assert sorted(got["a"]) == want
+
+
+class TestPageHeaderStatistics:
+    """Per-page Statistics embedded in the data-page headers themselves
+    (VERDICT r4 item 8; reference thrift DataPageHeader.statistics /
+    DataPageHeaderV2.statistics) — null_count always, exact min/max
+    when available — parsed back with the engine's own thrift reader
+    and cross-checked against the actual page value slices; files stay
+    readable by pyarrow and DuckDB."""
+
+    @pytest.mark.parametrize("page_version", [1, 2])
+    def test_header_stats_match_page_values(self, tmp_path, page_version):
+        import struct as pystruct
+
+        import pyarrow.compute as pc
+
+        from parquet_go_ray.sources.parquet_pages import read_page_header
+
+        n = 550
+        t = pa.table({
+            "x": pa.array(
+                [None if i % 7 == 0 else (i * 3) % 1000 for i in range(n)],
+                pa.int64(),
+            ),
+            "s": pa.array([f"k{(i * 13) % 97:03d}" for i in range(n)]),
+        })
+        path = str(tmp_path / f"ps{page_version}.parquet")
+        write_parquet_native(t, path, codec="zstd",
+                             page_version=page_version,
+                             data_page_rows=100)
+        assert pq.read_table(path).equals(t)
+        import duckdb
+
+        assert duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{path}')"
+        ).fetchone()[0] == n
+
+        pf = pq.ParquetFile(path)
+        for ci, name in enumerate(t.column_names):
+            md = pf.metadata.row_group(0).column(ci)
+            with open(path, "rb") as f:
+                f.seek(md.data_page_offset)
+                buf = f.read(md.total_compressed_size)
+            pos, row = 0, 0
+            pages = 0
+            while row < n:
+                hdr, pos = read_page_header(buf, pos)
+                take = hdr["num_values"]
+                sl = t.column(name).slice(row, take)
+                st = hdr["page_statistics"]
+                assert st["null_count"] == sl.null_count
+                dense = sl.drop_null()
+                if name == "x":
+                    lo = pystruct.unpack("<q", st["min"])[0]
+                    hi = pystruct.unpack("<q", st["max"])[0]
+                    assert lo == pc.min(dense).as_py()
+                    assert hi == pc.max(dense).as_py()
+                else:
+                    assert st["min"].decode() == pc.min(dense).as_py()
+                    assert st["max"].decode() == pc.max(dense).as_py()
+                row += take
+                pos += hdr["compressed_size"]
+                pages += 1
+            assert pages == 6  # ceil(550 / 100)
+
+    def test_all_null_page_has_null_count_only(self, tmp_path):
+        from parquet_go_ray.sources.parquet_pages import read_page_header
+
+        t = pa.table({
+            "x": pa.array([None] * 100 + list(range(100)), pa.int64()),
+        })
+        path = str(tmp_path / "nullpage.parquet")
+        write_parquet_native(t, path, data_page_rows=100)
+        assert pq.read_table(path).equals(t)
+        pf = pq.ParquetFile(path)
+        md = pf.metadata.row_group(0).column(0)
+        with open(path, "rb") as f:
+            f.seek(md.data_page_offset)
+            buf = f.read(md.total_compressed_size)
+        hdr, _ = read_page_header(buf, 0)
+        st = hdr["page_statistics"]
+        assert st == {"null_count": 100, "min": None, "max": None}
