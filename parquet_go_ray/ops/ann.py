@@ -119,13 +119,33 @@ def ann_topk(
             concurrency=concurrency or (1, 8),
             num_cpus=1,
         )
-    # Candidate stream is (num_batches × q × k) rows — tiny; merge driver-side.
-    merged = pa.concat_tables([pa.table(b) for b in cand.iter_batches(batch_format="pyarrow")])
-    df = merged.to_pandas()
-    df = df.sort_values(
-        ["query_id", "score", id_col], ascending=[True, False, True]
-    )
-    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    # Candidate stream is (num_batches × q × k) rows; fold it driver-side
+    # INCREMENTALLY — the working set never exceeds ~8×q×k rows, so the
+    # driver stays O(q × k) even when the corpus has millions of blocks.
+    def reduce_topk(tab: pa.Table) -> pa.Table:
+        df = tab.to_pandas()
+        df = df.sort_values(
+            ["query_id", "score", id_col], ascending=[True, False, True]
+        )
+        df = df.groupby("query_id", as_index=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    q_count = len(queries)
+    pool: pa.Table | None = None
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        pool = t if pool is None else pa.concat_tables([pool, t])
+        if pool.num_rows > 8 * q_count * k:
+            pool = reduce_topk(pool)
+    if pool is None:
+        pool = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+    df = reduce_topk(pool).to_pandas().reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return pa.Table.from_pandas(
         df[["query_id", id_col, "rank", "score"]], preserve_index=False
@@ -135,11 +155,26 @@ def ann_topk(
 def kmeans_lite(
     sample: np.ndarray, n_clusters: int, iters: int = 8, seed: int = 0
 ) -> np.ndarray:
-    """Deterministic mini k-means on a sample (centroid build for IVF)."""
+    """Deterministic mini k-means on a sample (centroid build for IVF).
+
+    Seeding is farthest-point (greedy max-min cosine distance from the
+    seeded first pick): uniform random seeding routinely drops two
+    seeds into one true cluster and Lloyd cannot split the merge —
+    observed as two planted centers sharing a fitted centroid at 0.84
+    cosine. Farthest-point guarantees separated seeds and stays fully
+    deterministic."""
     rng = np.random.default_rng(seed)
     x = _normalize(np.asarray(sample, dtype=np.float64))
-    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
-    cent = x[np.sort(idx)].copy()
+    k = min(n_clusters, len(x))
+    if k == 0:
+        return np.empty((0, x.shape[1] if x.ndim == 2 else 0))
+    seeds = [int(rng.integers(len(x)))]
+    d = 1.0 - x @ x[seeds[0]]
+    for _ in range(1, k):
+        i = int(np.argmax(d))
+        seeds.append(i)
+        d = np.minimum(d, 1.0 - x @ x[i])
+    cent = x[np.sort(seeds)].copy()
     for _ in range(iters):
         assign = np.argmax(x @ cent.T, axis=1)
         for c in range(len(cent)):
@@ -305,12 +340,20 @@ def ivf_build(
     sample_rows: int = 2048,
     seed: int = 0,
     rows_per_file: int = 250_000,
+    refine_iters: int = 0,
 ) -> IvfIndex:
     """Build a persisted :class:`IvfIndex`: ONE pass to sample centroid
     training rows (uniform, corpus-wide), one k-means-lite fit, then ONE
     assign+co-locate pass — a single ``groupby(bucket)`` whose tasks
     write their bucket's parquet files directly (no driver data path;
-    the driver sees only the n_clusters-row manifest)."""
+    the driver sees only the n_clusters-row manifest).
+
+    ``refine_iters`` > 0 converges the sample-trained centroids against
+    the FULL corpus with that many distributed Lloyd passes
+    (:func:`..ops.cluster.kmeans_fit` — one streaming map_batches +
+    O(k x d) driver fold per pass) before bucketing. Default 0: the
+    sample fit alone already meets the recall bar on the test corpora,
+    and each refinement pass costs one full corpus scan."""
     import json
     import os
 
@@ -320,6 +363,13 @@ def ivf_build(
         seed=seed,
     )
     cent = kmeans_lite(sample, n_clusters, seed=seed)
+    if refine_iters > 0:
+        from .cluster import kmeans_fit
+
+        cent, _ = kmeans_fit(
+            ds, n_clusters, emb_col=emb_col, id_col=id_col,
+            iters=refine_iters, init=cent,
+        )
 
     def assign(batch: pa.Table) -> pa.Table:
         emb = _normalize(_emb_matrix(batch, emb_col))

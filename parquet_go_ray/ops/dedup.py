@@ -421,6 +421,17 @@ def _distributed_cc_stars(
     connected_components_absorbed's output)."""
 
     def expand(batch: pa.Table) -> pa.Table:
+        # Empty barrier blocks out of groupby/map_groups can carry the
+        # UPSTREAM schema (no kind/a/b columns) — guard before touching
+        # columns (the r4 tfidf gotcha, NOTES_r4).
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int32()),
+                    "node": pa.array([], pa.int64()),
+                    "nbr": pa.array([], pa.int64()),
+                }
+            )
         kind = batch.column("kind").to_numpy(zero_copy_only=False) if (
             "kind" in batch.column_names
         ) else np.zeros(batch.num_rows, dtype=np.int8)
@@ -431,6 +442,13 @@ def _distributed_cc_stars(
         nbr = np.concatenate((b, a))
         return pa.table(
             {"pk": _id_rk(node, _N_BUCKET_PARTS), "node": node, "nbr": nbr}
+        )
+
+    def kind_rows(batch: pa.Table, want: int) -> pa.Table:
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return _CC_ROUND_SCHEMA.empty_table()
+        return batch.filter(
+            pa.compute.equal(batch.column("kind"), pa.scalar(want, pa.int8()))
         )
 
     edges = stars
@@ -445,10 +463,7 @@ def _distributed_cc_stars(
             .materialize()
         )
         stats = out.map_batches(
-            lambda b: b.filter(
-                pa.compute.equal(b.column("kind"), pa.scalar(1, pa.int8()))
-            ),
-            batch_format="pyarrow",
+            lambda b: kind_rows(b, 1), batch_format="pyarrow"
         ).take_all()
         sig = (
             int(np.bitwise_xor.reduce(np.array(
@@ -461,9 +476,7 @@ def _distributed_cc_stars(
             break
         prev_sig = sig
     return edges.map_batches(
-        lambda b: b.filter(
-            pa.compute.equal(b.column("kind"), pa.scalar(0, pa.int8()))
-        ).select(["a", "b"]),
+        lambda b: kind_rows(b, 0).select(["a", "b"]),
         batch_format="pyarrow",
     )
 

@@ -350,3 +350,35 @@ class TestSimhashDistributed:
             out.column("b").to_pylist(), out.column("a").to_pylist()
         ))
         assert roots == {1: 0, 2: 0, 5: 0, 6: 0, 7: 0, 9: 0, 101: 100}
+
+
+def test_distributed_paths_with_zero_duplicates(ray_session):
+    """Empty candidate/star streams must flow through the distributed
+    CC merge and the co-partitioned anti-join without touching the
+    empty-barrier-block schema gotcha (empty groupby/map_groups blocks
+    can carry the UPSTREAM schema): every input row survives."""
+    import ray
+
+    from parquet_go_ray.ops.dedup import dedup_minhash, dedup_simhash
+
+    texts = [
+        " ".join(f"tok{i}w{j}x{(i * 31 + j * 7) % 1000}" for j in range(30))
+        for i in range(60)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(60), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    for op, kw in (
+        (dedup_minhash, {"threshold": 0.8}),
+        (dedup_simhash, {"max_hamming": 1}),
+    ):
+        got = sorted(
+            r["doc_id"]
+            for r in op(
+                ray.data.from_arrow(t), distributed=True, **kw
+            ).iter_rows()
+        )
+        assert got == list(range(60)), (op.__name__, len(got))
