@@ -343,8 +343,12 @@ class TestSimhashDistributed:
         a = np.array([0, 0, 0, 5, 5, 5, 100], dtype=np.int64)
         b = np.array([1, 2, 7, 6, 7, 9, 101], dtype=np.int64)
         stars = ray.data.from_arrow(pa.table({"a": a, "b": b}))
+        # zero-row blocks keep no schema through map_batches (Ray skips
+        # the UDF on them) — filter before concat, as _collect_pairs does
         out = pa.concat_tables(
-            ray.get(_distributed_cc_stars(stars).to_arrow_refs())
+            t
+            for t in ray.get(_distributed_cc_stars(stars).to_arrow_refs())
+            if t.num_rows
         )
         roots = dict(zip(
             out.column("b").to_pylist(), out.column("a").to_pylist()
@@ -382,3 +386,47 @@ def test_distributed_paths_with_zero_duplicates(ray_session):
             ).iter_rows()
         )
         assert got == list(range(60)), (op.__name__, len(got))
+
+
+def test_cc_stars_random_graphs_match_reference(ray_session):
+    """Property check: on random star-fragment inputs (components
+    split across artificial shards every way the LSH paths can emit
+    them), the distributed hash-to-min merge resolves exactly the same
+    absorbed set as the driver-side union-find reference."""
+    import ray
+
+    from parquet_go_ray.ops.dedup import (
+        _distributed_cc_stars,
+        connected_components_absorbed,
+    )
+
+    rng = np.random.default_rng(17)
+    for trial in range(4):
+        n_nodes = int(rng.integers(20, 120))
+        n_edges = int(rng.integers(10, 200))
+        a = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        b = rng.integers(0, n_nodes, n_edges).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        expected = set(
+            connected_components_absorbed(a.copy(), b.copy()).tolist()
+        )
+        stars = ray.data.from_arrow(
+            pa.table({"a": a, "b": b})
+        ).repartition(int(rng.integers(1, 6)))
+        out = pa.concat_tables(
+            t
+            for t in ray.get(_distributed_cc_stars(stars).to_arrow_refs())
+            if t.num_rows
+        )
+        got_roots = dict(
+            zip(out.column("b").to_pylist(), out.column("a").to_pylist())
+        )
+        # absorbed set identical; every absorbed node's label is its
+        # component minimum
+        assert set(got_roots) == expected, trial
+        for member, root in got_roots.items():
+            assert root < member
+            assert root not in expected  # roots are survivors
