@@ -101,3 +101,127 @@ def approx_distinct(
     for raw in rows["reg"]:
         np.maximum(merged, np.frombuffer(raw, np.uint8), out=merged)
     return hll_estimate(merged)
+
+
+# --- Count-min heavy hitters --------------------------------------------
+#
+# The frequent-items question (top URLs / domains / tokens by count)
+# where the exact answer is a full groupby shuffle over every distinct
+# key. Count-min (Cormode & Muthukrishnan 2005, public): a (depth x
+# width) counter matrix; each value adds its count at one position per
+# row (double hashing per Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod
+# width). Estimates = min over rows — never undercounts, overcounts by
+# <= e/width * N with high probability. Sketches merge by element-wise
+# SUM, so the Ray plan mirrors approx_distinct: one sketch row + a
+# bounded local-candidate list per BATCH, streamed to the driver, one
+# tree-foldable reduction. Nothing data-sized moves, and the candidate
+# union (any value locally frequent somewhere) is what keeps the final
+# top-k honest without a second pass.
+
+
+def _cms_positions(
+    hashes: np.ndarray, depth: int, width: int
+) -> np.ndarray:
+    """(depth, n) positions via double hashing off one 64-bit hash."""
+    h1 = (hashes & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = (hashes >> np.uint64(32)).astype(np.uint64) | np.uint64(1)
+    i = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(width)).astype(
+        np.int64
+    )
+
+
+def approx_topk_frequent(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int = 10,
+    width: int = 8192,
+    depth: int = 4,
+    candidates_per_batch: int | None = None,
+) -> pa.Table:
+    """Approximate top-k most frequent values of ``col`` in one
+    streaming pass. Returns (value, est_count) sorted by est_count
+    desc, value asc (deterministic).
+
+    Driver memory: depth*width int64 counters (256 KiB at defaults) +
+    the bounded candidate union. est_count >= true count always (CMS
+    never undercounts); a value missing from every batch's local
+    candidates is the one blind spot — candidates_per_batch (default
+    max(8k, 64)) bounds it to values rarer than every batch's local
+    top-C, which cannot include a global top-k value unless the
+    distribution shifts per batch faster than C covers."""
+    cap = candidates_per_batch or max(8 * k, 64)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        column = batch.column(col)
+        if isinstance(column, pa.ChunkedArray):
+            column = column.combine_chunks()
+        vc = pc.value_counts(column.drop_null() if column.null_count
+                             else column)
+        vals = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if len(vals):
+            pos = _cms_positions(_hash_column(vals), depth, width)
+            for i in range(depth):
+                np.add.at(cms[i], pos[i], cnts)
+        top = np.argsort(-cnts, kind="stable")[:cap]
+        cand = vals.take(pa.array(top, pa.int64())) if len(vals) else vals
+        n_c = len(cand)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(
+                        (np.int8([0]), np.ones(n_c, dtype=np.int8))
+                    )
+                ),
+                "cms": pa.array(
+                    [cms.tobytes()] + [None] * n_c, pa.binary()
+                ),
+                "value": pa.concat_arrays(
+                    [pa.nulls(1, cand.type), cand]
+                ),
+            }
+        )
+
+    merged = np.zeros((depth, width), dtype=np.int64)
+    cand_chunks: list[pa.Array] = []
+    for b in ds.map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or "kind" not in b.column_names:
+            continue
+        kind = b.column("kind").to_numpy(zero_copy_only=False)
+        for raw in b.filter(pa.array(kind == 0)).column("cms").to_pylist():
+            merged += np.frombuffer(raw, np.int64).reshape(depth, width)
+        cv = b.filter(pa.array(kind == 1)).column("value")
+        if len(cv):
+            cand_chunks.append(
+                cv.combine_chunks() if isinstance(cv, pa.ChunkedArray)
+                else cv
+            )
+    if not cand_chunks:
+        return pa.table(
+            {
+                "value": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+            }
+        )
+    import pyarrow.compute as pc
+
+    cand = pc.unique(pa.concat_arrays(cand_chunks))
+    pos = _cms_positions(_hash_column(cand), depth, width)
+    est = merged[np.arange(depth)[:, None], pos].min(axis=0)
+    # Full (est desc, value asc) sort BEFORE the k-cut: candidate
+    # arrival order depends on block completion order, so any
+    # index-based tie-break at the boundary would be nondeterministic.
+    all_out = pa.table(
+        {"value": cand, "est_count": pa.array(est, pa.int64())}
+    )
+    idx = pc.sort_indices(
+        all_out,
+        sort_keys=[("est_count", "descending"), ("value", "ascending")],
+    )
+    return all_out.take(idx[:k])

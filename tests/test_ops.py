@@ -1203,3 +1203,57 @@ class TestRollingMax:
         assert np.isnan(got["rolling_max"].tolist()[0])
         with pytest.raises(ValueError, match="window"):
             rolling_max(ray.data.from_arrow(t), "u", ["ts"], "v", 0)
+
+
+class TestApproxTopkFrequent:
+    def _zipf_table(self, n=60_000, seed=9):
+        rng = np.random.default_rng(seed)
+        ids = (rng.zipf(1.35, size=n) % 500).astype(np.int64)
+        vals = pa.array([f"url-{i:04d}" for i in ids])
+        return pa.table({"u": vals}), ids
+
+    def test_matches_exact_topk_on_skewed_data(self, ray_session):
+        from collections import Counter
+
+        import ray
+
+        from parquet_go_ray.ops.sketch import approx_topk_frequent
+
+        t, ids = self._zipf_table()
+        exact = Counter(f"url-{i:04d}" for i in ids)
+        ds = ray.data.from_arrow(t).repartition(8)
+        out = approx_topk_frequent(ds, "u", k=10).to_pylist()
+        true_top = [v for v, _ in exact.most_common(10)]
+        got = [r["value"] for r in out]
+        # CMS never undercounts and the heavy head is far above the
+        # overcount bound (e/width * N ≈ 20 at defaults), so the heavy
+        # head matches exactly
+        assert got[:5] == true_top[:5]
+        assert set(got) == set(true_top)
+        for r in out:
+            true = exact[r["value"]]
+            assert true <= r["est_count"] <= true + 40, r
+
+    def test_deterministic_across_runs(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sketch import approx_topk_frequent
+
+        t, _ = self._zipf_table(n=20_000, seed=2)
+        ds = ray.data.from_arrow(t).repartition(5)
+        a = approx_topk_frequent(ds, "u", k=8).to_pylist()
+        b = approx_topk_frequent(ds, "u", k=8).to_pylist()
+        assert a == b
+
+    def test_int_column_and_nulls(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sketch import approx_topk_frequent
+
+        vals = [7] * 50 + [3] * 30 + [11] * 5 + [None] * 10
+        t = pa.table({"x": pa.array(vals, pa.int64())})
+        out = approx_topk_frequent(
+            ray.data.from_arrow(t).repartition(3), "x", k=2
+        ).to_pylist()
+        assert [r["value"] for r in out] == [7, 3]
+        assert out[0]["est_count"] >= 50 and out[1]["est_count"] >= 30
