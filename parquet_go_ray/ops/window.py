@@ -1,11 +1,13 @@
 """Rolling (sliding-row-frame) window aggregates per key.
 
-SQL's ``MAX(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN k-1
+SQL's ``agg(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN k-1
 PRECEDING AND CURRENT ROW)`` — the per-row streaming-window shape (a
 sensor's k-reading peak, a user's recent-activity high-water mark).
 MIN/MAX frames are float-exact (no re-association), so the DuckDB
-window oracle hash-matches; rolling SUM/AVG would re-associate float
-addition and is deliberately not offered on floats.
+window oracle hash-matches; SUM/MEAN/COUNT run on exact int64
+prefix-sum differences and are offered for integer value columns only
+— rolling SUM over floats would re-associate float addition and is
+deliberately refused.
 
 Plan (the repo's standard grouped shape): project (key, order, value),
 co-locate each key's rows on a coarse ``pk = hash(key) % B`` bucket,
@@ -47,6 +49,9 @@ def _sortable(col) -> np.ndarray:
     return arr.view("i8") if arr.dtype.kind in "Mm" else arr
 
 
+_ROLLING_AGGS = ("max", "min", "sum", "mean", "count")
+
+
 def rolling_max(
     ds: ray.data.Dataset,
     by: str,
@@ -56,13 +61,42 @@ def rolling_max(
     out_col: str = "rolling_max",
     num_buckets: int | None = None,
 ) -> ray.data.Dataset:
-    """Per-``by`` rolling max of ``val_col`` over the current row and
-    the ``window - 1`` preceding rows in ``order_cols`` order. Returns
-    the projected columns plus ``out_col``; null values propagate like
-    SQL MAX (ignored within the frame unless the whole frame is null).
-    """
+    """Per-``by`` rolling max — see :func:`rolling_agg`."""
+    return rolling_agg(
+        ds, by, order_cols, val_col, window, agg="max", out_col=out_col,
+        num_buckets=num_buckets,
+    )
+
+
+def rolling_agg(
+    ds: ray.data.Dataset,
+    by: str,
+    order_cols: list[str],
+    val_col: str,
+    window: int,
+    agg: str = "max",
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Per-``by`` rolling aggregate of ``val_col`` over the current row
+    and the ``window - 1`` preceding rows in ``order_cols`` order —
+    SQL's ``agg(val) OVER (PARTITION BY by ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. Returns the projected
+    columns plus ``out_col``; nulls behave like SQL (ignored within
+    the frame; an all-null frame yields NULL, except COUNT → 0).
+
+    ``max``/``min`` run on floats exactly (no re-association: shifted
+    fmax/fmin passes). ``sum``/``mean`` are offered for INTEGER value
+    columns only — an exact int64 prefix-sum difference per frame;
+    float SUM would re-associate and lose the hash-oracle guarantee
+    (cast explicitly if approximate is acceptable). ``count`` counts
+    non-null frame values for any type."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if agg not in _ROLLING_AGGS:
+        raise ValueError(f"agg must be one of {_ROLLING_AGGS}, got {agg!r}")
+    if out_col is None:
+        out_col = f"rolling_{agg}"
     if num_buckets is None:
         from .bucketing import derive_num_buckets
 
@@ -81,12 +115,19 @@ def rolling_max(
         cols["__pk"] = pa.array(_bucket_hash(keys, num_buckets))
         return pa.table(cols)
 
+    out_type = {
+        "max": pa.float64(), "min": pa.float64(), "mean": pa.float64(),
+        "sum": pa.int64(), "count": pa.int64(),
+    }[agg]
+
     def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = group.num_rows
         out_schema = [by] + order_cols + [val_col]
         if n == 0:
             t = {c: group.column(c).slice(0, 0) for c in out_schema}
-            t[out_col] = pa.array([], pa.float64())
+            t[out_col] = pa.array([], out_type)
             return pa.table(t)
         keys = group.column(by).to_numpy(zero_copy_only=False)
         _, codes = np.unique(keys, return_inverse=True)
@@ -94,31 +135,71 @@ def rolling_max(
                      for c in reversed(order_cols)]
         order = np.lexsort(sort_cols + [codes])
         seg = codes[order]
-        vals = group.column(val_col).to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64, copy=False)[order]
-        # NaN marks SQL NULL here; np.fmax ignores NaN unless both are
-        rmax = vals.copy()
-        for s in range(1, window):
-            same = seg[s:] == seg[:-s]
-            shifted = vals[:-s]
-            tgt = rmax[s:]
-            upd = np.where(same, np.fmax(tgt, shifted), tgt)
-            rmax[s:] = upd
         inv = np.empty(n, dtype=np.int64)
         inv[order] = np.arange(n)
-        t = {c: group.column(c) for c in out_schema}
-        t[out_col] = pa.array(rmax[inv])
-        tbl = pa.table(t)
-        if group.column(val_col).null_count:
-            # restore nulls where the whole frame was null (NaN rmax)
-            mask = np.isnan(rmax[inv])
-            if mask.any():
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index(out_col), out_col,
-                    pa.array(rmax[inv], mask=mask),
+        vcol = group.column(val_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+
+        if agg in ("max", "min"):
+            vals = vcol.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )[order]
+            # NaN marks SQL NULL; fmax/fmin ignore NaN unless both are
+            acc = vals.copy()
+            op = np.fmax if agg == "max" else np.fmin
+            for s in range(1, window):
+                same = seg[s:] == seg[:-s]
+                acc[s:] = np.where(
+                    same, op(acc[s:], vals[:-s]), acc[s:]
                 )
-        return tbl
+            res = acc[inv]
+            mask = np.isnan(res) if vcol.null_count else None
+        else:
+            if agg in ("sum", "mean") and not pa.types.is_integer(
+                vcol.type
+            ):
+                raise ValueError(
+                    f"rolling {agg} is exact-int only (float frames "
+                    "re-associate); cast explicitly if approximate is "
+                    "acceptable"
+                )
+            notnull = (
+                ~np.asarray(pc.is_null(vcol))
+                if vcol.null_count
+                else np.ones(n, dtype=bool)
+            )[order]
+            idx = np.arange(n, dtype=np.int64)
+            new_seg = np.empty(n, dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = seg[1:] != seg[:-1]
+            first = np.maximum.accumulate(np.where(new_seg, idx, 0))
+            start = np.maximum(first, idx - window + 1)
+            C = np.concatenate(
+                ([0], np.cumsum(notnull.astype(np.int64)))
+            )
+            fcnt = C[idx + 1] - C[start]
+            if agg == "count":
+                res = fcnt[inv]
+                mask = None
+            else:
+                vi = pc.fill_null(vcol, 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)[order]
+                S = np.concatenate(([0], np.cumsum(vi)))
+                fsum = S[idx + 1] - S[start]
+                empty = fcnt == 0
+                if agg == "sum":
+                    res = fsum[inv]
+                else:
+                    res = (
+                        fsum / np.maximum(fcnt, 1).astype(np.float64)
+                    )[inv]
+                mask = empty[inv] if empty.any() else None
+
+        t = {c: group.column(c) for c in out_schema}
+        t[out_col] = pa.array(res, out_type, mask=mask)
+        return pa.table(t)
 
     return (
         ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

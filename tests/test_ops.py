@@ -1257,3 +1257,81 @@ class TestApproxTopkFrequent:
         ).to_pylist()
         assert [r["value"] for r in out] == [7, 3]
         assert out[0]["est_count"] >= 50 and out[1]["est_count"] >= 30
+
+
+class TestRollingAgg:
+    """rolling_agg vs DuckDB's window engine, value-for-value, on a
+    keyed table with nulls and ties (r5: sum/mean/count join max)."""
+
+    def _table(self, n=4000, seed=13):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "ts": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(
+                [None if i % 11 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(-50, 1000, n))],
+                pa.int64(),
+            ),
+        })
+
+    @pytest.mark.parametrize("agg,sql", [
+        ("sum", "SUM(v)"),
+        ("count", "COUNT(v)"),
+        ("mean", "AVG(v)"),
+        ("min", "MIN(v)"),
+    ])
+    def test_matches_duckdb_window(self, ray_session, agg, sql):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import rolling_agg
+
+        t = self._table()
+        w = 7
+        got = (
+            rolling_agg(
+                ray.data.from_arrow(t).repartition(5),
+                by="k", order_cols=["ts"], val_col="v", window=w, agg=agg,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            f"""SELECT k, ts, v, {sql} OVER (
+                    PARTITION BY k ORDER BY ts
+                    ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+                ) AS r FROM t ORDER BY k, ts"""
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        g = got[f"rolling_{agg}"]
+        if agg == "mean":
+            import pandas as pd
+
+            pd.testing.assert_series_equal(
+                g, exp["r"], check_names=False, check_dtype=False
+            )
+        else:
+            assert g.fillna(-10**9).tolist() == (
+                exp["r"].fillna(-10**9).tolist()
+            ), agg
+
+    def test_sum_refuses_floats(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.window import rolling_agg
+
+        t = pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1.5, 2.5], pa.float64()),
+        })
+        out = rolling_agg(
+            ray.data.from_arrow(t), by="k", order_cols=["ts"],
+            val_col="v", window=2, agg="sum",
+        )
+        with pytest.raises(Exception, match="exact-int only"):
+            out.take_all()
