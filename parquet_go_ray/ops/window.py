@@ -206,3 +206,80 @@ def rolling_agg(
         .groupby("__pk")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def shift_by_key(
+    ds: ray.data.Dataset,
+    by: str,
+    order_cols: list[str],
+    val_col: str,
+    periods: int = 1,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL LAG (``periods`` > 0) / LEAD (``periods`` < 0) of
+    ``val_col`` within each ``by`` partition in ``order_cols`` order;
+    out-of-partition frames yield NULL. Type-preserving (the shifted
+    column keeps ``val_col``'s Arrow type — values move by ``take``,
+    never through numpy casts). Same coarse-bucket plan as
+    :func:`rolling_agg`."""
+    if periods == 0:
+        raise ValueError("periods must be nonzero (0 is the identity)")
+    if out_col is None:
+        out_col = (f"lag{periods}_{val_col}" if periods > 0
+                   else f"lead{-periods}_{val_col}")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(f"shift_by_key: null partition keys in {by!r}")
+        cols = {by: keys}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        cols[val_col] = batch.column(val_col)
+        cols["__pk"] = pa.array(_bucket_hash(keys, num_buckets))
+        return pa.table(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = group.num_rows
+        out_schema = [by] + order_cols + [val_col]
+        vcol = group.column(val_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if n == 0:
+            t = {c: group.column(c).slice(0, 0) for c in out_schema}
+            t[out_col] = pa.array([], vcol.type)
+            return pa.table(t)
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        sort_cols = [_sortable(group.column(c))
+                     for c in reversed(order_cols)]
+        order = np.lexsort(sort_cols + [codes])
+        seg = codes[order]
+        idx = np.arange(n, dtype=np.int64)
+        src = idx - periods
+        ok = (src >= 0) & (src < n)
+        src_clamped = np.clip(src, 0, n - 1)
+        ok &= seg[src_clamped] == seg
+        # null indices -> null outputs through take
+        take_idx = pa.array(order[src_clamped], mask=~ok)
+        shifted_sorted = pc.take(vcol, take_idx)
+        inv = np.empty(n, dtype=np.int64)
+        inv[order] = idx
+        t = {c: group.column(c) for c in out_schema}
+        t[out_col] = pc.take(shifted_sorted, pa.array(inv))
+        return pa.table(t)
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

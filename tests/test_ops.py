@@ -1335,3 +1335,50 @@ class TestRollingAgg:
         )
         with pytest.raises(Exception, match="exact-int only"):
             out.take_all()
+
+
+class TestShiftByKey:
+    @pytest.mark.parametrize("periods,fn", [(1, "LAG(v, 1)"),
+                                            (3, "LAG(v, 3)"),
+                                            (-2, "LEAD(v, 2)")])
+    def test_matches_duckdb_lag_lead(self, ray_session, periods, fn):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import shift_by_key
+
+        rng = np.random.default_rng(21)
+        n = 3000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(
+                [None if i % 13 == 0 else f"s{int(x)}"
+                 for i, x in enumerate(rng.integers(0, 500, n))],
+            ),
+        })
+        out = shift_by_key(
+            ray.data.from_arrow(t).repartition(4),
+            by="k", order_cols=["ts"], val_col="v", periods=periods,
+            out_col="r",
+        ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+        # type preserved end to end
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            f"""SELECT k, ts, v, {fn} OVER (
+                    PARTITION BY k ORDER BY ts) AS r
+                FROM t ORDER BY k, ts"""
+        ).df()
+        assert out["r"].fillna("§").tolist() == (
+            exp["r"].fillna("§").tolist()
+        )
+
+    def test_rejects_zero_periods(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.window import shift_by_key
+
+        t = pa.table({"k": [1], "ts": [1], "v": [1]})
+        with pytest.raises(ValueError, match="nonzero"):
+            shift_by_key(ray.data.from_arrow(t), "k", ["ts"], "v", 0)
