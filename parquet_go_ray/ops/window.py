@@ -73,7 +73,7 @@ def rolling_agg(
     by: str,
     order_cols: list[str],
     val_col: str,
-    window: int,
+    window: int | None,
     agg: str = "max",
     out_col: str | None = None,
     num_buckets: int | None = None,
@@ -81,9 +81,13 @@ def rolling_agg(
     """Per-``by`` rolling aggregate of ``val_col`` over the current row
     and the ``window - 1`` preceding rows in ``order_cols`` order —
     SQL's ``agg(val) OVER (PARTITION BY by ORDER BY ... ROWS BETWEEN
-    window-1 PRECEDING AND CURRENT ROW)``. Returns the projected
-    columns plus ``out_col``; nulls behave like SQL (ignored within
-    the frame; an all-null frame yields NULL, except COUNT → 0).
+    window-1 PRECEDING AND CURRENT ROW)``. ``window=None`` is the
+    EXPANDING frame (``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+    ROW`` — running totals per key), supported for the prefix-sum
+    aggregates (sum/mean/count; max/min would need an O(frame) pass
+    per row and are refused). Returns the projected columns plus
+    ``out_col``; nulls behave like SQL (ignored within the frame; an
+    all-null frame yields NULL, except COUNT → 0).
 
     ``max``/``min`` run on floats exactly (no re-association: shifted
     fmax/fmin passes). ``sum``/``mean`` are offered for INTEGER value
@@ -91,7 +95,13 @@ def rolling_agg(
     float SUM would re-associate and lose the hash-oracle guarantee
     (cast explicitly if approximate is acceptable). ``count`` counts
     non-null frame values for any type."""
-    if window < 1:
+    if window is None:
+        if agg in ("max", "min"):
+            raise ValueError(
+                f"expanding {agg} needs an O(frame) pass per row; "
+                "give an explicit window"
+            )
+    elif window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if agg not in _ROLLING_AGGS:
         raise ValueError(f"agg must be one of {_ROLLING_AGGS}, got {agg!r}")
@@ -174,7 +184,8 @@ def rolling_agg(
             new_seg[0] = True
             new_seg[1:] = seg[1:] != seg[:-1]
             first = np.maximum.accumulate(np.where(new_seg, idx, 0))
-            start = np.maximum(first, idx - window + 1)
+            start = (first if window is None
+                     else np.maximum(first, idx - window + 1))
             C = np.concatenate(
                 ([0], np.cumsum(notnull.astype(np.int64)))
             )

@@ -1382,3 +1382,42 @@ class TestShiftByKey:
         t = pa.table({"k": [1], "ts": [1], "v": [1]})
         with pytest.raises(ValueError, match="nonzero"):
             shift_by_key(ray.data.from_arrow(t), "k", ["ts"], "v", 0)
+
+
+def test_expanding_frame_matches_duckdb(ray_session):
+    """window=None = running totals per key (UNBOUNDED PRECEDING)."""
+    import duckdb
+    import ray
+
+    from parquet_go_ray.ops.window import rolling_agg
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "ts": pa.array(np.arange(n), pa.int64()),
+        "v": pa.array(
+            [None if i % 9 == 0 else int(x)
+             for i, x in enumerate(rng.integers(0, 100, n))],
+            pa.int64(),
+        ),
+    })
+    got = rolling_agg(
+        ray.data.from_arrow(t).repartition(4), by="k", order_cols=["ts"],
+        val_col="v", window=None, agg="sum",
+    ).to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """SELECT k, ts, v, SUM(v) OVER (
+               PARTITION BY k ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+           FROM t ORDER BY k, ts"""
+    ).df()
+    assert got["rolling_sum"].fillna(-1).tolist() == (
+        exp["r"].fillna(-1).tolist()
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="expanding max"):
+        rolling_agg(ray.data.from_arrow(t), "k", ["ts"], "v", None, "max")
