@@ -786,3 +786,84 @@ def tfidf_topk(
         concurrency=(1, 8),
         num_cpus=1,
     )
+
+
+# --- PII redaction -------------------------------------------------------
+#
+# Training-data hygiene: replace emails / IPv4s / phone-ish numbers /
+# long digit runs with stable placeholder tags before anything
+# downstream sees the text. One Arrow RE2 kernel pass per pattern per
+# batch (replace_substring_regex) — no Python per row; the patterns are
+# RE2-compatible so a DuckDB regexp_replace(..., 'g') oracle replays
+# them exactly.
+
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    # insertion order IS application order: emails first (an email
+    # contains digit runs), then IPs (dotted digits), then bare long
+    # digit runs (account/card numbers) so the looser phone pattern
+    # only sees separator-formatted sequences
+    "email": (
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    "ipv4": (
+        r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+        "<IP>",
+    ),
+    "digits": (
+        r"\b\d{9,}\b",
+        "<NUM>",
+    ),
+    "phone": (
+        r"\+?\d[\d\-\(\) ]{7,}\d",
+        "<PHONE>",
+    ),
+}
+
+
+def redact_pii_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    kinds: tuple = ("email", "ipv4", "digits", "phone"),
+    out_col: str | None = None,
+) -> pa.Table:
+    """Replace PII-shaped spans with placeholder tags; adds
+    ``n_redactions`` (total spans replaced per doc, exact — computed
+    from the count_substring kernel before each replace). Patterns
+    apply in canonical PII_PATTERNS order regardless of the order
+    ``kinds`` is written in — application order changes what the
+    looser patterns get to see."""
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n_red = np.zeros(len(col), dtype=np.int64)
+    for kind in (k for k in PII_PATTERNS if k in kinds):
+        pat, tag = PII_PATTERNS[kind]
+        n_red += np.asarray(
+            pc.count_substring_regex(col, pat), dtype=np.int64
+        )
+        col = pc.replace_substring_regex(col, pat, tag)
+    out = _set(batch, out_col or text_col, col)
+    return _set(out, "n_redactions", pa.array(n_red, pa.int64()))
+
+
+def redact_pii(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    kinds: tuple = ("email", "ipv4", "digits", "phone"),
+    out_col: str | None = None,
+) -> ray.data.Dataset:
+    unknown = set(kinds) - set(PII_PATTERNS)
+    if unknown:  # fail on the driver, not inside every task
+        raise ValueError(f"unknown PII kinds: {sorted(unknown)}")
+    return ds.map_batches(
+        redact_pii_batch,
+        fn_kwargs={"text_col": text_col, "kinds": kinds,
+                   "out_col": out_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

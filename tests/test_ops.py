@@ -1421,3 +1421,59 @@ def test_expanding_frame_matches_duckdb(ray_session):
 
     with _pytest.raises(ValueError, match="expanding max"):
         rolling_agg(ray.data.from_arrow(t), "k", ["ts"], "v", None, "max")
+
+
+class TestRedactPii:
+    DOCS = [
+        "contact me at john.doe+spam@example.co.uk or call +1 (555) 123-4567 now",
+        "server 192.168.10.255 responded; card 4111111111111111 declined",
+        "no pii here at all, just words and 42 small numbers",
+        "",
+        None,
+        "double email a@b.io c@d.org and ip 8.8.8.8",
+    ]
+
+    def test_matches_duckdb_regexp_replace(self, ray_session):
+        """Same RE2 patterns replayed by DuckDB's regexp_replace(...,
+        'g') produce the identical redacted text."""
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import PII_PATTERNS, redact_pii
+
+        t = pa.table({
+            "doc_id": pa.array(range(len(self.DOCS)), pa.int64()),
+            "text": pa.array(self.DOCS),
+        })
+        got = (
+            redact_pii(ray.data.from_arrow(t))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        expr = "coalesce(text, '')"
+        for kind in PII_PATTERNS:
+            pat, tag = PII_PATTERNS[kind]
+            expr = f"regexp_replace({expr}, '{pat}', '{tag}', 'g')"
+        exp = con.sql(
+            f"SELECT doc_id, {expr} AS text FROM t ORDER BY doc_id"
+        ).df()
+        assert got["text"].tolist() == exp["text"].tolist()
+        # the tags actually landed and counts are exact
+        assert "<EMAIL>" in got["text"][0] and "<PHONE>" in got["text"][0]
+        assert "<IP>" in got["text"][1] and "<NUM>" in got["text"][1]
+        assert got["n_redactions"].tolist() == [2, 2, 0, 0, 0, 3]
+
+    def test_subset_kinds_and_out_col(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.text import redact_pii
+
+        t = pa.table({"text": pa.array(["mail x@y.zz ip 1.2.3.4"])})
+        out = redact_pii(
+            ray.data.from_arrow(t), kinds=("email",), out_col="clean"
+        ).take_all()[0]
+        assert out["text"] == "mail x@y.zz ip 1.2.3.4"  #原 column untouched
+        assert out["clean"] == "mail <EMAIL> ip 1.2.3.4"
+        with pytest.raises(ValueError, match="unknown PII kinds"):
+            redact_pii(ray.data.from_arrow(t), kinds=("ssn",))
