@@ -97,3 +97,101 @@ def stratified_sample(
         return batch.filter(pa.array(h < r))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bottom_k_sample(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> pa.Table:
+    """Uniform sample WITHOUT replacement of ``k`` rows (their ``cols``
+    projection), deterministic given ``id_col`` and ``seed`` and
+    identical for ANY partitioning of the input.
+
+    Streaming exact global bottom-k by hash priority (the ivf_sample
+    machinery generalized): each batch keeps only its local bottom-k
+    by ``mix64(id ^ seed)``, and the driver folds the candidate stream
+    — the global bottom-k of per-block bottom-ks IS the exact global
+    bottom-k. Driver memory O(k + one candidate batch); one pass; no
+    shuffle."""
+    from ..ops.text import _mix64
+
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
+    proj = list(dict.fromkeys([id_col] + cols))
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        pri = (_mix64(ids ^ sd) >> np.uint64(11)).astype(
+            np.float64
+        ) * (2.0**-53)
+        kk = min(k, len(pri))
+        idx = (
+            np.sort(np.argpartition(pri, kk - 1)[:kk]) if kk
+            else np.arange(0)
+        )
+        out = batch.select(proj).take(pa.array(idx, pa.int64()))
+        return out.append_column("__pri", pa.array(pri[idx]))
+
+    cand = ds.map_batches(
+        local_bottom, batch_format="pyarrow", zero_copy_batch=True
+    )
+    pool: pa.Table | None = None
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows == 0 or "__pri" not in t.column_names:
+            continue
+        pool = t if pool is None else pa.concat_tables([pool, t])
+        if pool.num_rows > 4 * k:
+            pri = pool.column("__pri").to_numpy(zero_copy_only=False)
+            keep = np.sort(np.argpartition(pri, k - 1)[:k])
+            pool = pool.take(pa.array(keep, pa.int64()))
+    if pool is None:
+        return pa.table({c: pa.array([], pa.int64()) for c in proj})
+    pri = pool.column("__pri").to_numpy(zero_copy_only=False)
+    kk = min(k, pool.num_rows)
+    keep = np.sort(np.argpartition(pri, kk - 1)[:kk]) if kk else []
+    return pool.take(pa.array(keep, pa.int64())).drop_columns(["__pri"])
+
+
+def approx_quantiles_sampled(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    id_col: str,
+    sample_rows: int = 4096,
+    seed: int = 0,
+) -> pa.Table:
+    """Approximate quantiles from a uniform ``bottom_k_sample`` — ONE
+    streaming pass (exact_quantiles takes several refinement passes;
+    at 100 TB a pass is the unit of cost). Rank error ~
+    sqrt(q(1-q)/sample_rows) with high probability (~0.8% at the
+    default 4096). Same "lower" index semantics as exact_quantiles;
+    nulls excluded; deterministic given ``id_col`` and ``seed``."""
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+    sample = bottom_k_sample(ds, [col], id_col, sample_rows, seed=seed)
+    vcol = sample.column(col)
+    if isinstance(vcol, pa.ChunkedArray):
+        vcol = vcol.combine_chunks()
+    if vcol.null_count:
+        vcol = vcol.drop_null()
+    vals = np.sort(vcol.to_numpy(zero_copy_only=False))
+    out_q, out_v = [], []
+    for q in qs:
+        out_q.append(q)
+        if len(vals) == 0:
+            out_v.append(None)
+        else:
+            out_v.append(vals[min(len(vals) - 1, int(q * len(vals)))])
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "value": pa.array(out_v),
+    })

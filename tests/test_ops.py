@@ -1477,3 +1477,66 @@ class TestRedactPii:
         assert out["clean"] == "mail <EMAIL> ip 1.2.3.4"
         with pytest.raises(ValueError, match="unknown PII kinds"):
             redact_pii(ray.data.from_arrow(t), kinds=("ssn",))
+
+
+class TestBottomKSample:
+    def test_exact_partitioning_invariant_and_uniform(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import bottom_k_sample
+        from parquet_go_ray.ops.text import _mix64
+
+        n = 30_000
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(np.arange(n) * 3.5),
+        })
+        s1 = bottom_k_sample(
+            ray.data.from_arrow(t).repartition(3), ["value"], "event_id",
+            512, seed=4,
+        )
+        s2 = bottom_k_sample(
+            ray.data.from_arrow(t).repartition(11), ["value"], "event_id",
+            512, seed=4,
+        )
+        a = sorted(s1.column("event_id").to_pylist())
+        assert a == sorted(s2.column("event_id").to_pylist())
+        assert len(a) == 512
+        # exactness: equals the k globally-smallest priorities
+        sd = np.uint64((4 * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
+        pri = _mix64(np.arange(n, dtype=np.int64).view(np.uint64) ^ sd)
+        expect = sorted(np.argsort(pri)[:512].tolist())
+        assert a == expect
+        # uniformity: spans the id range
+        assert a[0] < n * 0.05 and a[-1] > n * 0.95
+
+    def test_approx_quantiles_error_band(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.quantiles import exact_quantiles
+        from parquet_go_ray.ops.sampling import approx_quantiles_sampled
+
+        rng = np.random.default_rng(6)
+        n = 50_000
+        vals = rng.lognormal(3.0, 1.0, n)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n), pa.int64()),
+            "value": pa.array(vals),
+        })
+        ds = ray.data.from_arrow(t).repartition(6)
+        qs = [0.1, 0.5, 0.9, 0.99]
+        approx = approx_quantiles_sampled(
+            ds, "value", qs, "event_id", sample_rows=4096
+        ).to_pylist()
+        srt = np.sort(vals)
+        for row in approx:
+            # rank error bound: ~3 sigma of sqrt(q(1-q)/k)
+            rank = np.searchsorted(srt, row["value"]) / n
+            q = row["q"]
+            tol = 3 * np.sqrt(max(q * (1 - q), 1e-4) / 4096) + 1e-3
+            assert abs(rank - q) <= tol, (q, rank, tol)
+        # deterministic
+        again = approx_quantiles_sampled(
+            ds, "value", qs, "event_id", sample_rows=4096
+        ).to_pylist()
+        assert again == approx
