@@ -759,19 +759,40 @@ def _q_doc_frequency(sf_dir: str):
     return doc_frequency(ds)
 
 
-def _q_rolling_max_events(sf_dir: str):
-    """Sliding-row-frame window aggregate (ops/window.py rolling_max):
-    per-user max of value over the current + 2 preceding events in
-    (ts, event_id) order — the streaming-window shape, resolved with
-    one coarse-bucket shuffle and k-1 shifted segment-masked maximum
-    passes per bucket (MIN/MAX frames are float-exact, so the DuckDB
-    window oracle hash-matches)."""
-    from parquet_go_ray.ops.window import rolling_max
+def _q_window_functions_events(sf_dir: str):
+    """The whole window-function family in ONE shuffle (ops/window.py
+    window_multi — r5): rolling MAX/COUNT over a 3-row frame, running
+    SUM (expanding frame), LAG/LEAD (type-preserving, the LEAD here
+    shifts a STRING column), ROW_NUMBER, RANK, NTILE(4) and
+    FIRST_VALUE — all over the shared ``PARTITION BY user_id ORDER BY
+    ts, event_id`` spec, resolved with one coarse-bucket all-to-all
+    and one lexsort per bucket (adding a function to the spec costs
+    zero extra shuffles — the real-engine shape). Subsumes r4's
+    ``rolling_max_events`` row (the MAX spec is identical)."""
+    from parquet_go_ray.ops.window import WindowSpec, window_multi
 
     ds = _read(sf_dir, "events",
-               columns=["user_id", "ts", "event_id", "value"])
-    return rolling_max(ds, by="user_id", order_cols=["ts", "event_id"],
-                       val_col="value", window=3)
+               columns=["user_id", "ts", "event_id", "value",
+                        "event_type"])
+    specs = [
+        WindowSpec("max", val_col="value", window=3,
+                   out_col="rolling_max"),
+        WindowSpec("count", val_col="value", window=3,
+                   out_col="rolling_count"),
+        WindowSpec("sum", val_col="event_id", window=None,
+                   out_col="running_sum_eid"),
+        WindowSpec("lag", val_col="value", periods=1,
+                   out_col="lag1_value"),
+        WindowSpec("lead", val_col="event_type", periods=1,
+                   out_col="lead1_event_type"),
+        WindowSpec("row_number", out_col="rn"),
+        WindowSpec("rank", out_col="rnk"),
+        WindowSpec("ntile", n=4, out_col="ntile4"),
+        WindowSpec("first_value", val_col="event_type",
+                   out_col="first_event_type"),
+    ]
+    return window_multi(ds, by="user_id", order_cols=["ts", "event_id"],
+                        specs=specs)
 
 
 def _q_semi_join_lineitem_part(sf_dir: str):
@@ -829,18 +850,6 @@ def _q_shuffle_join_lineitem_orders(sf_dir: str):
     return shuffle_join(li, od, on="l_orderkey", right_on="o_orderkey")
 
 
-def _q_grouped_median_events(sf_dir: str):
-    """Exact per-group median (ops/quantiles.py grouped_quantile):
-    projected (key, value) pairs co-locate on a coarse xxh64 bucket,
-    one lexsort + segment arithmetic answers every group in the bucket
-    vectorized. Same floor((n-1)*q) index semantics as the global
-    operator, so the window-function oracle matches bit-for-bit."""
-    from parquet_go_ray.ops.quantiles import grouped_quantile
-
-    ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    return grouped_quantile(ds, by="event_type", col="value", q=0.5)
-
-
 def _q_stratified_sample_events(sf_dir: str):
     """Stratified sampling (ops/sampling.py): per-event-type keep
     rates — downsample the dominant types, keep the rare — as a pure
@@ -859,16 +868,68 @@ def _q_stratified_sample_events(sf_dir: str):
     )
 
 
-def _q_quantiles_events(sf_dir: str):
-    """Exact distributed quantiles with NO global sort: histogram
-    refinement (ops/quantiles.py) — per-round streaming bin counts
-    through a tiny groupby, candidate range shrinks ~1024x per round,
-    final in-range pull is bounded. Matches SQL's row_number selection
-    at index floor((n-1)*q) exactly."""
-    from parquet_go_ray.ops.quantiles import exact_quantiles
+def _q_quantiles_multi_events(sf_dir: str):
+    """Global exact quantiles AND per-group exact medians in one
+    driver row (r5 consolidation of ``quantiles_events_value`` +
+    ``grouped_median_events`` — both halves still hash-compared
+    value-for-value inside the union). Global: histogram refinement
+    (no global sort, driver holds bin counts only). Grouped: (key,
+    value) pairs co-located on a coarse xxh64 bucket, one lexsort per
+    bucket. Both use the same floor((n-1)*q) index semantics as SQL's
+    row_number selection."""
+    import pyarrow as _pa
 
-    ds = _read(sf_dir, "events", columns=["value"])
-    return exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+    from parquet_go_ray.ops.quantiles import (
+        exact_quantiles,
+        grouped_quantile,
+    )
+
+    glob = exact_quantiles(
+        _read(sf_dir, "events", columns=["value"]),
+        "value", [0.1, 0.5, 0.9, 0.99],
+    )
+    med = (
+        grouped_quantile(
+            _read(sf_dir, "events", columns=["event_type", "value"]),
+            by="event_type", col="value", q=0.5,
+        )
+        .to_pandas()  # one row per event_type — group-count-sized
+    )
+    n_g, n_m = glob.num_rows, len(med)
+    return _pa.table({
+        "scope": _pa.array(
+            ["global"] * n_g + ["by_event_type"] * n_m
+        ),
+        "key": _pa.array(
+            [None] * n_g + med["event_type"].tolist()
+        ),
+        "q": _pa.array(
+            glob.column("q").to_pylist() + [0.5] * n_m,
+            _pa.float64(),
+        ),
+        "value": _pa.array(
+            glob.column("value").to_pylist()
+            + med["value"].tolist(),
+            _pa.float64(),
+        ),
+    })
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII redaction (ops/text.py redact_pii — r5): vectorized RE2
+    replacement of email/IPv4/long-digit-run/phone spans with
+    placeholder tags, in canonical order (emails before dotted-digit
+    IPs before bare digit runs before separator-formatted phones —
+    application order changes what the looser patterns get to see),
+    plus exact per-doc span counts taken on the text state each
+    pattern actually saw. Pure Arrow kernels per batch
+    (count_substring_regex + replace_substring_regex), zero Python
+    per row; the oracle replays the identical staged pipeline through
+    DuckDB's regexp_replace/regexp_extract_all."""
+    from parquet_go_ray.ops.text import redact_pii
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return redact_pii(ds)
 
 
 def _q_range_join_events(sf_dir: str):
@@ -1217,7 +1278,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     roundtrip_customer (type coverage duplicated by orders/lineitem),
     the three rows-only corpus demos of the planted dedups, and
     rolling_fingerprint_documents (fingerprint_documents stays
-    hash-oracled). Hash-oracled queries come first; rows-only last."""
+    hash-oracled). Second r5 pass: ``rolling_max_events`` grew into
+    ``window_functions_events`` (the same MAX spec plus eight more
+    window functions through window_multi — one shuffle for all);
+    ``quantiles_events_value`` + ``grouped_median_events`` unioned
+    into ``quantiles_multi_events`` under a ``scope`` column (both
+    halves still hash-compared value-for-value), freeing one slot for
+    the hash-oracled ``redact_pii_documents``. Hash-oracled queries
+    come first; rows-only last."""
     return {
         "roundtrip_documents": _q_roundtrip("documents"),
         "roundtrip_events": _q_roundtrip("events"),
@@ -1251,15 +1319,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_documents_by_chars": _q_top_documents,
         "grouped_topk_events": _q_grouped_topk_events,
         "range_join_events": _q_range_join_events,
-        "quantiles_events_value": _q_quantiles_events,
+        "quantiles_multi_events": _q_quantiles_multi_events,
         "stratified_sample_events": _q_stratified_sample_events,
         "doc_frequency_documents": _q_doc_frequency,
         "repetition_documents": _q_repetition_documents,
         "tfidf_topk_documents": _q_tfidf_documents,
-        "grouped_median_events": _q_grouped_median_events,
+        "redact_pii_documents": _q_redact_pii,
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
         "semi_anti_join_lineitem_part": _q_semi_anti_join,
-        "rolling_max_events": _q_rolling_max_events,
+        "window_functions_events": _q_window_functions_events,
         "distinct_users_events": _q_distinct_users,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_planted_multi": _q_dedup_planted_multi,
@@ -1271,6 +1339,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": _q_langid,
         "encode_manifest_transcripts": _q_encode_manifest,
     }
+
+
+def _redact_pii_sql() -> str:
+    """Staged CTE chain built from the live PII_PATTERNS so the SQL
+    cannot drift from the engine: each stage counts matches on the
+    text state the pattern actually sees, then replaces (same
+    sequential semantics as redact_pii_batch)."""
+    from parquet_go_ray.ops.text import PII_PATTERNS
+
+    sql = ["WITH s0 AS (SELECT doc_id, coalesce(text, '') AS t,"
+           " CAST(0 AS BIGINT) AS c FROM documents)"]
+    prev = "s0"
+    for i, (pat, tag) in enumerate(PII_PATTERNS.values(), start=1):
+        sql.append(
+            f", s{i} AS (SELECT doc_id,"
+            f" regexp_replace(t, '{pat}', '{tag}', 'g') AS t,"
+            f" c + len(regexp_extract_all(t, '{pat}')) AS c"
+            f" FROM {prev})"
+        )
+        prev = f"s{i}"
+    sql.append(
+        f" SELECT doc_id, t AS text,"
+        f" CAST(c AS BIGINT) AS n_redactions FROM {prev}"
+    )
+    return "".join(sql)
 
 
 def _planted_docs_sql() -> str:
@@ -1387,12 +1480,24 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
         ),
-        "rolling_max_events": (
-            "SELECT user_id, ts, event_id, value,"
-            " MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_max"
+        "window_functions_events": (
+            "SELECT user_id, ts, event_id, value, event_type,"
+            " MAX(value) OVER w3 AS rolling_max,"
+            " COUNT(value) OVER w3 AS rolling_count,"
+            " CAST(SUM(event_id) OVER w AS BIGINT) AS running_sum_eid,"
+            " LAG(value, 1) OVER w AS lag1_value,"
+            " LEAD(event_type, 1) OVER w AS lead1_event_type,"
+            " ROW_NUMBER() OVER w AS rn,"
+            " RANK() OVER w AS rnk,"
+            " NTILE(4) OVER w AS ntile4,"
+            " FIRST_VALUE(event_type) OVER w AS first_event_type"
             " FROM events"
+            " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
+            " w3 AS (PARTITION BY user_id ORDER BY ts, event_id"
+            " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
         ),
+        "redact_pii_documents": _redact_pii_sql(),
         "semi_anti_join_lineitem_part": (
             "SELECT l_orderkey, l_partkey, l_quantity, 'semi' AS kind"
             " FROM lineitem l WHERE EXISTS (SELECT 1 FROM part p"
@@ -1406,13 +1511,6 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_quantity, l_extendedprice,"
             " o_custkey, o_orderstatus FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey"
-        ),
-        "grouped_median_events": (
-            "SELECT event_type, value FROM (SELECT event_type, value,"
-            " row_number() OVER (PARTITION BY event_type ORDER BY value)"
-            " AS rn, count(*) OVER (PARTITION BY event_type) AS n"
-            " FROM events WHERE value IS NOT NULL)"
-            " WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1"
         ),
         "doc_frequency_documents": (
             "SELECT token, count(DISTINCT doc_id) AS df FROM ("
@@ -1450,14 +1548,22 @@ def oracle_sql() -> dict[str, str]:
             " CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 25"
             " ELSE 80 END"
         ),
-        "quantiles_events_value": (
+        "quantiles_multi_events": (
             "WITH s AS (SELECT value,"
             " row_number() OVER (ORDER BY value) AS rn,"
             " count(*) OVER () AS n FROM events WHERE value IS NOT NULL)"
-            " SELECT CAST(qt.q AS DOUBLE) AS q,"
-            " CAST(s.value AS DOUBLE) AS value"
+            " SELECT 'global' AS scope, CAST(NULL AS VARCHAR) AS key,"
+            " CAST(qt.q AS DOUBLE) AS q, CAST(s.value AS DOUBLE) AS value"
             " FROM (VALUES (0.1), (0.5), (0.9), (0.99)) qt(q) JOIN s"
             " ON s.rn = CAST(floor((s.n - 1) * qt.q) AS BIGINT) + 1"
+            " UNION ALL"
+            " SELECT 'by_event_type' AS scope, event_type AS key,"
+            " CAST(0.5 AS DOUBLE) AS q, CAST(value AS DOUBLE) AS value"
+            " FROM (SELECT event_type, value,"
+            " row_number() OVER (PARTITION BY event_type ORDER BY value)"
+            " AS rn, count(*) OVER (PARTITION BY event_type) AS n"
+            " FROM events WHERE value IS NOT NULL)"
+            " WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1"
         ),
         "range_join_events": (
             "SELECT e.event_id, e.value, r.bucket FROM events e JOIN"

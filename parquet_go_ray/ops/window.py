@@ -1,24 +1,32 @@
-"""Rolling (sliding-row-frame) window aggregates per key.
+"""Window functions per key — N functions for the price of ONE shuffle.
 
-SQL's ``agg(val) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN k-1
-PRECEDING AND CURRENT ROW)`` — the per-row streaming-window shape (a
-sensor's k-reading peak, a user's recent-activity high-water mark).
-MIN/MAX frames are float-exact (no re-association), so the DuckDB
-window oracle hash-matches; SUM/MEAN/COUNT run on exact int64
-prefix-sum differences and are offered for integer value columns only
-— rolling SUM over floats would re-associate float addition and is
-deliberately refused.
+SQL's ``fn(val) OVER (PARTITION BY key ORDER BY ...)`` family: rolling
+and expanding frame aggregates (``ROWS BETWEEN k-1 PRECEDING AND
+CURRENT ROW`` / ``UNBOUNDED PRECEDING``), LAG/LEAD, the rank functions
+(ROW_NUMBER / RANK / DENSE_RANK / NTILE) and FIRST_VALUE. Real engines
+resolve every window function that shares a partition+order spec in a
+single partition-sort pass; :func:`window_multi` is that shape on Ray
+Data — co-locate each key's rows on a coarse ``pk = hash(key) % B``
+bucket (ONE all-to-all for the whole spec list), then resolve ALL of a
+bucket's keys and ALL requested functions with one lexsort + segment
+arithmetic (no per-row Python, no per-key tasks). At 100 TB, adding a
+window function to an existing spec costs zero extra shuffles.
 
-Plan (the repo's standard grouped shape): project (key, order, value),
-co-locate each key's rows on a coarse ``pk = hash(key) % B`` bucket,
-and resolve ALL of a bucket's keys in one vectorized pass — one
-lexsort, then ``k-1`` shifted segment-masked ``np.maximum`` passes
-(window sizes are small constants; no per-row Python, no per-key
-tasks). The ordering must be total per key (pass a tiebreak column) —
-otherwise frame contents are implementation-defined, same as SQL.
+Frame-exactness contract (what lets the DuckDB oracle hash-match):
+MIN/MAX frames are float-exact (shifted fmax/fmin — no
+re-association); SUM/MEAN run on exact int64 prefix-sum differences
+and are offered for integer value columns only — rolling SUM over
+floats would re-associate float addition and is deliberately refused.
+LAG/LEAD move values by Arrow ``take`` (type-preserving, never through
+numpy casts). The ordering must be total per key (pass a tiebreak
+column) — otherwise frame contents are implementation-defined, same
+as SQL; RANK/DENSE_RANK tie groups are rows whose order columns
+compare equal (order columns must be non-null for the rank kinds).
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -49,7 +57,76 @@ def _sortable(col) -> np.ndarray:
     return arr.view("i8") if arr.dtype.kind in "Mm" else arr
 
 
-_ROLLING_AGGS = ("max", "min", "sum", "mean", "count")
+_FRAME_AGGS = ("max", "min", "sum", "mean", "count")
+_SHIFTS = ("lag", "lead")
+_RANKS = ("row_number", "rank", "dense_rank", "ntile")
+_KINDS = _FRAME_AGGS + _SHIFTS + _RANKS + ("first_value",)
+
+
+@dataclass(frozen=True)
+class WindowSpec:
+    """One window function over the shared (by, order_cols) spec.
+
+    kind: one of max/min/sum/mean/count (frame aggregates; ``window``
+    rows ending at the current row, ``window=None`` = expanding),
+    lag/lead (``periods`` rows, type-preserving), row_number / rank /
+    dense_rank / ntile (``n`` buckets), first_value (partition-start
+    value, type-preserving)."""
+
+    kind: str
+    val_col: str | None = None
+    window: int | None = None
+    periods: int = 1
+    n: int | None = None
+    out_col: str | None = None
+
+    def resolved_out_col(self) -> str:
+        if self.out_col is not None:
+            return self.out_col
+        if self.kind in _FRAME_AGGS:
+            return f"rolling_{self.kind}"
+        if self.kind == "lag":
+            return f"lag{self.periods}_{self.val_col}"
+        if self.kind == "lead":
+            return f"lead{self.periods}_{self.val_col}"
+        if self.kind == "ntile":
+            return f"ntile{self.n}"
+        if self.kind == "first_value":
+            return f"first_{self.val_col}"
+        return self.kind
+
+    def validate(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(
+                f"kind must be one of {_KINDS}, got {self.kind!r}"
+            )
+        if self.kind in _FRAME_AGGS:
+            if self.val_col is None:
+                raise ValueError(f"{self.kind} needs val_col")
+            if self.window is None:
+                if self.kind in ("max", "min"):
+                    raise ValueError(
+                        f"expanding {self.kind} needs an O(frame) pass "
+                        "per row; give an explicit window"
+                    )
+            elif self.window < 1:
+                raise ValueError(
+                    f"window must be >= 1, got {self.window}"
+                )
+        elif self.kind in _SHIFTS:
+            if self.val_col is None:
+                raise ValueError(f"{self.kind} needs val_col")
+            if self.periods < 1:
+                raise ValueError(
+                    f"{self.kind} periods must be >= 1, got "
+                    f"{self.periods} (use the other kind to flip "
+                    "direction)"
+                )
+        elif self.kind == "ntile":
+            if self.n is None or self.n < 1:
+                raise ValueError(f"ntile needs n >= 1, got {self.n}")
+        elif self.kind == "first_value" and self.val_col is None:
+            raise ValueError("first_value needs val_col")
 
 
 def rolling_max(
@@ -87,136 +164,14 @@ def rolling_agg(
     aggregates (sum/mean/count; max/min would need an O(frame) pass
     per row and are refused). Returns the projected columns plus
     ``out_col``; nulls behave like SQL (ignored within the frame; an
-    all-null frame yields NULL, except COUNT → 0).
-
-    ``max``/``min`` run on floats exactly (no re-association: shifted
-    fmax/fmin passes). ``sum``/``mean`` are offered for INTEGER value
-    columns only — an exact int64 prefix-sum difference per frame;
-    float SUM would re-associate and lose the hash-oracle guarantee
-    (cast explicitly if approximate is acceptable). ``count`` counts
-    non-null frame values for any type."""
-    if window is None:
-        if agg in ("max", "min"):
-            raise ValueError(
-                f"expanding {agg} needs an O(frame) pass per row; "
-                "give an explicit window"
-            )
-    elif window < 1:
-        raise ValueError(f"window must be >= 1, got {window}")
-    if agg not in _ROLLING_AGGS:
-        raise ValueError(f"agg must be one of {_ROLLING_AGGS}, got {agg!r}")
-    if out_col is None:
-        out_col = f"rolling_{agg}"
-    if num_buckets is None:
-        from .bucketing import derive_num_buckets
-
-        num_buckets = derive_num_buckets(ds)
-
-    def project(batch: pa.Table) -> pa.Table:
-        keys = batch.column(by)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        if keys.null_count:
-            raise ValueError(f"rolling_max: null partition keys in {by!r}")
-        cols = {by: keys}
-        for c in order_cols:
-            cols[c] = batch.column(c)
-        cols[val_col] = batch.column(val_col)
-        cols["__pk"] = pa.array(_bucket_hash(keys, num_buckets))
-        return pa.table(cols)
-
-    out_type = {
-        "max": pa.float64(), "min": pa.float64(), "mean": pa.float64(),
-        "sum": pa.int64(), "count": pa.int64(),
-    }[agg]
-
-    def per_bucket(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        n = group.num_rows
-        out_schema = [by] + order_cols + [val_col]
-        if n == 0:
-            t = {c: group.column(c).slice(0, 0) for c in out_schema}
-            t[out_col] = pa.array([], out_type)
-            return pa.table(t)
-        keys = group.column(by).to_numpy(zero_copy_only=False)
-        _, codes = np.unique(keys, return_inverse=True)
-        sort_cols = [_sortable(group.column(c))
-                     for c in reversed(order_cols)]
-        order = np.lexsort(sort_cols + [codes])
-        seg = codes[order]
-        inv = np.empty(n, dtype=np.int64)
-        inv[order] = np.arange(n)
-        vcol = group.column(val_col)
-        if isinstance(vcol, pa.ChunkedArray):
-            vcol = vcol.combine_chunks()
-
-        if agg in ("max", "min"):
-            vals = vcol.to_numpy(zero_copy_only=False).astype(
-                np.float64, copy=False
-            )[order]
-            # NaN marks SQL NULL; fmax/fmin ignore NaN unless both are
-            acc = vals.copy()
-            op = np.fmax if agg == "max" else np.fmin
-            for s in range(1, window):
-                same = seg[s:] == seg[:-s]
-                acc[s:] = np.where(
-                    same, op(acc[s:], vals[:-s]), acc[s:]
-                )
-            res = acc[inv]
-            mask = np.isnan(res) if vcol.null_count else None
-        else:
-            if agg in ("sum", "mean") and not pa.types.is_integer(
-                vcol.type
-            ):
-                raise ValueError(
-                    f"rolling {agg} is exact-int only (float frames "
-                    "re-associate); cast explicitly if approximate is "
-                    "acceptable"
-                )
-            notnull = (
-                ~np.asarray(pc.is_null(vcol))
-                if vcol.null_count
-                else np.ones(n, dtype=bool)
-            )[order]
-            idx = np.arange(n, dtype=np.int64)
-            new_seg = np.empty(n, dtype=bool)
-            new_seg[0] = True
-            new_seg[1:] = seg[1:] != seg[:-1]
-            first = np.maximum.accumulate(np.where(new_seg, idx, 0))
-            start = (first if window is None
-                     else np.maximum(first, idx - window + 1))
-            C = np.concatenate(
-                ([0], np.cumsum(notnull.astype(np.int64)))
-            )
-            fcnt = C[idx + 1] - C[start]
-            if agg == "count":
-                res = fcnt[inv]
-                mask = None
-            else:
-                vi = pc.fill_null(vcol, 0).to_numpy(
-                    zero_copy_only=False
-                ).astype(np.int64, copy=False)[order]
-                S = np.concatenate(([0], np.cumsum(vi)))
-                fsum = S[idx + 1] - S[start]
-                empty = fcnt == 0
-                if agg == "sum":
-                    res = fsum[inv]
-                else:
-                    res = (
-                        fsum / np.maximum(fcnt, 1).astype(np.float64)
-                    )[inv]
-                mask = empty[inv] if empty.any() else None
-
-        t = {c: group.column(c) for c in out_schema}
-        t[out_col] = pa.array(res, out_type, mask=mask)
-        return pa.table(t)
-
-    return (
-        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__pk")
-        .map_groups(per_bucket, batch_format="pyarrow")
-    )
+    all-null frame yields NULL, except COUNT → 0). Thin wrapper over
+    :func:`window_multi` with a single spec."""
+    if agg not in _FRAME_AGGS:
+        raise ValueError(f"agg must be one of {_FRAME_AGGS}, got {agg!r}")
+    spec = WindowSpec(kind=agg, val_col=val_col, window=window,
+                      out_col=out_col or f"rolling_{agg}")
+    return window_multi(ds, by, order_cols, [spec],
+                        num_buckets=num_buckets)
 
 
 def shift_by_key(
@@ -232,13 +187,44 @@ def shift_by_key(
     ``val_col`` within each ``by`` partition in ``order_cols`` order;
     out-of-partition frames yield NULL. Type-preserving (the shifted
     column keeps ``val_col``'s Arrow type — values move by ``take``,
-    never through numpy casts). Same coarse-bucket plan as
-    :func:`rolling_agg`."""
+    never through numpy casts). Thin wrapper over
+    :func:`window_multi` with a single spec."""
     if periods == 0:
         raise ValueError("periods must be nonzero (0 is the identity)")
-    if out_col is None:
-        out_col = (f"lag{periods}_{val_col}" if periods > 0
-                   else f"lead{-periods}_{val_col}")
+    spec = WindowSpec(
+        kind="lag" if periods > 0 else "lead",
+        val_col=val_col, periods=abs(periods), out_col=out_col,
+    )
+    return window_multi(ds, by, order_cols, [spec],
+                        num_buckets=num_buckets)
+
+
+def window_multi(
+    ds: ray.data.Dataset,
+    by: str,
+    order_cols: list[str],
+    specs: list[WindowSpec],
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Resolve every window function in ``specs`` over the shared
+    ``PARTITION BY by ORDER BY order_cols`` spec in ONE coarse-bucket
+    shuffle and ONE lexsort per bucket. Output: ``by`` + ``order_cols``
+    + each distinct ``val_col`` + one column per spec."""
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    for s in specs:
+        s.validate()
+    out_names = [s.resolved_out_col() for s in specs]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate out_col names: {out_names}")
+    val_cols: list[str] = []
+    for s in specs:
+        if s.val_col is not None and s.val_col not in val_cols:
+            val_cols.append(s.val_col)
+    base_cols = [by] + [c for c in order_cols if c != by]
+    proj_vals = [c for c in val_cols if c not in base_cols]
+    out_schema = base_cols + proj_vals
+    need_rank = any(s.kind in ("rank", "dense_rank") for s in specs)
     if num_buckets is None:
         from .bucketing import derive_num_buckets
 
@@ -249,44 +235,211 @@ def shift_by_key(
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         if keys.null_count:
-            raise ValueError(f"shift_by_key: null partition keys in {by!r}")
+            raise ValueError(
+                f"window_multi: null partition keys in {by!r}"
+            )
         cols = {by: keys}
-        for c in order_cols:
+        for c in out_schema[1:]:
             cols[c] = batch.column(c)
-        cols[val_col] = batch.column(val_col)
         cols["__pk"] = pa.array(_bucket_hash(keys, num_buckets))
         return pa.table(cols)
+
+    def _agg_out_type(kind: str) -> pa.DataType:
+        return {
+            "max": pa.float64(), "min": pa.float64(),
+            "mean": pa.float64(), "sum": pa.int64(),
+            "count": pa.int64(),
+        }[kind]
 
     def per_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         n = group.num_rows
-        out_schema = [by] + order_cols + [val_col]
-        vcol = group.column(val_col)
-        if isinstance(vcol, pa.ChunkedArray):
-            vcol = vcol.combine_chunks()
+
+        def vcol_of(name: str) -> pa.Array:
+            c = group.column(name)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                else c
+
         if n == 0:
             t = {c: group.column(c).slice(0, 0) for c in out_schema}
-            t[out_col] = pa.array([], vcol.type)
+            for s in specs:
+                if s.kind in _FRAME_AGGS:
+                    typ = _agg_out_type(s.kind)
+                elif s.kind in _RANKS:
+                    typ = pa.int64()
+                else:  # lag/lead/first_value: type-preserving
+                    typ = vcol_of(s.val_col).type
+                t[s.resolved_out_col()] = pa.array([], typ)
             return pa.table(t)
+
         keys = group.column(by).to_numpy(zero_copy_only=False)
         _, codes = np.unique(keys, return_inverse=True)
-        sort_cols = [_sortable(group.column(c))
-                     for c in reversed(order_cols)]
-        order = np.lexsort(sort_cols + [codes])
+        sorted_order_vals = {
+            c: _sortable(group.column(c)) for c in order_cols
+        }
+        order = np.lexsort(
+            [sorted_order_vals[c] for c in reversed(order_cols)]
+            + [codes]
+        )
         seg = codes[order]
         idx = np.arange(n, dtype=np.int64)
-        src = idx - periods
-        ok = (src >= 0) & (src < n)
-        src_clamped = np.clip(src, 0, n - 1)
-        ok &= seg[src_clamped] == seg
-        # null indices -> null outputs through take
-        take_idx = pa.array(order[src_clamped], mask=~ok)
-        shifted_sorted = pc.take(vcol, take_idx)
         inv = np.empty(n, dtype=np.int64)
         inv[order] = idx
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = seg[1:] != seg[:-1]
+        first = np.maximum.accumulate(np.where(new_seg, idx, 0))
+
+        # per-row segment length (ntile needs it): boundary diffs
+        seg_starts = np.flatnonzero(new_seg)
+        seg_lens = np.diff(np.append(seg_starts, n))
+        seg_local = np.cumsum(new_seg) - 1
+        cnt = seg_lens[seg_local]
+
+        if need_rank:
+            # tie group = rows whose order columns compare equal
+            # within the segment (order cols must be non-null; NaN
+            # order keys would each form their own tie group)
+            tiestart = new_seg.copy()
+            for c in order_cols:
+                ov = sorted_order_vals[c][order]
+                tiestart[1:] |= ov[1:] != ov[:-1]
+            tie_first = np.maximum.accumulate(
+                np.where(tiestart, idx, 0)
+            )
+            dr = np.cumsum(tiestart)
+
+        # cache per-val-col sorted state shared across specs
+        sorted_f64: dict[str, np.ndarray] = {}
+        prefix_cnt: dict[str, np.ndarray] = {}
+        prefix_sum: dict[str, np.ndarray] = {}
+
+        def f64_sorted(name: str) -> np.ndarray:
+            if name not in sorted_f64:
+                sorted_f64[name] = vcol_of(name).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64, copy=False)[order]
+            return sorted_f64[name]
+
+        def cnt_prefix(name: str) -> np.ndarray:
+            """Cumsum of non-null counts in sorted domain (leading 0);
+            any value type (COUNT over strings is legal)."""
+            if name not in prefix_cnt:
+                vcol = vcol_of(name)
+                notnull = (
+                    ~np.asarray(pc.is_null(vcol))
+                    if vcol.null_count
+                    else np.ones(n, dtype=bool)
+                )[order]
+                prefix_cnt[name] = np.concatenate(
+                    ([0], np.cumsum(notnull.astype(np.int64)))
+                )
+            return prefix_cnt[name]
+
+        def sum_prefix(name: str) -> np.ndarray:
+            """Cumsum of null-zeroed int64 values in sorted domain
+            (leading 0); integer value columns only (checked at the
+            spec site)."""
+            if name not in prefix_sum:
+                vi = pc.fill_null(vcol_of(name), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64, copy=False)[order]
+                prefix_sum[name] = np.concatenate(
+                    ([0], np.cumsum(vi))
+                )
+            return prefix_sum[name]
+
         t = {c: group.column(c) for c in out_schema}
-        t[out_col] = pc.take(shifted_sorted, pa.array(inv))
+        for s in specs:
+            oc = s.resolved_out_col()
+            if s.kind in ("max", "min"):
+                vcol = vcol_of(s.val_col)
+                vals = f64_sorted(s.val_col)
+                # NaN marks SQL NULL; fmax/fmin ignore NaN unless both
+                acc = vals.copy()
+                op = np.fmax if s.kind == "max" else np.fmin
+                for sh in range(1, s.window):
+                    same = seg[sh:] == seg[:-sh]
+                    acc[sh:] = np.where(
+                        same, op(acc[sh:], vals[:-sh]), acc[sh:]
+                    )
+                res = acc[inv]
+                mask = np.isnan(res) if vcol.null_count else None
+                t[oc] = pa.array(res, pa.float64(), mask=mask)
+            elif s.kind in ("sum", "mean", "count"):
+                vcol = vcol_of(s.val_col)
+                if s.kind in ("sum", "mean") and not pa.types.is_integer(
+                    vcol.type
+                ):
+                    raise ValueError(
+                        f"rolling {s.kind} is exact-int only (float "
+                        "frames re-associate); cast explicitly if "
+                        "approximate is acceptable"
+                    )
+                start = (first if s.window is None
+                         else np.maximum(first, idx - s.window + 1))
+                C = cnt_prefix(s.val_col)
+                fcnt = C[idx + 1] - C[start]
+                if s.kind == "count":
+                    t[oc] = pa.array(fcnt[inv], pa.int64())
+                else:
+                    S = sum_prefix(s.val_col)
+                    fsum = S[idx + 1] - S[start]
+                    empty = fcnt == 0
+                    if s.kind == "sum":
+                        res = fsum[inv]
+                        typ = pa.int64()
+                    else:
+                        res = (
+                            fsum / np.maximum(fcnt, 1).astype(
+                                np.float64
+                            )
+                        )[inv]
+                        typ = pa.float64()
+                    mask = empty[inv] if empty.any() else None
+                    t[oc] = pa.array(res, typ, mask=mask)
+            elif s.kind in _SHIFTS:
+                vcol = vcol_of(s.val_col)
+                p = s.periods if s.kind == "lag" else -s.periods
+                src = idx - p
+                ok = (src >= 0) & (src < n)
+                src_clamped = np.clip(src, 0, n - 1)
+                ok &= seg[src_clamped] == seg
+                # null indices -> null outputs through take
+                take_idx = pa.array(order[src_clamped], mask=~ok)
+                shifted_sorted = pc.take(vcol, take_idx)
+                t[oc] = pc.take(shifted_sorted, pa.array(inv))
+            elif s.kind == "row_number":
+                t[oc] = pa.array((idx - first + 1)[inv], pa.int64())
+            elif s.kind == "rank":
+                t[oc] = pa.array(
+                    (tie_first - first + 1)[inv], pa.int64()
+                )
+            elif s.kind == "dense_rank":
+                t[oc] = pa.array((dr - dr[first] + 1)[inv], pa.int64())
+            elif s.kind == "ntile":
+                # SQL NTILE: the first (cnt % n) tiles get
+                # ceil(cnt/n) rows, the rest floor(cnt/n)
+                rn0 = idx - first
+                small = cnt // s.n
+                big = cnt % s.n
+                size_big = small + 1
+                cut = big * size_big
+                tile = np.where(
+                    rn0 < cut,
+                    rn0 // size_big,
+                    big + (rn0 - cut) // np.maximum(small, 1),
+                )
+                t[oc] = pa.array((tile + 1)[inv], pa.int64())
+            elif s.kind == "first_value":
+                vcol = vcol_of(s.val_col)
+                # value at partition start (expanding-frame
+                # FIRST_VALUE); type-preserving via take
+                t[oc] = pc.take(
+                    pc.take(vcol, pa.array(order[first])),
+                    pa.array(inv),
+                )
         return pa.table(t)
 
     return (

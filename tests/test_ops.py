@@ -1423,6 +1423,157 @@ def test_expanding_frame_matches_duckdb(ray_session):
         rolling_agg(ray.data.from_arrow(t), "k", ["ts"], "v", None, "max")
 
 
+class TestWindowMulti:
+    """window_multi vs DuckDB's window engine: every function family
+    resolved in ONE shuffle + one lexsort per bucket, value-for-value.
+    The tie-heavy order column exercises RANK vs DENSE_RANK vs
+    ROW_NUMBER divergence; uneven partition sizes exercise NTILE's
+    first-(cnt%n)-tiles-get-one-extra rule."""
+
+    def _table(self, n=3000, seed=29):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "k": pa.array(rng.integers(0, 23, n), pa.int64()),
+            # coarse order key -> many ties within a partition
+            "o": pa.array(rng.integers(0, 50, n), pa.int64()),
+            # unique tiebreak for the total-order functions
+            "i": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(
+                [None if i % 13 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(-9, 900, n))],
+                pa.int64(),
+            ),
+            "s": pa.array([f"s{i % 17}" for i in range(n)]),
+        })
+
+    def test_all_kinds_match_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        t = self._table()
+        specs = [
+            WindowSpec("max", val_col="v", window=5, out_col="rmax"),
+            WindowSpec("sum", val_col="v", window=5, out_col="rsum"),
+            WindowSpec("count", val_col="s", window=5, out_col="rcnt"),
+            WindowSpec("lag", val_col="v", periods=2, out_col="lag2"),
+            WindowSpec("lead", val_col="s", periods=1, out_col="lead1"),
+            WindowSpec("row_number", out_col="rn"),
+            WindowSpec("ntile", n=4, out_col="nt"),
+            WindowSpec("first_value", val_col="s", out_col="fv"),
+        ]
+        got = (
+            window_multi(
+                ray.data.from_arrow(t).repartition(4),
+                by="k", order_cols=["o", "i"], specs=specs,
+            )
+            .to_pandas()
+            .sort_values(["k", "o", "i"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT k, o, i, v, s,
+                 MAX(v) OVER w5 AS rmax,
+                 SUM(v) OVER w5 AS rsum,
+                 COUNT(s) OVER w5 AS rcnt,
+                 LAG(v, 2) OVER w AS lag2,
+                 LEAD(s, 1) OVER w AS lead1,
+                 ROW_NUMBER() OVER w AS rn,
+                 NTILE(4) OVER w AS nt,
+                 FIRST_VALUE(s) OVER w AS fv
+               FROM t
+               WINDOW w AS (PARTITION BY k ORDER BY o, i),
+                 w5 AS (PARTITION BY k ORDER BY o, i
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               ORDER BY k, o, i"""
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        for c in ("rmax", "rsum", "rcnt", "lag2", "rn", "nt"):
+            assert got[c].fillna(-10**9).tolist() == (
+                exp[c].fillna(-10**9).tolist()
+            ), c
+        for c in ("lead1", "fv"):
+            assert got[c].fillna("<N>").tolist() == (
+                exp[c].fillna("<N>").tolist()
+            ), c
+        # shifted/first_value string columns stayed Arrow strings
+        assert got["lead1"].dtype == object and got["fv"].dtype == object
+
+    def test_rank_dense_rank_with_ties(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        t = self._table(n=2000, seed=7)
+        got = (
+            window_multi(
+                ray.data.from_arrow(t).repartition(3),
+                by="k", order_cols=["o"],  # ties on purpose
+                specs=[
+                    WindowSpec("rank", out_col="r"),
+                    WindowSpec("dense_rank", out_col="dr"),
+                ],
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT k, o,
+                 RANK() OVER w AS r, DENSE_RANK() OVER w AS dr
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+               ORDER BY k, o"""
+        ).df()
+        assert got["r"].tolist() == exp["r"].tolist()
+        assert got["dr"].tolist() == exp["dr"].tolist()
+
+    def test_one_shuffle_for_all_specs(self, ray_session):
+        """The whole spec list compiles to exactly one groupby
+        all-to-all (the point of the operator)."""
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        t = self._table(n=500)
+        out = window_multi(
+            ray.data.from_arrow(t), by="k", order_cols=["o", "i"],
+            specs=[
+                WindowSpec("max", val_col="v", window=3),
+                WindowSpec("row_number"),
+                WindowSpec("lag", val_col="v"),
+            ],
+        )
+        plan = repr(out)
+        assert plan.count("Aggregate") + plan.count("Sort") <= 1
+
+    def test_spec_validation(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        t = self._table(n=10)
+        ds = ray.data.from_arrow(t)
+        with pytest.raises(ValueError, match="kind must be"):
+            window_multi(ds, "k", ["i"], [WindowSpec("median")])
+        with pytest.raises(ValueError, match="needs val_col"):
+            window_multi(ds, "k", ["i"], [WindowSpec("sum")])
+        with pytest.raises(ValueError, match="ntile needs n"):
+            window_multi(ds, "k", ["i"], [WindowSpec("ntile")])
+        with pytest.raises(ValueError, match="duplicate out_col"):
+            window_multi(ds, "k", ["i"], [
+                WindowSpec("row_number", out_col="x"),
+                WindowSpec("rank", out_col="x"),
+            ])
+        with pytest.raises(ValueError, match="non-empty"):
+            window_multi(ds, "k", ["i"], [])
+
+
 class TestRedactPii:
     DOCS = [
         "contact me at john.doe+spam@example.co.uk or call +1 (555) 123-4567 now",
