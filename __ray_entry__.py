@@ -231,45 +231,87 @@ def _q_fingerprint(sf_dir: str):
     )
 
 
-def _q_events_agg(sf_dir: str):
-    ds = _read(sf_dir, "events")
-    agg = ds.groupby("event_type").aggregate(
+def _q_groupby_agg_multi(sf_dir: str):
+    """Native Ray Data groupby aggregates over BOTH fact tables in one
+    driver row (r5 consolidation of ``events_agg`` + ``lineitem_agg``
+    under a ``src`` column — each half still hash-compared
+    value-for-value inside the union): events by event_type
+    (count/min/max) and lineitem by returnflag+linestatus
+    (sum/count), harmonized to (src, key1, key2, n, v1, v2)."""
+    ev = _read(sf_dir, "events").groupby("event_type").aggregate(
         ray.data.aggregate.Count(),
         ray.data.aggregate.Min("value"),
         ray.data.aggregate.Max("value"),
     )
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch.column("event_type"),
-                "n": batch.column("count()").cast(pa.int64()),
-                "value_min": batch.column("min(value)"),
-                "value_max": batch.column("max(value)"),
-            }
-        )
+    def ev_shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": pa.array(["events"] * n),
+            "key1": batch.column("event_type"),
+            "key2": pa.nulls(n, pa.string()),
+            "n": batch.column("count()").cast(pa.int64()),
+            "v1": batch.column("min(value)"),
+            "v2": batch.column("max(value)"),
+        })
 
-    return agg.map_batches(rename, batch_format="pyarrow")
-
-
-def _q_lineitem_agg(sf_dir: str):
-    ds = _read(sf_dir, "lineitem")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    li = _read(sf_dir, "lineitem").groupby(
+        ["l_returnflag", "l_linestatus"]
+    ).aggregate(
         ray.data.aggregate.Sum("l_quantity"),
         ray.data.aggregate.Count(),
     )
 
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": batch.column("l_returnflag"),
-                "l_linestatus": batch.column("l_linestatus"),
-                "sum_qty": batch.column("sum(l_quantity)"),
-                "count_order": batch.column("count()").cast(pa.int64()),
-            }
+    def li_shape(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "src": pa.array(["lineitem"] * n),
+            "key1": batch.column("l_returnflag"),
+            "key2": batch.column("l_linestatus"),
+            "n": batch.column("count()").cast(pa.int64()),
+            "v1": batch.column("sum(l_quantity)").cast(pa.float64()),
+            "v2": pa.nulls(n, pa.float64()),
+        })
+
+    return ev.map_batches(ev_shape, batch_format="pyarrow").union(
+        li.map_batches(li_shape, batch_format="pyarrow")
+    )
+
+
+def _q_outer_join_customer_orders(sf_dir: str):
+    """FULL OUTER shuffle hash join (ops/join.py shuffle_join
+    how='full' — r5): customer ⟗ orders on custkey. Unmatched
+    detection is two extra searchsorted probes per bucket — outer
+    semantics cost no additional shuffle over the inner plan (ONE
+    envelope-union all-to-all). The right key travels in the left key
+    slot, matching SQL's coalesce(c_custkey, o_custkey). Both sides
+    are filtered (customers to 2/3 of keys, orders to the pricey
+    half) so BOTH unmatched paths emit real rows in the gate — the
+    synthetic corpus gives every customer at least one order, which
+    would otherwise degenerate this row to an inner join."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.ops.join import shuffle_join
+
+    def cu_filter(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(keys % 3 != 0))
+
+    def od_filter(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.greater(b.column("o_totalprice"), pa.scalar(150000.0))
         )
 
-    return agg.map_batches(rename, batch_format="pyarrow")
+    cu = _read(sf_dir, "customer",
+               columns=["c_custkey", "c_mktsegment"]).map_batches(
+        cu_filter, batch_format="pyarrow", zero_copy_batch=True)
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderstatus",
+                        "o_totalprice"]).map_batches(
+        od_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).drop_columns(["o_totalprice"])
+    return shuffle_join(cu, od, on="c_custkey", right_on="o_custkey",
+                        how="full")
 
 
 def _q_events_filter(sf_dir: str):
@@ -1299,8 +1341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": _q_token_count,
         "quality_normalize_documents": _q_quality_normalize,
         "fingerprint_documents": _q_fingerprint,
-        "events_agg": _q_events_agg,
-        "lineitem_agg": _q_lineitem_agg,
+        "groupby_agg_multi": _q_groupby_agg_multi,
+        "outer_join_customer_orders": _q_outer_join_customer_orders,
         "events_filter_click": _q_events_filter,
         "decode_filter_events": _q_decode_filter_events,
         "native_read_lineitem": _q_native_read_lineitem,
@@ -1437,14 +1479,26 @@ def oracle_sql() -> dict[str, str]:
             " WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
             " 1, 8)) AS UBIGINT) % 100 < 37"
         ),
-        "events_agg": (
-            "SELECT event_type, count(*) AS n, min(value) AS value_min,"
-            " max(value) AS value_max FROM events GROUP BY event_type"
+        "groupby_agg_multi": (
+            "SELECT 'events' AS src, event_type AS key1,"
+            " CAST(NULL AS VARCHAR) AS key2, count(*) AS n,"
+            " min(value) AS v1, max(value) AS v2"
+            " FROM events GROUP BY event_type"
+            " UNION ALL"
+            " SELECT 'lineitem' AS src, l_returnflag AS key1,"
+            " l_linestatus AS key2, count(*) AS n,"
+            " CAST(sum(l_quantity) AS DOUBLE) AS v1,"
+            " CAST(NULL AS DOUBLE) AS v2"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
-        "lineitem_agg": (
-            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,"
-            " count(*) AS count_order FROM lineitem"
-            " GROUP BY l_returnflag, l_linestatus"
+        "outer_join_customer_orders": (
+            "SELECT coalesce(c.c_custkey, o.o_custkey) AS c_custkey,"
+            " c_mktsegment, o_orderkey, o_orderstatus"
+            " FROM (SELECT c_custkey, c_mktsegment FROM customer"
+            "       WHERE c_custkey % 3 != 0) c"
+            " FULL JOIN (SELECT o_custkey, o_orderkey, o_orderstatus"
+            "       FROM orders WHERE o_totalprice > 150000.0) o"
+            " ON c.c_custkey = o.o_custkey"
         ),
         "events_filter_click": (
             "SELECT event_id, user_id, value FROM events"

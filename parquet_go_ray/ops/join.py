@@ -333,10 +333,13 @@ def shuffle_join(
     on: str,
     right_on: str | None = None,
     num_buckets: int = 64,
+    how: str = "inner",
 ) -> ray.data.Dataset:
-    """Partitioned inner hash join for BIG × BIG inputs — the shuffle
-    join the broadcast variants explicitly defer to when neither side
-    fits a worker heap.
+    """Partitioned hash join for BIG × BIG inputs — the shuffle join
+    the broadcast variants explicitly defer to when neither side fits
+    a worker heap. ``how``: ``inner`` (default), ``left``, ``right``
+    or ``full`` — exactly SQL's OUTER semantics (unmatched rows from
+    the outer side(s) emit with the other side's columns null).
 
     Plan: both sides map their batches into a shared ENVELOPE schema
     (union of columns; the absent side's columns are all-null Arrow
@@ -345,13 +348,24 @@ def shuffle_join(
     ONE ``union → groupby(pk) → map_groups`` co-locates matching keys
     and joins each bucket vectorized (sort the right side once per
     bucket, ``searchsorted`` ranges, repeat/gather — full M:N
-    semantics, one output row per key pair, exactly SQL INNER JOIN).
-    Null join keys drop on both sides. Column names must be disjoint
-    apart from the key (rename/select upstream otherwise — same rule
-    as SQL without aliases).
+    semantics, one output row per key pair). Unmatched-row detection
+    is two extra searchsorted probes per bucket — outer joins cost no
+    additional shuffle. Null join keys match nothing (SQL): they drop
+    on inner sides; on outer sides they pass straight to the output
+    INSIDE the envelope (the other side's columns are already null
+    there — no extra pipeline stage), routed to a pk bucket by their
+    validity-masked hash. Column names must be disjoint apart from
+    the key (rename/select upstream otherwise — same rule as SQL
+    without aliases).
     """
     import pyarrow.compute as pc
 
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(
+            f"how must be inner/left/right/full, got {how!r}"
+        )
+    keep_left = how in ("left", "full")
+    keep_right = how in ("right", "full")
     right_on = right_on or on
     ls = left.schema()
     rs = right.schema()
@@ -368,21 +382,38 @@ def shuffle_join(
     r_types = {c: r_arrow.field(c).type for c in rcols}
     l_types = {c: l_arrow.field(c).type for c in lcols}
 
+    def pk_of(key: pa.Array) -> np.ndarray:
+        """Bucket ids; null keys (outer-kept) scatter by row index —
+        they match nothing, so any bucket is correct, and scattering
+        avoids one hot bucket on a high-null corpus. Valid keys hash
+        on a null-FILLED column so the numpy dtype (and therefore the
+        hashed byte pattern) is identical to a null-free batch."""
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if not key.null_count:
+            return _key_hash_pk(key, num_buckets)
+        filled = pc.fill_null(key, key.drop_null()[0].as_py()
+                              if len(key) != key.null_count else 0)
+        pk = _key_hash_pk(filled, num_buckets)
+        isnull = np.asarray(pc.is_null(key))
+        pk[isnull] = (np.arange(len(pk)) % num_buckets)[isnull]
+        return pk
+
     def env_left(batch: pa.Table) -> pa.Table:
         key = batch.column(on)
-        if key.null_count:
+        if key.null_count and not keep_left:
             batch = batch.filter(pc.is_valid(key))
         n = batch.num_rows
         cols = {c: batch.column(c) for c in lcols}
         for c in rcols:
             cols[c] = pa.nulls(n, r_types[c])
         cols["__side"] = pa.array(np.zeros(n, np.int8))
-        cols["__pk"] = pa.array(_key_hash_pk(batch.column(on), num_buckets))
+        cols["__pk"] = pa.array(pk_of(batch.column(on)))
         return pa.table(cols)
 
     def env_right(batch: pa.Table) -> pa.Table:
         key = batch.column(right_on)
-        if key.null_count:
+        if key.null_count and not keep_right:
             batch = batch.filter(pc.is_valid(key))
         n = batch.num_rows
         # the right key travels in the LEFT key's column slot, so it
@@ -401,18 +432,67 @@ def shuffle_join(
         # hash the CASTED key: xxh64 covers the value's bytes, so an
         # int32 right key must widen to the left type before hashing or
         # equal values land in different buckets
-        cols["__pk"] = pa.array(_key_hash_pk(rkey, num_buckets))
+        cols["__pk"] = pa.array(pk_of(rkey))
         return pa.table(cols)
 
     def join_bucket(group: pa.Table) -> pa.Table:
         side = group.column("__side").to_numpy(zero_copy_only=False)
         lt = group.filter(pa.array(side == 0)).select(lcols)
         rt = group.filter(pa.array(side == 1)).select([on] + rcols)
-        if lt.num_rows == 0 or rt.num_rows == 0:
-            empty = {c: lt.column(c).slice(0, 0) for c in lcols}
+
+        def left_with_null_right(t: pa.Table) -> pa.Table:
+            cols = {c: t.column(c) for c in lcols}
             for c in rcols:
-                empty[c] = rt.column(c).slice(0, 0)
-            return pa.table(empty)
+                cols[c] = pa.nulls(t.num_rows, r_types[c])
+            return pa.table(cols)
+
+        def right_with_null_left(t: pa.Table) -> pa.Table:
+            # the right key already travels in the `on` slot
+            cols = {c: (t.column(on) if c == on
+                        else pa.nulls(t.num_rows, l_types[c]))
+                    for c in lcols}
+            for c in rcols:
+                cols[c] = t.column(c)
+            return pa.table(cols)
+
+        parts: list[pa.Table] = []
+        # null keys match nothing: outer-kept ones go straight to the
+        # unmatched output, then the match phase runs null-free
+        lkey = lt.column(on)
+        if isinstance(lkey, pa.ChunkedArray):
+            lkey = lkey.combine_chunks()
+        if lkey.null_count:
+            if keep_left:
+                parts.append(
+                    left_with_null_right(lt.filter(pc.is_null(lkey)))
+                )
+            lt = lt.filter(pc.is_valid(lkey))
+        rkey = rt.column(on)
+        if isinstance(rkey, pa.ChunkedArray):
+            rkey = rkey.combine_chunks()
+        if rkey.null_count:
+            if keep_right:
+                parts.append(
+                    right_with_null_left(rt.filter(pc.is_null(rkey)))
+                )
+            rt = rt.filter(pc.is_valid(rkey))
+
+        empty = {c: lt.column(c).slice(0, 0) for c in lcols}
+        for c in rcols:
+            empty[c] = rt.column(c).slice(0, 0)
+        empty_t = pa.table(empty)
+
+        def finish() -> pa.Table:
+            if not parts:
+                return empty_t
+            return pa.concat_tables(parts, promote_options="none")
+
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            if keep_left and lt.num_rows:
+                parts.append(left_with_null_right(lt))
+            if keep_right and rt.num_rows:
+                parts.append(right_with_null_left(rt))
+            return finish()
         lk = lt.column(on).to_numpy(zero_copy_only=False)
         rk = rt.column(on).to_numpy(zero_copy_only=False)
         order = np.argsort(rk, kind="stable")
@@ -421,13 +501,31 @@ def shuffle_join(
         i1 = np.searchsorted(rk_sorted, lk, side="right")
         counts = i1 - i0
         m = counts > 0
+        if keep_left and not m.all():
+            parts.append(
+                left_with_null_right(
+                    lt.take(pa.array(np.flatnonzero(~m), pa.int64()))
+                )
+            )
+        if keep_right:
+            # a right row is unmatched iff its key never appears on
+            # the left: two searchsorted probes, no join-sized arrays
+            lk_sorted = np.sort(lk, kind="stable")
+            j0 = np.searchsorted(lk_sorted, rk, side="left")
+            j1 = np.searchsorted(lk_sorted, rk, side="right")
+            r_unmatched = j1 == j0
+            if r_unmatched.any():
+                parts.append(
+                    right_with_null_left(
+                        rt.take(pa.array(
+                            np.flatnonzero(r_unmatched), pa.int64()
+                        ))
+                    )
+                )
         reps = counts[m]
         total = int(reps.sum())
         if total == 0:  # keys co-bucketed but none equal
-            empty = {c: lt.column(c).slice(0, 0) for c in lcols}
-            for c in rcols:
-                empty[c] = rt.column(c).slice(0, 0)
-            return pa.table(empty)
+            return finish()
         offs = np.concatenate(([0], np.cumsum(reps[:-1])))
         flat = (np.arange(total) - np.repeat(offs, reps)
                 + np.repeat(i0[m], reps))
@@ -437,7 +535,8 @@ def shuffle_join(
         rsel = pa.array(r_idx, pa.int64())
         for c in rcols:
             out = out.append_column(c, rt.column(c).take(rsel))
-        return out
+        parts.append(out)
+        return finish()
 
     env = (
         left.map_batches(env_left, batch_format="pyarrow",

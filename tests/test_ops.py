@@ -959,6 +959,80 @@ class TestShuffleJoin:
         assert got["y"].tolist() == [20, 10, 10]
 
 
+class TestShuffleJoinOuter:
+    """LEFT / RIGHT / FULL OUTER shuffle join vs DuckDB: M:N
+    multiplicities, unmatched keys on both sides, and null join keys
+    (which SQL keeps on outer sides but never matches)."""
+
+    def _tables(self, n_l=4000, n_r=1500, seed=23):
+        rng = np.random.default_rng(seed)
+        lt = pa.table({
+            "k": pa.array(
+                [None if i % 97 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(0, 300, n_l))],
+                pa.int64(),
+            ),
+            "lv": pa.array(np.arange(n_l), pa.int64()),
+        })
+        rt = pa.table({
+            "rk": pa.array(
+                [None if i % 53 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(150, 450, n_r))],
+                pa.int64(),
+            ),
+            "rv": pa.array([f"r{i}" for i in range(n_r)]),
+        })
+        return lt, rt
+
+    @pytest.mark.parametrize("how,sql", [
+        ("left", "LEFT JOIN"),
+        ("right", "RIGHT JOIN"),
+        ("full", "FULL JOIN"),
+        ("inner", "JOIN"),
+    ])
+    def test_matches_duckdb(self, ray_session, how, sql):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt, rt = self._tables()
+        got = shuffle_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            on="k", right_on="rk", how=how,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        exp = con.sql(
+            f"SELECT coalesce(l.k, r.rk) AS k, lv, rv"
+            f" FROM l {sql} r ON l.k = r.rk"
+        ).df()
+        # null keys on an outer side surface with k = the side's key:
+        # our envelope carries the right key in the k slot, same as
+        # the coalesce above; null-key rows keep k NULL on both paths
+        key = ["k", "lv", "rv"]
+        g = got.sort_values(key).reset_index(drop=True)[key]
+        x = exp.sort_values(key).reset_index(drop=True)[key]
+        assert len(g) == len(x), how
+        for c in key:
+            assert g[c].fillna(-1 if c != "rv" else "<N>").tolist() \
+                == x[c].fillna(-1 if c != "rv" else "<N>").tolist(), \
+                (how, c)
+
+    def test_rejects_unknown_how(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt, rt = self._tables(10, 10)
+        with pytest.raises(ValueError, match="how must be"):
+            shuffle_join(ray.data.from_arrow(lt),
+                         ray.data.from_arrow(rt),
+                         on="k", right_on="rk", how="outer")
+
+
 class TestRepetitionStats:
     def test_matches_sql_and_known_values(self, ray_session):
         import duckdb
