@@ -573,6 +573,98 @@ def _q_top_documents(sf_dir: str):
     )
 
 
+def _q_topk_multi(sf_dir: str):
+    """Global top-k AND per-group top-k in one driver row (r5
+    consolidation of ``top_documents_by_chars`` +
+    ``grouped_topk_events`` under a ``src`` column — each half still
+    hash-compared value-for-value inside the union). Global: per-batch
+    argpartition local top-k + a tiny driver merge (never a global
+    sort). Grouped: batch-local per-group combiner, then one coarse
+    bucketed shuffle of the k-row partials."""
+    glob = _q_top_documents(sf_dir)  # pa.Table, 10 rows
+    g = pa.table({
+        "src": pa.array(["documents_global"] * glob.num_rows),
+        "key": pa.nulls(glob.num_rows, pa.int64()),
+        "id": glob.column("doc_id"),
+        "v": glob.column("n_chars").cast(pa.float64()),
+    })
+
+    def ev_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(["events_by_user"] * batch.num_rows),
+            "key": batch.column("user_id"),
+            "id": batch.column("event_id"),
+            "v": batch.column("value"),
+        })
+
+    grouped = _q_grouped_topk_events(sf_dir).map_batches(
+        ev_shape, batch_format="pyarrow")
+    return ray.data.from_arrow(g).union(grouped)
+
+
+def _q_sampling_multi(sf_dir: str):
+    """Plain hash sampling AND stratified per-key-rate sampling in one
+    driver row (r5 consolidation of ``sample_documents`` +
+    ``stratified_sample_events`` under a ``src`` column — each half's
+    SELECTION and payload still hash-compared value-for-value inside
+    the union). Both halves run the md5 SQL-parity mode; the engine
+    fast path is the vectorized xxh64 sampler, pinned equal-behavior
+    in pytest."""
+
+    def doc_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(["documents"] * batch.num_rows),
+            "id": batch.column("doc_id"),
+            "key": pa.nulls(batch.num_rows, pa.string()),
+            "v": batch.column("n_chars").cast(pa.float64()),
+        })
+
+    def ev_shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(["events"] * batch.num_rows),
+            "id": batch.column("event_id"),
+            "key": batch.column("event_type"),
+            "v": batch.column("value"),
+        })
+
+    docs = _q_sample_documents(sf_dir).map_batches(
+        doc_shape, batch_format="pyarrow")
+    evs = _q_stratified_sample_events(sf_dir).map_batches(
+        ev_shape, batch_format="pyarrow")
+    return docs.union(evs)
+
+
+def _q_string_agg_events(sf_dir: str):
+    """Ordered STRING_AGG per key (ops/agg.py grouped_collect — r5):
+    each user's event-type sequence in (ts, event_id) order joined
+    with ','. One coarse-bucket shuffle, one lexsort per bucket, list
+    assembly straight from segment offsets + a single binary_join
+    kernel — no per-key tasks, no per-row Python. The list variant
+    (sep=None → list<val>) is pinned in pytest; the string variant is
+    the SQL-parity surface."""
+    from parquet_go_ray.ops.agg import grouped_collect
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    return grouped_collect(ds, by="user_id",
+                           order_cols=["ts", "event_id"],
+                           val_col="event_type", sep=",",
+                           out_col="event_seq")
+
+
+def _q_grouped_mode_events(sf_dir: str):
+    """MODE per key (ops/agg.py grouped_mode — r5): each user's most
+    frequent event type (ties → smallest value, mirrored in the
+    oracle's ORDER BY cnt DESC, val). Every batch pre-counts its
+    (key, value) pairs with Arrow's hash group-by BEFORE the shuffle,
+    so the all-to-all ships partial counts — at 100 TB the exchange
+    is proportional to distinct (user, type) pairs, never rows."""
+    from parquet_go_ray.ops.agg import grouped_mode
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return grouped_mode(ds, by="user_id", val_col="event_type")
+
+
 def _q_distinct_users(sf_dir: str):
     """Distinct-count via batch-local pre-dedup + one small groupby."""
     ds = _read(sf_dir, "events", columns=["user_id"])
@@ -1353,16 +1445,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "native_roundtrip_uint": _q_native_roundtrip_uint,
         "native_bss_embeddings": _q_native_bss_embeddings,
         "native_bloom_lookup_events": _q_native_bloom_lookup_events,
-        "sample_documents": _q_sample_documents,
+        "sampling_multi": _q_sampling_multi,
         "window_events": _q_window_events,
         "asof_join_events": _q_asof_join_both,
         "ann_cosine_embeddings": _q_ann,
         "sessionize_events": _q_sessionize_events,
-        "top_documents_by_chars": _q_top_documents,
-        "grouped_topk_events": _q_grouped_topk_events,
+        "topk_multi": _q_topk_multi,
+        "string_agg_events": _q_string_agg_events,
         "range_join_events": _q_range_join_events,
         "quantiles_multi_events": _q_quantiles_multi_events,
-        "stratified_sample_events": _q_stratified_sample_events,
+        "grouped_mode_events": _q_grouped_mode_events,
         "doc_frequency_documents": _q_doc_frequency,
         "repetition_documents": _q_repetition_documents,
         "tfidf_topk_documents": _q_tfidf_documents,
@@ -1474,10 +1566,19 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_documents": (
             "SELECT doc_id, md5(text) AS fingerprint FROM documents"
         ),
-        "sample_documents": (
-            "SELECT doc_id, n_chars FROM documents"
+        "sampling_multi": (
+            "SELECT 'documents' AS src, doc_id AS id,"
+            " CAST(NULL AS VARCHAR) AS key,"
+            " CAST(n_chars AS DOUBLE) AS v FROM documents"
             " WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),"
             " 1, 8)) AS UBIGINT) % 100 < 37"
+            " UNION ALL"
+            " SELECT 'events' AS src, event_id AS id,"
+            " event_type AS key, value AS v FROM events"
+            " WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),"
+            " 1, 8)) AS UBIGINT) % 100 <"
+            " CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 25"
+            " ELSE 80 END"
         ),
         "groupby_agg_multi": (
             "SELECT 'events' AS src, event_type AS key1,"
@@ -1527,12 +1628,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, label, CAST(len(embedding) AS BIGINT)"
             " AS embedding_dim FROM embeddings"
         ),
-        "grouped_topk_events": (
-            "SELECT user_id, event_id, value FROM ("
+        "topk_multi": (
+            "(SELECT 'documents_global' AS src,"
+            " CAST(NULL AS BIGINT) AS key, doc_id AS id,"
+            " CAST(length(text) AS DOUBLE) AS v FROM documents"
+            " ORDER BY length(text) DESC, doc_id LIMIT 10)"
+        ) + (
+            " UNION ALL"
+            " SELECT 'events_by_user' AS src, user_id AS key,"
+            " event_id AS id, value AS v FROM ("
             "SELECT user_id, event_id, value,"
             " row_number() OVER (PARTITION BY user_id"
             " ORDER BY value DESC, event_id) AS rn FROM events)"
             " WHERE rn <= 3"
+        ),
+        "string_agg_events": (
+            "SELECT user_id, coalesce(string_agg(event_type, ','"
+            " ORDER BY ts, event_id), '') AS event_seq"
+            " FROM events GROUP BY user_id"
+        ),
+        "grouped_mode_events": (
+            "SELECT user_id, event_type AS mode_event_type,"
+            " CAST(cnt AS BIGINT) AS n FROM ("
+            " SELECT user_id, event_type, count(*) AS cnt,"
+            " row_number() OVER (PARTITION BY user_id"
+            " ORDER BY count(*) DESC, event_type) AS rn"
+            " FROM events WHERE event_type IS NOT NULL"
+            " GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "window_functions_events": (
             "SELECT user_id, ts, event_id, value, event_type,"
@@ -1595,13 +1717,6 @@ def oracle_sql() -> dict[str, str]:
             " CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)"
             " AS top_token_frac FROM cnt GROUP BY doc_id"
         ),
-        "stratified_sample_events": (
-            "SELECT event_id, event_type, user_id, value FROM events"
-            " WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)),"
-            " 1, 8)) AS UBIGINT) % 100 <"
-            " CASE event_type WHEN 'click' THEN 10 WHEN 'view' THEN 25"
-            " ELSE 80 END"
-        ),
         "quantiles_multi_events": (
             "WITH s AS (SELECT value,"
             " row_number() OVER (ORDER BY value) AS rn,"
@@ -1651,10 +1766,6 @@ def oracle_sql() -> dict[str, str]:
             " CASE WHEN ls IS NULL THEN NULL ELSE"
             "   COALESCE(array_to_string(list_transform(ls, e -> e.b),"
             "   ','), '') END AS b_cat FROM t"
-        ),
-        "top_documents_by_chars": (
-            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars"
-            " FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10"
         ),
         "distinct_users_events": (
             "SELECT count(DISTINCT user_id) AS n_users FROM events"

@@ -1,0 +1,207 @@
+"""Grouped aggregates Ray Data lacks natively: ordered COLLECT /
+STRING_AGG and MODE (most frequent value) per key.
+
+Both follow the repo's standard grouped shape — project to the
+minimal columns, co-locate each key's rows on a coarse ``pk =
+hash(key) % B`` bucket, ONE all-to-all, then resolve every key in the
+bucket vectorized (one lexsort + segment arithmetic; no per-key
+tasks, no per-row Python). ``grouped_mode`` additionally pre-counts
+(key, value) pairs INSIDE each batch before the shuffle — the
+combiner makes shuffle volume proportional to distinct pairs, not
+rows, the same partial-aggregation design the sum/count aggregates
+and ``doc_frequency`` use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from .window import _bucket_hash, _sortable
+
+
+def grouped_collect(
+    ds: ray.data.Dataset,
+    by: str,
+    order_cols: list[str],
+    val_col: str,
+    sep: str | None = None,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(val, sep ORDER BY ...)`` (``sep`` given) /
+    ordered ``array_agg`` (``sep=None`` → a ``list<val>`` column) per
+    ``by`` key. Nulls in ``val_col`` are dropped from the collection,
+    matching SQL's string_agg/array_agg null handling; a key whose
+    values are all null collects the empty string / empty list. The
+    ordering must be total per key (pass a tiebreak column) or the
+    element order is implementation-defined, same as SQL."""
+    if out_col is None:
+        out_col = "collected"
+    if sep is not None and not isinstance(sep, str):
+        raise ValueError(f"sep must be a string or None, got {sep!r}")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+
+    proj = [by] + [c for c in order_cols if c != by]
+    if val_col not in proj:
+        proj = proj + [val_col]
+
+    def project(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(
+                f"grouped_collect: null partition keys in {by!r}"
+            )
+        cols = {c: batch.column(c) for c in proj}
+        cols["__pk"] = pa.array(_bucket_hash(keys, num_buckets))
+        return pa.table(cols)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = group.num_rows
+        vcol = group.column(val_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        if n == 0:
+            out_type = (pa.string() if sep is not None
+                        else pa.list_(vcol.type))
+            return pa.table({
+                by: group.column(by).slice(0, 0),
+                out_col: pa.array([], out_type),
+            })
+        keys = group.column(by).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        order = np.lexsort(
+            [_sortable(group.column(c)) for c in reversed(order_cols)]
+            + [codes]
+        )
+        seg = codes[order]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = seg[1:] != seg[:-1]
+        starts = np.flatnonzero(new_seg)
+
+        vsorted = pc.take(vcol, pa.array(order))
+        if vcol.null_count:
+            # drop nulls but keep them countable per segment so the
+            # list offsets stay right: count non-nulls per segment
+            notnull = np.asarray(pc.is_valid(vsorted))
+            keep = np.flatnonzero(notnull)
+            C = np.concatenate(([0], np.cumsum(notnull.astype(np.int64))))
+            offsets = np.concatenate((C[starts], [C[n]]))
+            vsorted = pc.take(vsorted, pa.array(keep))
+        else:
+            offsets = np.concatenate((starts, [n])).astype(np.int64)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32())
+            if offsets[-1] <= np.iinfo(np.int32).max
+            else pa.array(offsets, pa.int64()),
+            vsorted,
+        )
+        key_col = pc.take(group.column(by), pa.array(order[starts]))
+        if sep is not None:
+            collected = pc.binary_join(lists, sep)
+        else:
+            collected = lists
+        return pa.table({by: key_col, out_col: collected})
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    by: str,
+    val_col: str,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Most frequent ``val_col`` per ``by`` key → one row per key:
+    (by, mode value, its count). Ties break to the SMALLEST value
+    (deterministic; mirror in SQL with ``ORDER BY cnt DESC, val``).
+    Null values are ignored (SQL aggregate semantics); a key whose
+    values are all null emits no row.
+
+    Scale shape: each batch pre-counts its (key, value) pairs with
+    Arrow's hash group-by BEFORE the shuffle, so the all-to-all ships
+    partial counts (distinct pairs), never rows; each bucket then sums
+    partials and takes a segmented argmax — one lexsort, no per-key
+    work."""
+    if out_col is None:
+        out_col = f"mode_{val_col}"
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(
+                f"grouped_mode: null partition keys in {by!r}"
+            )
+        t = batch.select([by, val_col])
+        vcol = t.column(val_col)
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))
+        part = t.group_by([by, val_col]).aggregate([([], "count_all")])
+        part = part.rename_columns([by, val_col, "__cnt"])
+        k = part.column(by)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return part.append_column(
+            "__pk", pa.array(_bucket_hash(k, num_buckets))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if group.num_rows == 0:
+            return pa.table({
+                by: group.column(by).slice(0, 0),
+                out_col: group.column(val_col).slice(0, 0),
+                "n": pa.array([], pa.int64()),
+            })
+        # sum the per-batch partials, then argmax per key
+        tot = group.select([by, val_col, "__cnt"]).group_by(
+            [by, val_col]
+        ).aggregate([("__cnt", "sum")])
+        keys = tot.column(by).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(keys, return_inverse=True)
+        cnt = tot.column("__cnt_sum").to_numpy(zero_copy_only=False)
+        vals = _sortable(tot.column(val_col))
+        # (key, -cnt, val): first row per key = (max count, min value)
+        order = np.lexsort([vals, -cnt, codes])
+        seg = codes[order]
+        first = np.empty(len(order), dtype=bool)
+        first[0] = True
+        first[1:] = seg[1:] != seg[:-1]
+        sel = pa.array(order[np.flatnonzero(first)], pa.int64())
+        return pa.table({
+            by: pc.take(tot.column(by), sel),
+            out_col: pc.take(tot.column(val_col), sel),
+            "n": pc.take(tot.column("__cnt_sum"), sel).cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

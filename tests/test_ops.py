@@ -1765,3 +1765,173 @@ class TestBottomKSample:
             ds, "value", qs, "event_id", sample_rows=4096
         ).to_pylist()
         assert again == approx
+
+
+class TestGroupedCollect:
+    """grouped_collect vs DuckDB string_agg(... ORDER BY), incl. null
+    values (dropped from the collection) and list output."""
+
+    def _table(self, n=3000, seed=31):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "o": pa.array(rng.permutation(n), pa.int64()),
+            "v": pa.array(
+                [None if i % 17 == 0 else f"v{int(x)}"
+                 for i, x in enumerate(rng.integers(0, 30, n))],
+            ),
+        })
+
+    def test_string_agg_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.agg import grouped_collect
+
+        t = self._table()
+        got = (
+            grouped_collect(
+                ray.data.from_arrow(t).repartition(5),
+                by="k", order_cols=["o"], val_col="v", sep=",",
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            "SELECT k, coalesce(string_agg(v, ',' ORDER BY o), '')"
+            " AS collected FROM t GROUP BY k ORDER BY k"
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["collected"].tolist() == exp["collected"].tolist()
+
+    def test_list_output_ordered(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import grouped_collect
+
+        t = pa.table({
+            "k": pa.array([2, 1, 2, 1, 2], pa.int64()),
+            "o": pa.array([1, 2, 0, 1, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, None, 50], pa.int64()),
+        })
+        got = (
+            grouped_collect(ray.data.from_arrow(t), "k", ["o"], "v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert [list(x) for x in got["collected"]] == [[20], [30, 10, 50]]
+
+
+class TestGroupedMode:
+    def test_matches_duckdb_with_ties(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.agg import grouped_mode
+
+        rng = np.random.default_rng(41)
+        n = 5000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 60, n), pa.int64()),
+            "v": pa.array(
+                [None if i % 23 == 0 else f"c{int(x)}"
+                 for i, x in enumerate(rng.integers(0, 6, n))],
+            ),
+        })
+        got = (
+            grouped_mode(ray.data.from_arrow(t).repartition(4),
+                         by="k", val_col="v")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT k, v AS mode_v, cnt AS n FROM (
+                 SELECT k, v, count(*) AS cnt,
+                   row_number() OVER (PARTITION BY k
+                     ORDER BY count(*) DESC, v) AS rn
+                 FROM t WHERE v IS NOT NULL GROUP BY k, v)
+               WHERE rn = 1 ORDER BY k"""
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["mode_v"].tolist() == exp["mode_v"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+
+    def test_shuffle_ships_partials_not_rows(self, ray_session):
+        """The combiner collapses each batch to distinct (k, v) pairs
+        before the all-to-all."""
+        import ray
+
+        from parquet_go_ray.ops.agg import grouped_mode
+        from parquet_go_ray.ops import agg as agg_mod
+
+        t = pa.table({
+            "k": pa.array([1] * 10000, pa.int64()),
+            "v": pa.array(["x"] * 10000),
+        })
+        out = grouped_mode(ray.data.from_arrow(t), "k", "v").to_pandas()
+        assert out.to_dict("records") == [{"k": 1, "mode_v": "x", "n": 10000}]
+
+
+class TestExtractMatches:
+    def test_matches_duckdb_regexp_extract_all(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.text import extract_matches
+
+        docs = [
+            "see https://example.com/a and http://foo.org too",
+            "no urls here",
+            None,
+            "dup https://example.com/a https://example.com/a",
+            "unicode café https://über.example.de/päth end",
+            "",
+        ]
+        t = pa.table({
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        })
+        pat = r"https?://[^\s]+"
+        got = (
+            extract_matches(ray.data.from_arrow(t), pat)
+            .to_pandas().sort_values(["doc_id", "match"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            f"SELECT doc_id, unnest(regexp_extract_all(text, '{pat}'))"
+            " AS match FROM t ORDER BY doc_id, match"
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["match"].tolist() == exp["match"].tolist()
+
+    def test_capture_group_and_sliced_column(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.text import extract_matches_batch
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([
+                "a@x.com b@y.org", "no", "c@z.io",
+            ]),
+        })
+        # slice to exercise non-zero Arrow offsets in the buffer walk
+        sl = t.slice(1, 2)
+        out = extract_matches_batch(
+            sl, r"([a-z])@([a-z])\.[a-z]+", group=2,
+        )
+        assert out.column("doc_id").to_pylist() == [2]
+        assert out.column("match").to_pylist() == ["z"]
+
+    def test_no_cross_doc_matches(self, ray_session):
+        from parquet_go_ray.ops.text import extract_matches_batch
+
+        t = pa.table({
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["endfoo", "barstart"]),
+        })
+        out = extract_matches_batch(t, r"foobar")
+        assert out.num_rows == 0
