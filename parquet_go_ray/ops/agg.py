@@ -1,15 +1,17 @@
 """Grouped aggregates Ray Data lacks natively: ordered COLLECT /
-STRING_AGG and MODE (most frequent value) per key.
+STRING_AGG, MODE (most frequent value) and exact COUNT(DISTINCT)
+per key.
 
-Both follow the repo's standard grouped shape — project to the
+All follow the repo's standard grouped shape — project to the
 minimal columns, co-locate each key's rows on a coarse ``pk =
 hash(key) % B`` bucket, ONE all-to-all, then resolve every key in the
 bucket vectorized (one lexsort + segment arithmetic; no per-key
-tasks, no per-row Python). ``grouped_mode`` additionally pre-counts
-(key, value) pairs INSIDE each batch before the shuffle — the
-combiner makes shuffle volume proportional to distinct pairs, not
-rows, the same partial-aggregation design the sum/count aggregates
-and ``doc_frequency`` use.
+tasks, no per-row Python). ``grouped_mode`` and
+``grouped_count_distinct`` additionally pre-aggregate (key, value)
+pairs INSIDE each batch before the shuffle — the combiner makes
+shuffle volume proportional to distinct pairs, not rows, the same
+partial-aggregation design the sum/count aggregates and
+``doc_frequency`` use.
 """
 
 from __future__ import annotations
@@ -201,6 +203,72 @@ def grouped_mode(
 
     return (
         ds.map_batches(partial_counts, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def grouped_count_distinct(
+    ds: ray.data.Dataset,
+    by: str,
+    val_col: str,
+    out_col: str | None = None,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Exact ``count(DISTINCT val) GROUP BY by`` — the generic form of
+    ``doc_frequency``'s (token, doc) pair-dedup (ops/text.py). Each
+    batch DEDUPS its own (key, value) pairs with Arrow's hash group-by
+    BEFORE anything moves (shuffle volume bounded by distinct pairs,
+    never rows), then ONE coarse-bucket exchange resolves every key
+    with two more C++ group-bys. Null values don't count (SQL
+    semantics); null keys raise, same as the other grouped ops."""
+    import pyarrow.compute as pc
+
+    if out_col is None:
+        out_col = f"n_distinct_{val_col}"
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(
+                f"grouped_count_distinct: null partition keys in {by!r}"
+            )
+        t = batch.select([by, val_col])
+        vcol = t.column(val_col)
+        if vcol.null_count:
+            t = t.filter(pc.is_valid(vcol))
+        d = t.group_by([by, val_col]).aggregate([])  # local pair dedup
+        k = d.column(by)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return d.append_column(
+            "__pk", pa.array(_bucket_hash(k, num_buckets))
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table({
+                by: group.column(by).slice(0, 0),
+                out_col: pa.array([], pa.int64()),
+            })
+        d = group.select([by, val_col]).group_by(
+            [by, val_col]
+        ).aggregate([])  # cross-batch pair dedup
+        out = d.group_by([by]).aggregate([([], "count_all")])
+        return pa.table({
+            by: out.column(by),
+            out_col: out.column("count_all").cast(pa.int64()),
+        })
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby("__pk")
         .map_groups(per_bucket, batch_format="pyarrow")

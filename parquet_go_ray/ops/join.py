@@ -309,7 +309,10 @@ def range_join_broadcast(
     )
 
 
-def _key_hash_pk(col: pa.Array, num_buckets: int) -> np.ndarray:
+def _key_hash64(col: pa.Array) -> np.ndarray:
+    """Full-width xxh64 of a key column's values (string/binary hash
+    the bytes, fixed-width types hash the value bytes) — the shared
+    key hash behind bucket assignment AND the join bloom filters."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type) \
@@ -319,12 +322,123 @@ def _key_hash_pk(col: pa.Array, num_buckets: int) -> np.ndarray:
         from ..functions.bytearray import arrow_strings_to_parts
 
         lens, data = arrow_strings_to_parts(col)
-        h = xxh64_bytes(lens, np.frombuffer(data, np.uint8))
-    else:
-        from ..functions.bloom import xxh64_fixed
+        return xxh64_bytes(lens, np.frombuffer(data, np.uint8))
+    from ..functions.bloom import xxh64_fixed
 
-        h = xxh64_fixed(col.to_numpy(zero_copy_only=False))
-    return (h % np.uint64(num_buckets)).astype(np.int32)
+    return xxh64_fixed(col.to_numpy(zero_copy_only=False))
+
+
+def _key_hash_pk(col: pa.Array, num_buckets: int) -> np.ndarray:
+    return (_key_hash64(col) % np.uint64(num_buckets)).astype(np.int32)
+
+
+def build_key_bloom(
+    ds: ray.data.Dataset,
+    on: str,
+    ndv: int | None = None,
+    fpp: float = 0.01,
+    cast_to: pa.DataType | None = None,
+):
+    """One streaming pass over ``ds[on]`` → a split-block bloom filter
+    of the key set (functions/bloom.py SBBF — the same structure the
+    native Parquet writer emits). The bitset accumulates INSIDE tasks
+    via a mergeable aggregate (per-block insert, OR-merge); the driver
+    receives exactly one final bitset (~1.2 MB per 1M distinct keys at
+    1% fpp), never rows. ``ndv`` sizes the filter; defaults to the
+    dataset's row count (an upper bound on distinct keys — metadata
+    for parquet sources). ``cast_to`` widens the key before hashing
+    so both join sides hash the same byte pattern (xxh64 covers the
+    value's bytes — an int32 key must hash in the int64 partner's
+    domain, same rule as the envelope's bucket hash)."""
+    from ..functions.bloom import SplitBlockBloomFilter, optimal_num_blocks
+
+    if ndv is None:
+        ndv = ds.count()
+    num_blocks = optimal_num_blocks(ndv, fpp)
+    nwords = num_blocks * 8
+
+    def accumulate(words: np.ndarray, block: pa.Table) -> np.ndarray:
+        key = block.column(on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if cast_to is not None and not key.type.equals(cast_to):
+            key = key.cast(cast_to)
+        if key.null_count:
+            key = key.drop_null()
+        if len(key) == 0:
+            return words
+        f = SplitBlockBloomFilter(num_blocks, words)
+        f.insert_hashes(_key_hash64(key))
+        return f.words
+
+    agg = ray.data.aggregate.AggregateFn(
+        init=lambda _: np.zeros(nwords, dtype=np.uint32),
+        accumulate_block=accumulate,
+        merge=np.bitwise_or,
+        name="key_bloom",
+    )
+    words = ds.aggregate(agg)["key_bloom"]
+    return SplitBlockBloomFilter(num_blocks, words)
+
+
+def bloom_prefilter(
+    ds: ray.data.Dataset,
+    on: str,
+    bloom_ref,
+    keep_nulls: bool = False,
+    cast_to: pa.DataType | None = None,
+) -> ray.data.Dataset:
+    """Drop rows whose ``on`` key is DEFINITELY absent from the bloom
+    filter (``bloom_ref``: a ``ray.put`` handle, fetched once per
+    actor). No false negatives — every surviving-key row passes; the
+    ~fpp false-positive remainder is dropped by whatever exact
+    operator follows. ``keep_nulls`` passes null-key rows through
+    (outer-join sides need them)."""
+    return ds.map_batches(
+        _BloomPrefilter,
+        fn_constructor_kwargs={"bloom_ref": bloom_ref, "on": on,
+                               "keep_nulls": keep_nulls,
+                               "cast_to": cast_to},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+class _BloomPrefilter:
+    def __init__(self, bloom_ref, on: str, keep_nulls: bool,
+                 cast_to: pa.DataType | None = None):
+        self.bloom = (ray.get(bloom_ref)
+                      if not hasattr(bloom_ref, "contains_hashes")
+                      else bloom_ref)
+        self.on = on
+        self.keep_nulls = keep_nulls
+        self.cast_to = cast_to
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch.column(self.on)
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        if self.cast_to is not None and not key.type.equals(
+            self.cast_to
+        ):
+            key = key.cast(self.cast_to)
+        if key.null_count:
+            filled = pc.fill_null(
+                key, key.drop_null()[0].as_py()
+                if len(key) != key.null_count else 0
+            )
+            hit = self.bloom.contains_hashes(_key_hash64(filled))
+            isnull = np.asarray(pc.is_null(key))
+            hit[isnull] = self.keep_nulls
+        else:
+            hit = self.bloom.contains_hashes(_key_hash64(key))
+        if hit.all():
+            return batch
+        return batch.filter(pa.array(hit))
 
 
 def shuffle_join(
@@ -334,12 +448,25 @@ def shuffle_join(
     right_on: str | None = None,
     num_buckets: int = 64,
     how: str = "inner",
+    prefilter: str | None = None,
+    prefilter_fpp: float = 0.01,
 ) -> ray.data.Dataset:
     """Partitioned hash join for BIG × BIG inputs — the shuffle join
     the broadcast variants explicitly defer to when neither side fits
     a worker heap. ``how``: ``inner`` (default), ``left``, ``right``
     or ``full`` — exactly SQL's OUTER semantics (unmatched rows from
     the outer side(s) emit with the other side's columns null).
+
+    ``prefilter='left'|'right'`` names a side to FILTER before the
+    shuffle through a split-block bloom of the OTHER side's keys
+    (built in one streaming pass, OR-merged inside tasks, ~1.2 MB/M
+    keys broadcast once): on a low-overlap join the dominant side's
+    shuffle volume drops to overlap + fpp, for one extra scan of the
+    smaller side. Results are bit-identical — bloom false positives
+    ship a few extra rows that the exact bucket join then drops. A
+    side whose unmatched rows the join must KEEP (left side of a
+    LEFT/FULL join, right side of RIGHT/FULL) cannot be prefiltered;
+    that combination raises.
 
     Plan: both sides map their batches into a shared ENVELOPE schema
     (union of columns; the absent side's columns are all-null Arrow
@@ -367,6 +494,32 @@ def shuffle_join(
     keep_left = how in ("left", "full")
     keep_right = how in ("right", "full")
     right_on = right_on or on
+    if prefilter is not None:
+        if prefilter not in ("left", "right"):
+            raise ValueError(
+                f"prefilter must be left/right/None, got {prefilter!r}"
+            )
+        if (prefilter == "left" and keep_left) or (
+            prefilter == "right" and keep_right
+        ):
+            raise ValueError(
+                f"cannot bloom-prefilter the {prefilter} side of a "
+                f"{how} join: its unmatched rows must be kept"
+            )
+        # hash in the LEFT key's type domain on both sides (the same
+        # widening rule the envelope's bucket hash uses)
+        key_type = left.schema().base_schema.field(on).type
+        if prefilter == "left":
+            bloom = build_key_bloom(right, right_on,
+                                    fpp=prefilter_fpp,
+                                    cast_to=key_type)
+            left = bloom_prefilter(left, on, ray.put(bloom),
+                                   cast_to=key_type)
+        else:
+            bloom = build_key_bloom(left, on, fpp=prefilter_fpp,
+                                    cast_to=key_type)
+            right = bloom_prefilter(right, right_on, ray.put(bloom),
+                                    cast_to=key_type)
     ls = left.schema()
     rs = right.schema()
     lcols = list(ls.names)

@@ -1935,3 +1935,119 @@ class TestExtractMatches:
         })
         out = extract_matches_batch(t, r"foobar")
         assert out.num_rows == 0
+
+
+class TestBloomPrefilterJoin:
+    """Bloom-prefiltered shuffle join: bit-identical results, most of
+    the non-overlapping side never enters the shuffle."""
+
+    def test_no_false_negatives_and_prunes(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import (
+            bloom_prefilter,
+            build_key_bloom,
+        )
+
+        keys = pa.table({"k": pa.array(np.arange(2000), pa.int64())})
+        bloom = build_key_bloom(ray.data.from_arrow(keys), "k")
+        probe = pa.table({
+            "k": pa.array(np.arange(1000, 50000), pa.int64()),
+            "x": pa.array(np.arange(49000), pa.int64()),
+        })
+        kept = bloom_prefilter(
+            ray.data.from_arrow(probe), "k", bloom
+        ).to_pandas()
+        got_keys = set(kept["k"])
+        # every true-overlap key survives (no false negatives)
+        assert set(range(1000, 2000)) <= got_keys
+        # the 48k non-members mostly pruned (fpp 1% → ~480 leak)
+        assert len(kept) < 1000 + 48000 * 0.05
+
+    def test_join_identical_with_and_without(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        rng = np.random.default_rng(59)
+        lt = pa.table({
+            "k": pa.array(rng.integers(0, 100000, 20000), pa.int64()),
+            "lv": pa.array(np.arange(20000), pa.int64()),
+        })
+        rt = pa.table({
+            "rk": pa.array(rng.integers(0, 500, 800).astype(np.int32)),
+            "rv": pa.array([f"r{i}" for i in range(800)]),
+        })
+        key = ["k", "lv", "rv"]
+
+        def run(**kw):
+            return (
+                shuffle_join(
+                    ray.data.from_arrow(lt).repartition(4),
+                    ray.data.from_arrow(rt), on="k", right_on="rk",
+                    **kw,
+                )
+                .to_pandas().sort_values(key).reset_index(drop=True)[key]
+            )
+
+        base = run()
+        pre = run(prefilter="left")
+        assert base.equals(pre)  # int32 right key widens before hashing
+        assert len(base) > 0
+
+    def test_outer_kept_side_refuses_prefilter(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt = pa.table({"k": pa.array([1, 2], pa.int64()),
+                       "a": pa.array([1, 2], pa.int64())})
+        rt = pa.table({"rk": pa.array([2, 3], pa.int64()),
+                       "b": pa.array([8, 9], pa.int64())})
+        with pytest.raises(ValueError, match="cannot bloom-prefilter"):
+            shuffle_join(ray.data.from_arrow(lt),
+                         ray.data.from_arrow(rt),
+                         on="k", right_on="rk", how="left",
+                         prefilter="left")
+        # but filtering the INNER side of a left join is legal
+        import pandas as pd
+
+        got = shuffle_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", right_on="rk", how="left", prefilter="right",
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["k"].tolist() == [1, 2]
+        assert got["b"].fillna(-1).tolist() == [-1, 8]
+
+
+class TestGroupedCountDistinct:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.agg import grouped_count_distinct
+
+        rng = np.random.default_rng(67)
+        n = 8000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "v": pa.array(
+                [None if i % 19 == 0 else int(x)
+                 for i, x in enumerate(rng.integers(0, 200, n))],
+                pa.int64(),
+            ),
+        })
+        got = (
+            grouped_count_distinct(
+                ray.data.from_arrow(t).repartition(5), by="k", val_col="v",
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            "SELECT k, count(DISTINCT v) AS n_distinct_v FROM t"
+            " GROUP BY k ORDER BY k"
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        assert got["n_distinct_v"].tolist() == exp["n_distinct_v"].tolist()
