@@ -77,13 +77,14 @@ class _AsofJoiner:
     few) with one vectorized searchsorted per segment."""
 
     def __init__(self, small_ref, on, small_on, select, by=None,
-                 small_by=None):
+                 small_by=None, tolerance=None):
         import pyarrow.compute as pc
 
         small: pa.Table = ray.get(small_ref) if not isinstance(
             small_ref, pa.Table
         ) else small_ref
         self.on, self.by = on, by
+        self.tolerance = tolerance
         self.pc = pc
         sort_keys = ([(small_by, "ascending")] if by else []) + [
             (small_on, "ascending")
@@ -136,6 +137,15 @@ class _AsofJoiner:
                 ) - 1
                 pos[rows] = np.where(p >= 0, a + p, -1)
             valid &= pos >= 0
+        if self.tolerance is not None:
+            # pandas merge_asof semantics: a match farther back than
+            # tolerance yields null payload (datetime64 keys diff to
+            # timedelta64, numeric keys to numeric — the caller passes
+            # the matching tolerance type)
+            matched = self.skeys[np.where(valid, pos, 0)]
+            with np.errstate(invalid="ignore"):
+                near = (keys - matched) <= self.tolerance
+            valid &= near
         pos = np.where(valid, pos, 0)
         out = batch
         vmask = pa.array(valid)
@@ -155,6 +165,7 @@ def asof_join_broadcast(
     select: list[str] | None = None,
     by: str | None = None,
     small_by: str | None = None,
+    tolerance=None,
     concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """As-of join (nearest earlier ``small_on`` ≤ ``on``, optionally
@@ -169,7 +180,10 @@ def asof_join_broadcast(
     Partitioning assumption (documented per the brief): the small side
     is global; if the small side itself outgrows a worker heap,
     hash-partition BOTH sides by ``by`` first and apply this join inside
-    each partition."""
+    each partition. ``tolerance`` (pandas merge_asof semantics) bounds
+    how far back a match may reach: pass a ``np.timedelta64`` for
+    timestamp keys or a number for numeric keys; matches farther back
+    yield null payload."""
     small_on = small_on or on
     small_by = small_by or by
     return big.map_batches(
@@ -181,6 +195,7 @@ def asof_join_broadcast(
             "select": select,
             "by": by,
             "small_by": small_by,
+            "tolerance": tolerance,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

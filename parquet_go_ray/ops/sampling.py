@@ -195,3 +195,61 @@ def approx_quantiles_sampled(
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v),
     })
+
+
+def grouped_cap_sample(
+    ds: ray.data.Dataset,
+    by: str,
+    id_col: str,
+    k: int,
+    hash_mode: str = "xxh64",
+    seed: int = 0,
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Cap each ``by`` group at ``k`` rows — the per-domain /
+    per-source cap every curation pipeline applies so one giant site
+    cannot dominate the corpus. The kept subset is the k rows with the
+    SMALLEST deterministic priority ``hash(id, seed)``: a uniform
+    without-replacement sample per group, reproducible on any cluster
+    size, partitioning and row order (priority depends only on ids).
+
+    Plan: one map_batches stamps the priority column, then
+    ``grouped_topk`` does its usual two-level combine (each batch
+    pre-reduces to its local per-group bottom-k BEFORE the shuffle, so
+    the all-to-all ships at most k x groups-present partials, never
+    rows). ``hash_mode='md5'`` is the SQL-parity mode (DuckDB can
+    replay the priority; per-row, oracle-only); ``'xxh64'`` is the
+    vectorized engine path."""
+    import hashlib
+
+    from ..ops.topk import grouped_topk
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if hash_mode not in ("xxh64", "md5"):
+        raise ValueError(
+            f"hash_mode must be 'xxh64' or 'md5', not {hash_mode!r}"
+        )
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
+
+    def stamp(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        if hash_mode == "xxh64":
+            from ..ops.text import _mix64
+
+            raw = (ids.to_numpy(zero_copy_only=False)
+                   .astype(np.int64).view(np.uint64))
+            pri = (_mix64(raw ^ sd) >> np.uint64(11)).astype(np.int64)
+        else:  # md5 SQL-parity: first 8 hex digits as an integer
+            pri = np.fromiter(
+                (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                 for v in ids.to_pylist()),
+                dtype=np.int64, count=len(ids),
+            )
+        return batch.append_column("__pri", pa.array(pri, pa.int64()))
+
+    stamped = ds.map_batches(stamp, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = grouped_topk(stamped, by=by, keys=["__pri", id_col], k=k,
+                       descending=False, num_buckets=num_buckets)
+    return out.drop_columns(["__pri"])

@@ -2051,3 +2051,113 @@ class TestGroupedCountDistinct:
         ).df()
         assert got["k"].tolist() == exp["k"].tolist()
         assert got["n_distinct_v"].tolist() == exp["n_distinct_v"].tolist()
+
+
+class TestAsofTolerance:
+    def test_matches_pandas_merge_asof(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from parquet_go_ray.ops.join import asof_join_broadcast
+
+        rng = np.random.default_rng(71)
+        big_ts = np.sort(rng.integers(0, 10000, 500)).astype(
+            "datetime64[us]"
+        )
+        big = pa.table({
+            "eid": pa.array(np.arange(500), pa.int64()),
+            "ts": pa.array(big_ts),
+        })
+        small_ts = np.sort(rng.choice(10000, 40, replace=False)).astype(
+            "datetime64[us]"
+        )
+        small = pa.table({
+            "sts": pa.array(small_ts),
+            "rate": pa.array(np.arange(40), pa.int64()),
+        })
+        tol = np.timedelta64(300, "us")
+        got = (
+            asof_join_broadcast(
+                ray.data.from_arrow(big), small, on="ts",
+                small_on="sts", tolerance=tol,
+            )
+            .to_pandas().sort_values("eid").reset_index(drop=True)
+        )
+        exp = pd.merge_asof(
+            big.to_pandas().sort_values("ts"),
+            small.to_pandas().rename(columns={"sts": "ts"}),
+            on="ts", tolerance=pd.Timedelta(tol), direction="backward",
+        ).sort_values("eid").reset_index(drop=True)
+        assert got["rate"].fillna(-1).tolist() == (
+            exp["rate"].fillna(-1).tolist()
+        )
+        # tolerance actually nulled something the unbounded join kept
+        unbounded = (
+            asof_join_broadcast(ray.data.from_arrow(big), small,
+                                on="ts", small_on="sts")
+            .to_pandas()
+        )
+        assert got["rate"].isna().sum() > unbounded["rate"].isna().sum()
+
+
+class TestGroupedCapSample:
+    def test_md5_mode_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.sampling import grouped_cap_sample
+
+        rng = np.random.default_rng(73)
+        n = 4000
+        t = pa.table({
+            "dom": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "doc_id": pa.array(rng.permutation(n), pa.int64()),
+            "x": pa.array(np.arange(n), pa.int64()),
+        })
+        got = (
+            grouped_cap_sample(
+                ray.data.from_arrow(t).repartition(5),
+                by="dom", id_col="doc_id", k=7, hash_mode="md5",
+            )
+            .to_pandas().sort_values(["dom", "doc_id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT dom, doc_id, x FROM (
+                 SELECT dom, doc_id, x, row_number() OVER (
+                   PARTITION BY dom ORDER BY
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS UBIGINT), doc_id) AS rn FROM t)
+               WHERE rn <= 7 ORDER BY dom, doc_id"""
+        ).df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        assert got["x"].tolist() == exp["x"].tolist()
+
+    def test_xxh64_partitioning_invariant_and_capped(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import grouped_cap_sample
+
+        rng = np.random.default_rng(79)
+        n = 3000
+        t = pa.table({
+            "dom": pa.array(rng.integers(0, 10, n), pa.int64()),
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+        })
+
+        def run(parts):
+            return sorted(
+                grouped_cap_sample(
+                    ray.data.from_arrow(t).repartition(parts),
+                    by="dom", id_col="doc_id", k=50,
+                ).to_pandas().itertuples(index=False)
+            )
+
+        a, b = run(2), run(9)
+        assert a == b  # partitioning-invariant
+        import pandas as pd
+
+        df = pd.DataFrame(a, columns=["dom", "doc_id"])
+        assert (df.groupby("dom").size() == 50).all()
