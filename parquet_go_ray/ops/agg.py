@@ -273,3 +273,148 @@ def grouped_count_distinct(
         .groupby("__pk")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """Wide → long (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column). Pure per-batch reshape — zero shuffle;
+    value columns must share one Arrow type (cast upstream otherwise,
+    same rule as SQL UNPIVOT)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        vt = batch.column(value_cols[0]).type
+        for c in value_cols[1:]:
+            if not batch.column(c).type.equals(vt):
+                raise ValueError(
+                    f"unpivot value columns disagree on type: "
+                    f"{value_cols[0]}={vt} vs {c}={batch.column(c).type}"
+                )
+        parts = []
+        for c in value_cols:
+            cols = {i: batch.column(i) for i in id_cols}
+            cols[var_name] = pa.array([c] * batch.num_rows)
+            cols[value_name] = batch.column(c)
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts, promote_options="none")
+
+    return ds.map_batches(melt, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+_PIVOT_AGGS = ("sum", "count", "min", "max")
+
+
+def pivot_fixed(
+    ds: ray.data.Dataset,
+    by: str,
+    cat_col: str,
+    val_col: str,
+    categories: list,
+    agg: str = "sum",
+    prefix: str = "",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """Long → wide over a FIXED category list (SQL ``SUM(CASE WHEN
+    cat='c' THEN val END) AS c ... GROUP BY by`` — static columns, so
+    the schema is known up front; rows with categories outside the
+    list are ignored). One row per key; one output column per
+    category, named ``prefix + str(category)``.
+
+    Scale shape: each batch pre-aggregates (key, cat) cells with
+    Arrow's hash group-by (the combiner — the shuffle ships at most
+    keys x categories partial cells per batch), then one coarse-bucket
+    exchange and a vectorized scatter into the (keys x categories)
+    matrix per bucket. A category column that SQL would leave NULL
+    (no rows for that key/cat) is NULL here too (count: 0)."""
+    import pyarrow.compute as pc
+
+    if agg not in _PIVOT_AGGS:
+        raise ValueError(f"agg must be one of {_PIVOT_AGGS}, got {agg!r}")
+    if not categories:
+        raise ValueError("categories must be non-empty")
+    cats = list(categories)
+    out_names = [f"{prefix}{c}" for c in cats]
+    if len(set(out_names)) != len(out_names):
+        raise ValueError(f"duplicate pivot column names: {out_names}")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+    arrow_agg = {"sum": "sum", "count": "count", "min": "min",
+                 "max": "max"}[agg]
+
+    def partial_cells(batch: pa.Table) -> pa.Table:
+        keys = batch.column(by)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if keys.null_count:
+            raise ValueError(
+                f"pivot_fixed: null partition keys in {by!r}"
+            )
+        t = batch.select([by, cat_col, val_col])
+        t = t.filter(pc.is_in(t.column(cat_col),
+                              value_set=pa.array(cats)))
+        cell = t.group_by([by, cat_col]).aggregate(
+            [(val_col, arrow_agg)]
+        )
+        cell = cell.rename_columns([by, cat_col, "__v"])
+        k = cell.column(by)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return cell.append_column(
+            "__pk", pa.array(_bucket_hash(k, num_buckets))
+        )
+
+    # partials re-combine with the same op, except count → sum
+    merge_agg = "sum" if agg == "count" else arrow_agg
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        val_type = group.column("__v").type
+        out_type = (pa.int64() if agg == "count" else val_type)
+        if group.num_rows == 0:
+            cols = {by: group.column(by).slice(0, 0)}
+            for nm in out_names:
+                cols[nm] = pa.array([], out_type)
+            return pa.table(cols)
+        tot = group.select([by, cat_col, "__v"]).group_by(
+            [by, cat_col]
+        ).aggregate([("__v", merge_agg)])
+        vname = f"__v_{merge_agg}"
+        keys = tot.column(by).to_numpy(zero_copy_only=False)
+        ukeys, codes = np.unique(keys, return_inverse=True)
+        cat_idx = pc.index_in(
+            tot.column(cat_col), value_set=pa.array(cats)
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = tot.column(vname)
+        cols = {by: pc.take(
+            tot.column(by),
+            pa.array(np.unique(codes, return_index=True)[1], pa.int64()),
+        )}
+        nk = len(ukeys)
+        filled = np.full((nk, len(cats)), -1, dtype=np.int64)
+        filled[codes, cat_idx] = np.arange(len(codes))
+        for j, nm in enumerate(out_names):
+            sel = filled[:, j]
+            take_idx = pa.array(np.maximum(sel, 0), mask=sel < 0)
+            colv = pc.take(vals, take_idx)
+            if agg == "count":
+                colv = pc.fill_null(colv.cast(pa.int64()), 0)
+            cols[nm] = colv
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(partial_cells, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

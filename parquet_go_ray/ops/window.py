@@ -59,7 +59,8 @@ def _sortable(col) -> np.ndarray:
 
 _FRAME_AGGS = ("max", "min", "sum", "mean", "count")
 _SHIFTS = ("lag", "lead")
-_RANKS = ("row_number", "rank", "dense_rank", "ntile")
+_RANKS = ("row_number", "rank", "dense_rank", "ntile",
+          "percent_rank", "cume_dist")
 _KINDS = _FRAME_AGGS + _SHIFTS + _RANKS + ("first_value",)
 
 
@@ -70,8 +71,8 @@ class WindowSpec:
     kind: one of max/min/sum/mean/count (frame aggregates; ``window``
     rows ending at the current row, ``window=None`` = expanding),
     lag/lead (``periods`` rows, type-preserving), row_number / rank /
-    dense_rank / ntile (``n`` buckets), first_value (partition-start
-    value, type-preserving)."""
+    dense_rank / ntile (``n`` buckets) / percent_rank / cume_dist,
+    first_value (partition-start value, type-preserving)."""
 
     kind: str
     val_col: str | None = None
@@ -224,7 +225,10 @@ def window_multi(
     base_cols = [by] + [c for c in order_cols if c != by]
     proj_vals = [c for c in val_cols if c not in base_cols]
     out_schema = base_cols + proj_vals
-    need_rank = any(s.kind in ("rank", "dense_rank") for s in specs)
+    need_rank = any(
+        s.kind in ("rank", "dense_rank", "percent_rank", "cume_dist")
+        for s in specs
+    )
     if num_buckets is None:
         from .bucketing import derive_num_buckets
 
@@ -266,6 +270,8 @@ def window_multi(
             for s in specs:
                 if s.kind in _FRAME_AGGS:
                     typ = _agg_out_type(s.kind)
+                elif s.kind in ("percent_rank", "cume_dist"):
+                    typ = pa.float64()
                 elif s.kind in _RANKS:
                     typ = pa.int64()
                 else:  # lag/lead/first_value: type-preserving
@@ -309,6 +315,16 @@ def window_multi(
                 np.where(tiestart, idx, 0)
             )
             dr = np.cumsum(tiestart)
+            if any(s.kind == "cume_dist" for s in specs):
+                # last row index of each tie group (CUME_DIST counts
+                # the current row's peers too): scatter each group's
+                # end backwards over its members
+                tie_last = np.empty(n, dtype=np.int64)
+                bounds = np.flatnonzero(tiestart)
+                ends = np.append(bounds[1:], n) - 1
+                tie_last[:] = np.repeat(ends, np.diff(
+                    np.append(bounds, n)
+                ))
 
         # cache per-val-col sorted state shared across specs
         sorted_f64: dict[str, np.ndarray] = {}
@@ -418,6 +434,17 @@ def window_multi(
                 )
             elif s.kind == "dense_rank":
                 t[oc] = pa.array((dr - dr[first] + 1)[inv], pa.int64())
+            elif s.kind == "percent_rank":
+                # SQL: (rank - 1) / (cnt - 1); single-row partition → 0
+                rk = (tie_first - first).astype(np.float64)
+                denom = np.maximum(cnt - 1, 1).astype(np.float64)
+                t[oc] = pa.array((rk / denom)[inv], pa.float64())
+            elif s.kind == "cume_dist":
+                # SQL: rows with order key <= current / cnt
+                peers = (tie_last - first + 1).astype(np.float64)
+                t[oc] = pa.array(
+                    (peers / cnt.astype(np.float64))[inv], pa.float64()
+                )
             elif s.kind == "ntile":
                 # SQL NTILE: the first (cnt % n) tiles get
                 # ceil(cnt/n) rows, the rest floor(cnt/n)

@@ -2161,3 +2161,133 @@ class TestGroupedCapSample:
 
         df = pd.DataFrame(a, columns=["dom", "doc_id"])
         assert (df.groupby("dom").size() == 50).all()
+
+
+class TestPercentRankCumeDist:
+    def test_matches_duckdb_with_ties(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        rng = np.random.default_rng(83)
+        n = 2500
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 20, n), pa.int64()),
+            "o": pa.array(rng.integers(0, 30, n), pa.int64()),  # ties
+        })
+        got = (
+            window_multi(
+                ray.data.from_arrow(t).repartition(4),
+                by="k", order_cols=["o"],
+                specs=[
+                    WindowSpec("percent_rank", out_col="pr"),
+                    WindowSpec("cume_dist", out_col="cd"),
+                ],
+            )
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT k, o, percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd
+               FROM t WINDOW w AS (PARTITION BY k ORDER BY o)
+               ORDER BY k, o"""
+        ).df()
+        import pandas as pd
+
+        pd.testing.assert_series_equal(got["pr"], exp["pr"],
+                                       check_names=False)
+        pd.testing.assert_series_equal(got["cd"], exp["cd"],
+                                       check_names=False)
+
+
+class TestUnpivot:
+    def test_matches_duckdb_unpivot(self, ray_session):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.agg import unpivot
+
+        t = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "a": pa.array([10.0, None, 30.0]),
+            "b": pa.array([1.5, 2.5, None]),
+        })
+        got = (
+            unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"])
+            .to_pandas().sort_values(["id", "variable"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            """SELECT id, variable, value FROM (
+                 SELECT id, 'a' AS variable, a AS value FROM t
+                 UNION ALL SELECT id, 'b', b FROM t)
+               ORDER BY id, variable"""
+        ).df()
+        assert got["variable"].tolist() == exp["variable"].tolist()
+        assert got["value"].fillna(-1).tolist() == (
+            exp["value"].fillna(-1).tolist()
+        )
+
+    def test_type_mismatch_raises(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import unpivot
+
+        t = pa.table({"id": pa.array([1]), "a": pa.array([1.0]),
+                      "b": pa.array(["x"])})
+        out = unpivot(ray.data.from_arrow(t), ["id"], ["a", "b"])
+        with pytest.raises(Exception, match="disagree on type"):
+            out.take_all()
+
+
+class TestPivotFixed:
+    @pytest.mark.parametrize("agg,sql_agg", [
+        ("sum", "SUM"), ("count", "COUNT"),
+        ("min", "MIN"), ("max", "MAX"),
+    ])
+    def test_matches_duckdb_case_when(self, ray_session, agg, sql_agg):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.agg import pivot_fixed
+
+        rng = np.random.default_rng(89)
+        n = 6000
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "cat": pa.array(
+                rng.choice(["x", "y", "z", "other"], n).tolist()
+            ),
+            "v": pa.array(
+                [None if i % 13 == 0 else int(val)
+                 for i, val in enumerate(rng.integers(0, 100, n))],
+                pa.int64(),
+            ),
+        })
+        got = (
+            pivot_fixed(
+                ray.data.from_arrow(t).repartition(4),
+                by="k", cat_col="cat", val_col="v",
+                categories=["x", "y", "z"], agg=agg, prefix="c_",
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            f"""SELECT k,
+                 {sql_agg}(CASE WHEN cat = 'x' THEN v END) AS c_x,
+                 {sql_agg}(CASE WHEN cat = 'y' THEN v END) AS c_y,
+                 {sql_agg}(CASE WHEN cat = 'z' THEN v END) AS c_z
+               FROM t GROUP BY k ORDER BY k"""
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        for c in ("c_x", "c_y", "c_z"):
+            assert got[c].fillna(-1).tolist() == (
+                exp[c].fillna(-1).tolist()
+            ), (agg, c)
