@@ -2291,3 +2291,80 @@ class TestPivotFixed:
             assert got[c].fillna(-1).tolist() == (
                 exp[c].fillna(-1).tolist()
             ), (agg, c)
+
+
+class TestWindowMultiProperty:
+    """Hypothesis: random keyed tables (ties, nulls, empty) through a
+    mixed window_multi spec == DuckDB's window engine. Adversarial
+    shrinking covers the degenerate shapes fixed differentials miss
+    (single-row partitions, all-null frames, empty input)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, 4),          # key
+                st.integers(0, 6),          # order (ties likely)
+                st.one_of(st.none(), st.integers(-50, 50)),  # value
+            ),
+            max_size=120,
+        ),
+        st.integers(1, 4),                  # rolling window
+    )
+    def test_random_tables_match_duckdb(self, ray_session, rows, w):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        t = pa.table({
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "o": pa.array([r[1] for r in rows], pa.int64()),
+            "i": pa.array(range(len(rows)), pa.int64()),  # tiebreak
+            "v": pa.array([r[2] for r in rows], pa.int64()),
+        })
+        out = window_multi(
+            ray.data.from_arrow(t), by="k", order_cols=["o", "i"],
+            specs=[
+                WindowSpec("max", val_col="v", window=w, out_col="m"),
+                WindowSpec("count", val_col="v", window=w,
+                           out_col="c"),
+                WindowSpec("sum", val_col="v", window=None,
+                           out_col="s"),
+                WindowSpec("lag", val_col="v", out_col="lg"),
+                WindowSpec("row_number", out_col="rn"),
+                WindowSpec("cume_dist", out_col="cd"),
+            ],
+            num_buckets=2,
+        ).to_pandas()
+        if len(rows) == 0:
+            # zero input blocks: Ray's groupby yields a schema-less
+            # empty frame — nothing to compare beyond emptiness
+            assert len(out) == 0
+            return
+        got = out.sort_values(["k", "o", "i"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", t)
+        exp = con.sql(
+            f"""SELECT k, o, i, v,
+                 MAX(v) OVER wf AS m, COUNT(v) OVER wf AS c,
+                 CAST(SUM(v) OVER w AS BIGINT) AS s,
+                 LAG(v, 1) OVER w AS lg,
+                 ROW_NUMBER() OVER w AS rn,
+                 CUME_DIST() OVER (PARTITION BY k ORDER BY o, i) AS cd
+               FROM t
+               WINDOW w AS (PARTITION BY k ORDER BY o, i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wf AS (PARTITION BY k ORDER BY o, i
+                 ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+               ORDER BY k, o, i"""
+        ).df()
+        assert len(got) == len(exp)
+        for c in ("m", "c", "s", "lg", "rn"):
+            assert got[c].fillna(-10**9).tolist() == (
+                exp[c].fillna(-10**9).tolist()
+            ), c
+        assert np.allclose(got["cd"], exp["cd"])
