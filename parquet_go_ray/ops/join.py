@@ -465,6 +465,7 @@ def shuffle_join(
     how: str = "inner",
     prefilter: str | None = None,
     prefilter_fpp: float = 0.01,
+    prefilter_ndv: int | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join for BIG × BIG inputs — the shuffle join
     the broadcast variants explicitly defer to when neither side fits
@@ -481,7 +482,10 @@ def shuffle_join(
     ship a few extra rows that the exact bucket join then drops. A
     side whose unmatched rows the join must KEEP (left side of a
     LEFT/FULL join, right side of RIGHT/FULL) cannot be prefiltered;
-    that combination raises.
+    that combination raises. Pass ``prefilter_ndv`` (an upper bound
+    on the bloom side's distinct keys) when you know it — the default
+    sizes the filter from ``count()``, which costs one more pass over
+    the bloom side's plan if it isn't a bare parquet read.
 
     Plan: both sides map their batches into a shared ENVELOPE schema
     (union of columns; the absent side's columns are all-null Arrow
@@ -526,12 +530,14 @@ def shuffle_join(
         key_type = left.schema().base_schema.field(on).type
         if prefilter == "left":
             bloom = build_key_bloom(right, right_on,
+                                    ndv=prefilter_ndv,
                                     fpp=prefilter_fpp,
                                     cast_to=key_type)
             left = bloom_prefilter(left, on, ray.put(bloom),
                                    cast_to=key_type)
         else:
-            bloom = build_key_bloom(left, on, fpp=prefilter_fpp,
+            bloom = build_key_bloom(left, on, ndv=prefilter_ndv,
+                                    fpp=prefilter_fpp,
                                     cast_to=key_type)
             right = bloom_prefilter(right, right_on, ray.put(bloom),
                                     cast_to=key_type)

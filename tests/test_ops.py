@@ -2368,3 +2368,48 @@ class TestWindowMultiProperty:
                 exp[c].fillna(-10**9).tolist()
             ), c
         assert np.allclose(got["cd"], exp["cd"])
+
+
+def test_window_multi_string_keys(ray_session):
+    """String partition keys through the object-dtype unique/lexsort
+    path (domains, conv_ids — the transcript-shaped case)."""
+    import duckdb
+    import ray
+
+    from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+    rng = np.random.default_rng(97)
+    n = 1500
+    t = pa.table({
+        "conv": pa.array([f"conv-{int(x)}" for x in
+                          rng.integers(0, 30, n)]),
+        "turn": pa.array(rng.permutation(n), pa.int64()),
+        "v": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+    got = (
+        window_multi(
+            ray.data.from_arrow(t).repartition(3),
+            by="conv", order_cols=["turn"],
+            specs=[
+                WindowSpec("row_number", out_col="rn"),
+                WindowSpec("lag", val_col="v", out_col="prev_v"),
+                WindowSpec("sum", val_col="v", window=None,
+                           out_col="running"),
+            ],
+        )
+        .to_pandas().sort_values(["conv", "turn"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql(
+        """SELECT conv, turn, v, ROW_NUMBER() OVER w AS rn,
+             LAG(v, 1) OVER w AS prev_v,
+             CAST(SUM(v) OVER (PARTITION BY conv ORDER BY turn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS running
+           FROM t WINDOW w AS (PARTITION BY conv ORDER BY turn)
+           ORDER BY conv, turn"""
+    ).df()
+    assert got["conv"].tolist() == exp["conv"].tolist()
+    for c in ("rn", "prev_v", "running"):
+        assert got[c].fillna(-1).tolist() == exp[c].fillna(-1).tolist(), c
