@@ -247,7 +247,7 @@ def _q_groupby_agg_multi(sf_dir: str):
     def ev_shape(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
-            "src": pa.array(["events"] * n),
+            "src": _const_str(n, "events"),
             "key1": batch.column("event_type"),
             "key2": pa.nulls(n, pa.string()),
             "n": batch.column("count()").cast(pa.int64()),
@@ -265,7 +265,7 @@ def _q_groupby_agg_multi(sf_dir: str):
     def li_shape(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
-            "src": pa.array(["lineitem"] * n),
+            "src": _const_str(n, "lineitem"),
             "key1": batch.column("l_returnflag"),
             "key2": batch.column("l_linestatus"),
             "n": batch.column("count()").cast(pa.int64()),
@@ -583,7 +583,7 @@ def _q_topk_multi(sf_dir: str):
     bucketed shuffle of the k-row partials."""
     glob = _q_top_documents(sf_dir)  # pa.Table, 10 rows
     g = pa.table({
-        "src": pa.array(["documents_global"] * glob.num_rows),
+        "src": _const_str(glob.num_rows, "documents_global"),
         "key": pa.nulls(glob.num_rows, pa.int64()),
         "id": glob.column("doc_id"),
         "v": glob.column("n_chars").cast(pa.float64()),
@@ -591,7 +591,7 @@ def _q_topk_multi(sf_dir: str):
 
     def ev_shape(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "src": pa.array(["events_by_user"] * batch.num_rows),
+            "src": _const_str(batch.num_rows, "events_by_user"),
             "key": batch.column("user_id"),
             "id": batch.column("event_id"),
             "v": batch.column("value"),
@@ -613,7 +613,7 @@ def _q_sampling_multi(sf_dir: str):
 
     def doc_shape(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "src": pa.array(["documents"] * batch.num_rows),
+            "src": _const_str(batch.num_rows, "documents"),
             "id": batch.column("doc_id"),
             "key": pa.nulls(batch.num_rows, pa.string()),
             "v": batch.column("n_chars").cast(pa.float64()),
@@ -621,7 +621,7 @@ def _q_sampling_multi(sf_dir: str):
 
     def ev_shape(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "src": pa.array(["events"] * batch.num_rows),
+            "src": _const_str(batch.num_rows, "events"),
             "id": batch.column("event_id"),
             "key": batch.column("event_type"),
             "v": batch.column("value"),
@@ -1474,6 +1474,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "encode_manifest_transcripts": _q_encode_manifest,
     }
 
+
+
+def _const_str(n: int, s: str):
+    from parquet_go_ray.functions.bytearray import const_string_array
+
+    return const_string_array(n, s)
 
 def _redact_pii_sql() -> str:
     """Staged CTE chain built from the live PII_PATTERNS so the SQL

@@ -206,3 +206,19 @@ def delta_prefix_decode(data, count: int, pos: int = 0):
             out[o + p : o + p + sl] = suffix_data[s : s + sl]
         prev_start = o
     return lengths, out, pos
+
+
+def const_string_array(n: int, s: str) -> "pa.Array":
+    """A length-``n`` Arrow string column of the constant ``s``,
+    built straight from buffers (offsets = an arange, data = the
+    utf-8 bytes tiled by C-level bytes multiplication) — no
+    output-sized Python list. The tag/source columns union-shaped
+    results stamp per batch go through this."""
+    import pyarrow as pa
+
+    b = s.encode()
+    off = (np.arange(0, (n + 1) * len(b), len(b), dtype=np.int32)
+           if b else np.zeros(n + 1, np.int32))
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(off.tobytes()), pa.py_buffer(b * n)
+    )

@@ -21,6 +21,7 @@ import pyarrow as pa
 
 import ray
 
+from ..functions.bytearray import const_string_array
 from .window import _bucket_hash, _sortable
 
 
@@ -300,7 +301,7 @@ def unpivot(
         parts = []
         for c in value_cols:
             cols = {i: batch.column(i) for i in id_cols}
-            cols[var_name] = pa.array([c] * batch.num_rows)
+            cols[var_name] = const_string_array(batch.num_rows, c)
             cols[value_name] = batch.column(c)
             parts.append(pa.table(cols))
         return pa.concat_tables(parts, promote_options="none")
