@@ -197,59 +197,17 @@ def ivf_sample(
     ``take_batch`` — the HEAD blocks — which at 100 TB means centroids
     from whatever shard happens to be first).
 
-    Bottom-k by a deterministic per-row hash priority: each batch emits
-    only its local bottom-``sample_rows`` rows, and the driver keeps a
-    running bottom-k over the candidate stream — the global bottom-k of
-    per-block bottom-ks IS the exact global bottom-k, i.e. a uniform
-    sample without replacement, computed in one streaming pass with
-    O(sample_rows) driver memory."""
-    from .text import _mix64
+    Thin wrapper over :func:`ops.sampling.bottom_k_sample` (the
+    generic exact streaming bottom-k by deterministic id-hash
+    priority — one pass, O(sample_rows) driver memory, uniform
+    without replacement; the two used to be separate copies of the
+    same fold)."""
+    from .sampling import bottom_k_sample
 
-    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
-
-    def local_bottom(batch: pa.Table) -> pa.Table:
-        ids = (
-            batch.column(id_col)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-            .view(np.uint64)
-        )
-        # uniform [0,1) priority from the mixed id (float so Arrow
-        # round-trips preserve ordering; top 53 bits, no precision loss)
-        pri = (_mix64(ids ^ sd) >> np.uint64(11)).astype(np.float64) * (
-            2.0**-53
-        )
-        k = min(sample_rows, len(pri))
-        idx = np.sort(np.argpartition(pri, k - 1)[:k]) if k else np.arange(0)
-        emb = _emb_matrix(batch, emb_col)[idx]
-        return pa.table(
-            {
-                "pri": pri[idx],
-                "emb": pa.FixedSizeListArray.from_arrays(
-                    pa.array(emb.reshape(-1), pa.float64()),
-                    emb.shape[1] if emb.size else 1,
-                ),
-            }
-        )
-
-    cand = ds.map_batches(
-        local_bottom, batch_format="pyarrow", zero_copy_batch=True
-    )
-    pool_pri = np.empty(0, dtype=np.float64)
-    pool_emb: np.ndarray | None = None
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        if b.num_rows == 0:
-            continue
-        pri = b.column("pri").to_numpy(zero_copy_only=False)
-        emb = _emb_matrix(b, "emb")
-        pool_pri = np.concatenate((pool_pri, pri))
-        pool_emb = emb if pool_emb is None else np.vstack((pool_emb, emb))
-        if len(pool_pri) > sample_rows:
-            keep = np.sort(
-                np.argpartition(pool_pri, sample_rows - 1)[:sample_rows]
-            )
-            pool_pri, pool_emb = pool_pri[keep], pool_emb[keep]
-    return pool_emb if pool_emb is not None else np.empty((0, 0))
+    t = bottom_k_sample(ds, [emb_col], id_col, sample_rows, seed=seed)
+    if t.num_rows == 0:
+        return np.empty((0, 0))
+    return _emb_matrix(t, emb_col)
 
 
 class IvfIndex:
@@ -356,8 +314,19 @@ def ivf_build(
     and each refinement pass costs one full corpus scan."""
     import json
     import os
+    import shutil
 
     os.makedirs(index_path, exist_ok=True)
+    # a rebuild into an existing path (or a crashed prior build) must
+    # not leave stale artifacts: a surviving bucket=K dir whose bucket
+    # is EMPTY in the new build would still be probed and serve the
+    # old rows; extra part files inside a reused dir would duplicate
+    for name in os.listdir(index_path):
+        full = os.path.join(index_path, name)
+        if name.startswith("bucket=") and os.path.isdir(full):
+            shutil.rmtree(full)
+        elif name in ("centroids.npy", "meta.json"):
+            os.remove(full)
     sample = ivf_sample(
         ds, emb_col=emb_col, id_col=id_col, sample_rows=sample_rows,
         seed=seed,
@@ -379,6 +348,13 @@ def ivf_build(
     def write_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
+        if group.num_rows == 0:  # empty barrier block (groupby gotcha)
+            return pa.table({
+                "bucket": pa.array([], pa.int32()),
+                "rows": pa.array([], pa.int64()),
+                "bytes": pa.array([], pa.int64()),
+                "files": pa.array([], pa.int64()),
+            })
         b = int(group.column("bucket")[0].as_py())
         d = os.path.join(index_path, f"bucket={b:05d}")
         os.makedirs(d, exist_ok=True)

@@ -370,6 +370,15 @@ def _cc_relabel_group(group: pa.Table) -> pa.Table:
     edge the round before)."""
     node = group.column("node").to_numpy(zero_copy_only=False)
     nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+    if len(node) == 0:
+        # Ray's groupby barrier can deliver empty blocks (NOTES_r4
+        # gotcha); starts=[0] would index into a size-0 array
+        return pa.table(
+            {"kind": np.array([], np.int8),
+             "a": np.array([], np.int64),
+             "b": np.array([], np.int64)},
+            schema=_CC_ROUND_SCHEMA,
+        )
     order = np.lexsort((nbr, node))
     node, nbr = node[order], nbr[order]
     starts = np.concatenate(

@@ -441,11 +441,12 @@ class _BloomPrefilter:
             self.cast_to
         ):
             key = key.cast(self.cast_to)
-        if key.null_count:
-            filled = pc.fill_null(
-                key, key.drop_null()[0].as_py()
-                if len(key) != key.null_count else 0
-            )
+        if key.null_count == len(key):
+            # all-null batch: no same-typed fill value to borrow, and
+            # nothing can be in the bloom anyway
+            hit = np.full(len(key), self.keep_nulls, dtype=bool)
+        elif key.null_count:
+            filled = pc.fill_null(key, key.drop_null()[0].as_py())
             hit = self.bloom.contains_hashes(_key_hash64(filled))
             isnull = np.asarray(pc.is_null(key))
             hit[isnull] = self.keep_nulls
@@ -566,8 +567,11 @@ def shuffle_join(
             key = key.combine_chunks()
         if not key.null_count:
             return _key_hash_pk(key, num_buckets)
-        filled = pc.fill_null(key, key.drop_null()[0].as_py()
-                              if len(key) != key.null_count else 0)
+        if key.null_count == len(key):
+            # nothing to hash (and there is no same-typed fill value
+            # to borrow): scatter the whole batch
+            return (np.arange(len(key)) % num_buckets).astype(np.int32)
+        filled = pc.fill_null(key, key.drop_null()[0].as_py())
         pk = _key_hash_pk(filled, num_buckets)
         isnull = np.asarray(pc.is_null(key))
         pk[isnull] = (np.arange(len(pk)) % num_buckets)[isnull]

@@ -153,7 +153,11 @@ def bottom_k_sample(
             keep = np.sort(np.argpartition(pri, k - 1)[:k])
             pool = pool.take(pa.array(keep, pa.int64()))
     if pool is None:
-        return pa.table({c: pa.array([], pa.int64()) for c in proj})
+        # preserve the real column types on the empty result
+        base = ds.schema().base_schema
+        return pa.table(
+            {c: pa.array([], base.field(c).type) for c in proj}
+        )
     pri = pool.column("__pri").to_numpy(zero_copy_only=False)
     kk = min(k, pool.num_rows)
     keep = np.sort(np.argpartition(pri, kk - 1)[:kk]) if kk else []
@@ -190,7 +194,9 @@ def approx_quantiles_sampled(
         if len(vals) == 0:
             out_v.append(None)
         else:
-            out_v.append(vals[min(len(vals) - 1, int(q * len(vals)))])
+            # floor((n-1) * q): the same "lower" index exact_quantiles
+            # uses (int(q * n) would bias one rank high at interior qs)
+            out_v.append(vals[int((len(vals) - 1) * q)])
     return pa.table({
         "q": pa.array(out_q, pa.float64()),
         "value": pa.array(out_v),

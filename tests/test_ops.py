@@ -2413,3 +2413,129 @@ def test_window_multi_string_keys(ray_session):
     assert got["conv"].tolist() == exp["conv"].tolist()
     for c in ("rn", "prev_v", "running"):
         assert got[c].fillna(-1).tolist() == exp[c].fillna(-1).tolist(), c
+
+
+class TestReviewFixesR5:
+    """Regressions pinned from the round-5 self-review."""
+
+    def test_left_join_all_null_string_key_batch(self, ray_session):
+        """A batch whose string join keys are ALL null used to crash
+        pk_of (integer fill for a non-numeric type); LEFT join keeps
+        those rows with null right columns."""
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt = pa.table({
+            "k": pa.array([None, None], pa.string()),
+            "a": pa.array([1, 2], pa.int64()),
+        })
+        rt = pa.table({
+            "rk": pa.array(["x"], pa.string()),
+            "b": pa.array([9], pa.int64()),
+        })
+        got = shuffle_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", right_on="rk", how="left",
+        ).to_pandas().sort_values("a").reset_index(drop=True)
+        assert got["a"].tolist() == [1, 2]
+        assert got["b"].isna().all()
+
+    def test_bloom_prefilter_all_null_batch(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import (
+            bloom_prefilter,
+            build_key_bloom,
+        )
+
+        keys = pa.table({"k": pa.array(["x", "y"], pa.string())})
+        bloom = build_key_bloom(ray.data.from_arrow(keys), "k")
+        probe = pa.table({
+            "k": pa.array([None, None], pa.string()),
+            "v": pa.array([1, 2], pa.int64()),
+        })
+        dropped = bloom_prefilter(
+            ray.data.from_arrow(probe), "k", bloom
+        ).to_pandas()
+        assert len(dropped) == 0
+        kept = bloom_prefilter(
+            ray.data.from_arrow(probe), "k", bloom, keep_nulls=True
+        ).to_pandas()
+        assert len(kept) == 2
+
+    def test_cc_relabel_group_empty_block(self, ray_session):
+        from parquet_go_ray.ops.dedup import _cc_relabel_group
+
+        out = _cc_relabel_group(pa.table({
+            "node": pa.array([], pa.int64()),
+            "nbr": pa.array([], pa.int64()),
+        }))
+        assert out.num_rows == 0
+        assert out.column_names == ["kind", "a", "b"]
+
+    def test_ivf_rebuild_clears_stale_buckets(self, ray_session, tmp_path):
+        """Rebuilding an index at the same path must not serve rows
+        from the previous build (stale part files / stale bucket dirs
+        whose bucket is empty in the new build)."""
+        import ray
+
+        from parquet_go_ray.ops.ann import IvfIndex, ivf_build
+
+        rng = np.random.default_rng(3)
+
+        def table(n, start):
+            emb = rng.normal(size=(n, 8))
+            return pa.table({
+                "vec_id": pa.array(np.arange(start, start + n), pa.int64()),
+                "embedding": pa.array(list(emb)),
+            })
+
+        p = str(tmp_path / "idx")
+        ivf_build(ray.data.from_arrow(table(400, 0)), p,
+                  n_clusters=4, sample_rows=128)
+        # rebuild with a much smaller, disjoint-id corpus
+        ivf_build(ray.data.from_arrow(table(40, 10_000)), p,
+                  n_clusters=4, sample_rows=32)
+        idx = IvfIndex(p)
+        total = 0
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        for f in _glob.glob(f"{p}/bucket=*/part-*.parquet"):
+            t = pq.read_table(f, columns=["vec_id"])
+            ids = t.column("vec_id").to_numpy()
+            assert (ids >= 10_000).all(), f"stale rows in {f}"
+            total += len(ids)
+        assert total == 40
+
+    def test_approx_quantiles_lower_index_semantics(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import approx_quantiles_sampled
+
+        # sample == full input (k >= n), so the quantile is exact and
+        # must use floor((n-1)*q), not int(n*q)
+        t = pa.table({
+            "id": pa.array(range(4), pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+        })
+        out = approx_quantiles_sampled(
+            ray.data.from_arrow(t), "v", [0.5], id_col="id",
+            sample_rows=100,
+        )
+        assert out.column("value").to_pylist() == [20.0]  # floor(1.5)=1
+
+    def test_bottom_k_empty_preserves_types(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import bottom_k_sample
+
+        t = pa.table({
+            "id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+        })
+        out = bottom_k_sample(ray.data.from_arrow(t), ["text"], "id", 5)
+        assert out.schema.field("text").type == pa.string()
+        assert out.schema.field("id").type == pa.int64()
