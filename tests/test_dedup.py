@@ -430,3 +430,90 @@ def test_cc_stars_random_graphs_match_reference(ray_session):
         for member, root in got_roots.items():
             assert root < member
             assert root not in expected  # roots are survivors
+
+
+class TestExactDedupStore:
+    """Incremental exact dedup against a persisted corpus store."""
+
+    def _docs(self, ids, texts):
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts),
+        })
+
+    def test_filter_new_matches_not_in_sql(self, ray_session, tmp_path):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.dedup import ExactDedupStore
+
+        rng = np.random.default_rng(101)
+        corpus_texts = [f"doc body {int(x)}" for x in
+                        rng.integers(0, 300, 800)]
+        corpus = self._docs(range(800), corpus_texts)
+        shard_texts = [f"doc body {int(x)}" for x in
+                       rng.integers(200, 500, 400)]
+        shard = self._docs(range(10_000, 10_400), shard_texts)
+
+        p = str(tmp_path / "store")
+        store = ExactDedupStore.build(
+            ray.data.from_arrow(corpus).repartition(4), p, num_parts=8,
+        )
+        got = sorted(
+            store.filter_new(ray.data.from_arrow(shard).repartition(3))
+            .to_pandas()["doc_id"].tolist()
+        )
+        con = duckdb.connect()
+        con.register("corpus", corpus)
+        con.register("shard", shard)
+        exp = sorted(
+            con.sql("SELECT doc_id FROM shard WHERE text NOT IN"
+                    " (SELECT text FROM corpus)").df()["doc_id"]
+        )
+        assert got == exp
+        assert 0 < len(got) < 400  # both outcomes exercised
+
+    def test_append_makes_seen_texts_old(self, ray_session, tmp_path):
+        import ray
+
+        from parquet_go_ray.ops.dedup import ExactDedupStore
+
+        p = str(tmp_path / "store")
+        store = ExactDedupStore.build(
+            ray.data.from_arrow(self._docs([0, 1], ["a", "b"])), p,
+            num_parts=4,
+        )
+        shard = self._docs([10, 11, 12], ["b", "c", "d"])
+        first = store.filter_new(ray.data.from_arrow(shard)).to_pandas()
+        assert sorted(first["doc_id"]) == [11, 12]
+        res = store.append(ray.data.from_arrow(shard))
+        assert res["added"] == 2  # c, d new; b already present
+        again = store.filter_new(ray.data.from_arrow(shard)).to_pandas()
+        assert len(again) == 0
+        # store survives a fresh open
+        reopened = ExactDedupStore(p)
+        assert reopened.meta["rows"] == 4
+        third = reopened.filter_new(
+            ray.data.from_arrow(self._docs([20], ["e"]))
+        ).to_pandas()
+        assert third["doc_id"].tolist() == [20]
+
+    def test_rebuild_clears_stale_parts(self, ray_session, tmp_path):
+        import ray
+
+        from parquet_go_ray.ops.dedup import ExactDedupStore
+
+        p = str(tmp_path / "store")
+        ExactDedupStore.build(
+            ray.data.from_arrow(self._docs(range(100),
+                                           [f"t{i}" for i in range(100)])),
+            p, num_parts=4,
+        )
+        store = ExactDedupStore.build(
+            ray.data.from_arrow(self._docs([0], ["only"])), p,
+            num_parts=4,
+        )
+        out = store.filter_new(
+            ray.data.from_arrow(self._docs([5], ["t5"]))
+        ).to_pandas()
+        assert out["doc_id"].tolist() == [5]  # t5 gone with the rebuild
