@@ -2539,3 +2539,55 @@ class TestReviewFixesR5:
         out = bottom_k_sample(ray.data.from_arrow(t), ["text"], "id", 5)
         assert out.schema.field("text").type == pa.string()
         assert out.schema.field("id").type == pa.int64()
+
+
+class TestShuffleJoinProperty:
+    """Hypothesis: random tables (dup keys, nulls, empty sides,
+    skewed overlap) through every join mode == DuckDB."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.one_of(st.none(), st.integers(0, 8)), max_size=60),
+        st.lists(st.one_of(st.none(), st.integers(4, 12)), max_size=40),
+        st.sampled_from(["inner", "left", "right", "full"]),
+    )
+    def test_random_tables_match_duckdb(self, ray_session, lk, rk, how):
+        import duckdb
+        import ray
+
+        from parquet_go_ray.ops.join import shuffle_join
+
+        lt = pa.table({
+            "k": pa.array(lk, pa.int64()),
+            "lv": pa.array(range(len(lk)), pa.int64()),
+        })
+        rt = pa.table({
+            "rk": pa.array(rk, pa.int64()),
+            "rv": pa.array(range(len(rk)), pa.int64()),
+        })
+        out = shuffle_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            on="k", right_on="rk", how=how, num_buckets=3,
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt)
+        con.register("r", rt)
+        sql = {"inner": "JOIN", "left": "LEFT JOIN",
+               "right": "RIGHT JOIN", "full": "FULL JOIN"}[how]
+        exp = con.sql(
+            f"SELECT coalesce(l.k, r.rk) AS k, lv, rv"
+            f" FROM l {sql} r ON l.k = r.rk"
+        ).df()
+        if len(exp) == 0:
+            assert len(out) == 0
+            return
+        key = ["k", "lv", "rv"]
+        g = out.sort_values(key).reset_index(drop=True)[key] \
+            if len(out) else out
+        x = exp.sort_values(key).reset_index(drop=True)[key]
+        assert len(g) == len(x)
+        for c in key:
+            assert g[c].fillna(-1).tolist() == x[c].fillna(-1).tolist(), c
