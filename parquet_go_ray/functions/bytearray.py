@@ -217,6 +217,14 @@ def const_string_array(n: int, s: str) -> "pa.Array":
     import pyarrow as pa
 
     b = s.encode()
+    total = n * len(b)
+    if total > np.iinfo(np.int32).max - 8:
+        # int32 offsets would silently wrap negative; no real block
+        # gets here (2 GiB of one tag), so fail loudly instead
+        raise ValueError(
+            f"const_string_array: {n} x {len(b)}-byte value overflows"
+            " 32-bit string offsets; split the batch"
+        )
     off = (np.arange(0, (n + 1) * len(b), len(b), dtype=np.int32)
            if b else np.zeros(n + 1, np.int32))
     return pa.StringArray.from_buffers(

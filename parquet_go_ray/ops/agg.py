@@ -282,11 +282,14 @@ def unpivot(
     value_cols: list[str],
     var_name: str = "variable",
     value_name: str = "value",
+    drop_nulls: bool = False,
 ) -> ray.data.Dataset:
-    """Wide → long (SQL UNPIVOT / pandas melt): one output row per
-    (input row, value column). Pure per-batch reshape — zero shuffle;
-    value columns must share one Arrow type (cast upstream otherwise,
-    same rule as SQL UNPIVOT)."""
+    """Wide → long: one output row per (input row, value column) —
+    pandas-melt semantics, i.e. NULL values KEEP their row by default
+    (SQL UNPIVOT without INCLUDE NULLS drops them; pass
+    ``drop_nulls=True`` for that behavior). Pure per-batch reshape —
+    zero shuffle; value columns must share one Arrow type (cast
+    upstream otherwise, same rule as SQL UNPIVOT)."""
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
 
@@ -298,11 +301,18 @@ def unpivot(
                     f"unpivot value columns disagree on type: "
                     f"{value_cols[0]}={vt} vs {c}={batch.column(c).type}"
                 )
+        import pyarrow.compute as pc
+
         parts = []
         for c in value_cols:
-            cols = {i: batch.column(i) for i in id_cols}
-            cols[var_name] = const_string_array(batch.num_rows, c)
-            cols[value_name] = batch.column(c)
+            sub = batch
+            if drop_nulls:
+                vc = sub.column(c)
+                if vc.null_count:
+                    sub = sub.filter(pc.is_valid(vc))
+            cols = {i: sub.column(i) for i in id_cols}
+            cols[var_name] = const_string_array(sub.num_rows, c)
+            cols[value_name] = sub.column(c)
             parts.append(pa.table(cols))
         return pa.concat_tables(parts, promote_options="none")
 
@@ -325,9 +335,11 @@ def pivot_fixed(
 ) -> ray.data.Dataset:
     """Long → wide over a FIXED category list (SQL ``SUM(CASE WHEN
     cat='c' THEN val END) AS c ... GROUP BY by`` — static columns, so
-    the schema is known up front; rows with categories outside the
-    list are ignored). One row per key; one output column per
-    category, named ``prefix + str(category)``.
+    the schema is known up front). One row per key — INCLUDING keys
+    none of whose rows carry an in-list category (their columns are
+    all NULL / count 0, exactly like the SQL form); one output column
+    per category, named ``prefix + str(category)``. Out-of-list and
+    null categories contribute key presence only.
 
     Scale shape: each batch pre-aggregates (key, cat) cells with
     Arrow's hash group-by (the combiner — the shuffle ships at most
@@ -361,8 +373,18 @@ def pivot_fixed(
                 f"pivot_fixed: null partition keys in {by!r}"
             )
         t = batch.select([by, cat_col, val_col])
-        t = t.filter(pc.is_in(t.column(cat_col),
-                              value_set=pa.array(cats)))
+        # out-of-list categories collapse to ONE null-cat cell per key
+        # (bounded combiner cardinality even on a high-card cat_col)
+        # instead of being dropped — the key must survive to the
+        # output like SQL's GROUP BY would keep it
+        cat = t.column(cat_col)
+        if isinstance(cat, pa.ChunkedArray):
+            cat = cat.combine_chunks()
+        in_list = pc.is_in(cat, value_set=pa.array(cats))
+        t = t.set_column(
+            t.column_names.index(cat_col), cat_col,
+            pc.if_else(in_list, cat, pa.nulls(len(cat), cat.type)),
+        )
         cell = t.group_by([by, cat_col]).aggregate(
             [(val_col, arrow_agg)]
         )
@@ -393,9 +415,9 @@ def pivot_fixed(
         vname = f"__v_{merge_agg}"
         keys = tot.column(by).to_numpy(zero_copy_only=False)
         ukeys, codes = np.unique(keys, return_inverse=True)
-        cat_idx = pc.index_in(
+        cat_idx = np.asarray(pc.fill_null(pc.index_in(
             tot.column(cat_col), value_set=pa.array(cats)
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        ), -1), dtype=np.int64)  # -1 = the key-presence (null-cat) cell
         vals = tot.column(vname)
         cols = {by: pc.take(
             tot.column(by),
@@ -403,7 +425,10 @@ def pivot_fixed(
         )}
         nk = len(ukeys)
         filled = np.full((nk, len(cats)), -1, dtype=np.int64)
-        filled[codes, cat_idx] = np.arange(len(codes))
+        scatter = cat_idx >= 0
+        filled[codes[scatter], cat_idx[scatter]] = (
+            np.arange(len(codes))[scatter]
+        )
         for j, nm in enumerate(out_names):
             sel = filled[:, j]
             take_idx = pa.array(np.maximum(sel, 0), mask=sel < 0)

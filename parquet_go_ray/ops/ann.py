@@ -316,17 +316,17 @@ def ivf_build(
     import os
     import shutil
 
+    # STAGED build: write the whole new index into a sibling temp dir
+    # and swap it in only when complete — a rebuild over a live index
+    # must not destroy the old one before the new one exists (and a
+    # crashed build must not leave a half-index at the serving path;
+    # stale bucket dirs/parts from a previous generation would
+    # otherwise be probed and serve old rows)
+    final_path = index_path.rstrip("/")
+    index_path = f"{final_path}.building-{os.getpid()}"
+    if os.path.isdir(index_path):
+        shutil.rmtree(index_path)
     os.makedirs(index_path, exist_ok=True)
-    # a rebuild into an existing path (or a crashed prior build) must
-    # not leave stale artifacts: a surviving bucket=K dir whose bucket
-    # is EMPTY in the new build would still be probed and serve the
-    # old rows; extra part files inside a reused dir would duplicate
-    for name in os.listdir(index_path):
-        full = os.path.join(index_path, name)
-        if name.startswith("bucket=") and os.path.isdir(full):
-            shutil.rmtree(full)
-        elif name in ("centroids.npy", "meta.json"):
-            os.remove(full)
     sample = ivf_sample(
         ds, emb_col=emb_col, id_col=id_col, sample_rows=sample_rows,
         seed=seed,
@@ -406,7 +406,11 @@ def ivf_build(
     }
     with open(os.path.join(index_path, "meta.json"), "w") as f:
         json.dump(meta, f)
-    return IvfIndex(index_path)
+    # the swap: the old index stays live until this instant
+    if os.path.isdir(final_path):
+        shutil.rmtree(final_path)
+    os.rename(index_path, final_path)
+    return IvfIndex(final_path)
 
 
 def ann_ivf(

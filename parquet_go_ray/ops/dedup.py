@@ -1316,9 +1316,30 @@ def _store_part_arrays(part_path: str):
             t.column("h1").to_numpy(zero_copy_only=False),
             t.column("h2").to_numpy(zero_copy_only=False),
         )
-        _STORE_CACHE.clear()  # one live store generation per process
+        # evict only STALE generations of this same part (append
+        # bumped its mtime) — clearing everything would thrash the
+        # cache whenever one worker serves several parts
+        for k in [k for k in _STORE_CACHE if k[0] == part_path]:
+            del _STORE_CACHE[k]
+        while len(_STORE_CACHE) >= 128:  # bound resident hash arrays
+            del _STORE_CACHE[next(iter(_STORE_CACHE))]
         _STORE_CACHE[key] = hit
     return hit
+
+
+def _hash_parts_partial(text_col: str, num_parts: int):
+    """The shared build/append combiner: batch-local 128-bit hash
+    dedup + part stamp (one copy so the part-routing formula cannot
+    drift between the two writers)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_numpy(zero_copy_only=False)
+        h1, h2 = _hash128(texts)
+        df = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
+        df["part"] = (df["h1"] % num_parts).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return partial
 
 
 def _member_mask(h1s, h2s, h1, h2) -> np.ndarray:
@@ -1399,12 +1420,7 @@ class ExactDedupStore:
             elif name == "meta.json":
                 os.remove(full)
 
-        def partial(batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-            h1, h2 = _hash128(texts)
-            df = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
-            df["part"] = (df["h1"] % num_parts).astype(np.int32)
-            return pa.Table.from_pandas(df, preserve_index=False)
+        partial = _hash_parts_partial(text_col, num_parts)
 
         def write_part(group: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq
@@ -1504,20 +1520,21 @@ class ExactDedupStore:
     ) -> dict:
         """Merge a shard's distinct hashes into the store (sorted
         union per touched part, atomic rename — a crash mid-append
-        leaves every part either old or new, never torn)."""
+        leaves every part either old or new, never torn).
+
+        SINGLE-WRITER contract: two appends running concurrently
+        against the same store are read-modify-write races (the last
+        writer's union wins and the other shard's hashes are lost, so
+        its documents would be re-admitted later). Serialize ingest
+        shards through one append at a time — the natural shape of a
+        rolling ingest anyway."""
         import json
         import os
 
         text_col = text_col or self.meta["text_col"]
         num_parts = self.num_parts
         store_path = self.path
-
-        def partial(batch: pa.Table) -> pa.Table:
-            texts = batch.column(text_col).to_numpy(zero_copy_only=False)
-            h1, h2 = _hash128(texts)
-            df = pd.DataFrame({"h1": h1, "h2": h2}).drop_duplicates()
-            df["part"] = (df["h1"] % num_parts).astype(np.int32)
-            return pa.Table.from_pandas(df, preserve_index=False)
+        partial = _hash_parts_partial(text_col, num_parts)
 
         def merge_part(group: pa.Table) -> pa.Table:
             import pyarrow.parquet as pq

@@ -105,6 +105,16 @@ class _AsofJoiner:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pc = self.pc
+        if len(self.skeys) == 0:
+            # empty reference table: every probe row gets null payload
+            # (the zero-segment by-path did this; the global path and
+            # the tolerance line would index a size-0 array)
+            out = batch
+            for c in self.cols:
+                out = out.append_column(
+                    c, pa.nulls(batch.num_rows, self.payload[c].type)
+                )
+            return out
         on_col = batch.column(self.on)
         keys = on_col.to_numpy(zero_copy_only=False)
         # Null probe timestamps become NaT/NaN, which searchsorted orders

@@ -243,8 +243,21 @@ def grouped_cap_sample(
         if hash_mode == "xxh64":
             from ..ops.text import _mix64
 
-            raw = (ids.to_numpy(zero_copy_only=False)
-                   .astype(np.int64).view(np.uint64))
+            idc = (ids.combine_chunks()
+                   if isinstance(ids, pa.ChunkedArray) else ids)
+            if pa.types.is_string(idc.type) \
+                    or pa.types.is_large_string(idc.type) \
+                    or pa.types.is_binary(idc.type) \
+                    or pa.types.is_large_binary(idc.type):
+                # string doc ids are the NORMAL per-domain-cap case
+                from ..functions.bloom import xxh64_bytes
+                from ..functions.bytearray import arrow_strings_to_parts
+
+                lens, data = arrow_strings_to_parts(idc)
+                raw = xxh64_bytes(lens, np.frombuffer(data, np.uint8))
+            else:
+                raw = (idc.to_numpy(zero_copy_only=False)
+                       .astype(np.int64).view(np.uint64))
             pri = (_mix64(raw ^ sd) >> np.uint64(11)).astype(np.int64)
         else:  # md5 SQL-parity: first 8 hex digits as an integer
             pri = np.fromiter(

@@ -2591,3 +2591,112 @@ class TestShuffleJoinProperty:
         assert len(g) == len(x)
         for c in key:
             assert g[c].fillna(-1).tolist() == x[c].fillna(-1).tolist(), c
+
+
+class TestReviewFixesR5b:
+    """Second self-review round, regressions pinned."""
+
+    def test_cap_sample_string_ids(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.sampling import grouped_cap_sample
+
+        t = pa.table({
+            "dom": pa.array(["a.com", "a.com", "a.com", "b.org"]),
+            "doc_id": pa.array(["u1", "u2", "u3", "u4"]),
+        })
+        got = grouped_cap_sample(
+            ray.data.from_arrow(t), by="dom", id_col="doc_id", k=2,
+        ).to_pandas()
+        assert len(got) == 3  # a.com capped at 2, b.org keeps 1
+        assert (got.groupby("dom").size() <= 2).all()
+
+    def test_pivot_keeps_keys_without_in_list_rows(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import pivot_fixed
+
+        t = pa.table({
+            "k": pa.array([1, 2], pa.int64()),
+            "cat": pa.array(["x", "other"]),
+            "v": pa.array([5, 7], pa.int64()),
+        })
+        got = (
+            pivot_fixed(ray.data.from_arrow(t), "k", "cat", "v",
+                        categories=["x", "y"], agg="sum")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert got["k"].tolist() == [1, 2]  # k=2 survives, all-null
+        assert got["x"].fillna(-1).tolist() == [5, -1]
+        cnt = (
+            pivot_fixed(ray.data.from_arrow(t), "k", "cat", "v",
+                        categories=["x", "y"], agg="count")
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert cnt["x"].tolist() == [1, 0] and cnt["y"].tolist() == [0, 0]
+
+    def test_unpivot_drop_nulls(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import unpivot
+
+        t = pa.table({"id": pa.array([1, 2], pa.int64()),
+                      "a": pa.array([10.0, None])})
+        kept = unpivot(ray.data.from_arrow(t), ["id"], ["a"],
+                       drop_nulls=True).to_pandas()
+        assert kept["id"].tolist() == [1]
+
+    def test_const_string_overflow_raises(self):
+        from parquet_go_ray.functions.bytearray import const_string_array
+
+        with pytest.raises(ValueError, match="overflows"):
+            const_string_array(2**28, "0123456789abcdef")
+
+    def test_asof_empty_small_table(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.join import asof_join_broadcast
+
+        big = pa.table({
+            "eid": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(np.array([5, 9], "datetime64[us]")),
+        })
+        small = pa.table({
+            "sts": pa.array(np.array([], "datetime64[us]")),
+            "rate": pa.array([], pa.int64()),
+        })
+        for tol in (None, np.timedelta64(3, "us")):
+            got = asof_join_broadcast(
+                ray.data.from_arrow(big), small, on="ts",
+                small_on="sts", tolerance=tol,
+            ).to_pandas()
+            assert got["rate"].isna().all() and len(got) == 2
+
+    def test_ivf_rebuild_failure_keeps_old_index(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """A rebuild that dies mid-build must leave the previous
+        index intact and serving (staged-swap contract)."""
+        import ray
+
+        from parquet_go_ray.ops import ann as ann_mod
+        from parquet_go_ray.ops.ann import IvfIndex, ivf_build
+
+        rng = np.random.default_rng(7)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(100), pa.int64()),
+            "embedding": pa.array(list(rng.normal(size=(100, 4)))),
+        })
+        p = str(tmp_path / "idx")
+        ivf_build(ray.data.from_arrow(t), p, n_clusters=2,
+                  sample_rows=32)
+        rows_before = IvfIndex(p).meta["rows_total"]
+
+        def boom(*a, **k):
+            raise RuntimeError("kmeans died")
+
+        monkeypatch.setattr(ann_mod, "kmeans_lite", boom)
+        with pytest.raises(RuntimeError, match="kmeans died"):
+            ivf_build(ray.data.from_arrow(t), p, n_clusters=2,
+                      sample_rows=32)
+        assert IvfIndex(p).meta["rows_total"] == rows_before
