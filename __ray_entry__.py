@@ -314,16 +314,44 @@ def _q_outer_join_customer_orders(sf_dir: str):
                         how="full")
 
 
-def _q_events_filter(sf_dir: str):
-    ds = _read(sf_dir, "events")
+def _q_pivot_events(sf_dir: str):
+    """Long → wide pivot over a fixed category list (ops/agg.py
+    pivot_fixed — r5): per-user SUM of value for three event types —
+    SQL's ``SUM(CASE WHEN ...) GROUP BY`` with a static schema. Each
+    batch pre-aggregates its (user, type) cells with Arrow's hash
+    group-by (the combiner), ONE coarse-bucket exchange, vectorized
+    scatter per bucket; keys none of whose rows carry an in-list type
+    survive with all-NULL columns, exactly like the SQL form.
+    Replaces the r4 ``events_filter_click`` row — trivial filter
+    coverage remains in ``native_filter_pushdown_events`` (hash) and
+    ``decode_filter_events`` (hash)."""
+    import pyarrow.compute as pc
 
-    def f(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from parquet_go_ray.ops.agg import pivot_fixed
 
-        mask = pc.equal(batch.column("event_type"), "click")
-        return batch.filter(mask).select(["event_id", "user_id", "value"])
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
 
-    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    def cents(batch: pa.Table) -> pa.Table:
+        # exact-int pivot SUM (float sums re-associate; same contract
+        # as rolling_agg): value -> integer cents
+        v = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "event_type": batch.column("event_type"),
+            "cents": v,
+        })
+
+    return pivot_fixed(
+        ds.map_batches(cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        by="user_id", cat_col="event_type", val_col="cents",
+        categories=["click", "view", "purchase"], agg="sum",
+        prefix="sum_",
+    )
 
 
 def _q_ann(sf_dir: str):
@@ -1435,7 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint,
         "groupby_agg_multi": _q_groupby_agg_multi,
         "outer_join_customer_orders": _q_outer_join_customer_orders,
-        "events_filter_click": _q_events_filter,
+        "pivot_events": _q_pivot_events,
         "decode_filter_events": _q_decode_filter_events,
         "native_read_lineitem": _q_native_read_lineitem,
         "native_write_events": _q_native_write_events,
@@ -1607,9 +1635,21 @@ def oracle_sql() -> dict[str, str]:
             "       FROM orders WHERE o_totalprice > 150000.0) o"
             " ON c.c_custkey = o.o_custkey"
         ),
-        "events_filter_click": (
-            "SELECT event_id, user_id, value FROM events"
-            " WHERE event_type = 'click'"
+        "pivot_events": (
+            # CAST the outer SUM back to BIGINT: DuckDB's SUM(BIGINT) is
+            # HUGEINT, which pandas renders float64 and the gate's value
+            # hash distinguishes from the engine's int64.
+            "SELECT user_id,"
+            " CAST(SUM(CASE WHEN event_type = 'click' THEN"
+            "   CAST(round(value * 100.0) AS BIGINT) END) AS BIGINT)"
+            "   AS sum_click,"
+            " CAST(SUM(CASE WHEN event_type = 'view' THEN"
+            "   CAST(round(value * 100.0) AS BIGINT) END) AS BIGINT)"
+            "   AS sum_view,"
+            " CAST(SUM(CASE WHEN event_type = 'purchase' THEN"
+            "   CAST(round(value * 100.0) AS BIGINT) END) AS BIGINT)"
+            "   AS sum_purchase"
+            " FROM events GROUP BY user_id"
         ),
         "decode_filter_events": (
             "SELECT event_id, user_id, event_type, value FROM events"
