@@ -444,3 +444,313 @@ def pivot_fixed(
         .groupby("__pk")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def explode(
+    ds: ray.data.Dataset,
+    list_col: str,
+    out_col: str | None = None,
+    pos_col: str | None = None,
+    keep_empty: bool = False,
+) -> ray.data.Dataset:
+    """SQL ``UNNEST`` (cross join lateral) over a list column: one
+    output row per list element, the other columns repeated. Rows
+    whose list is NULL or empty disappear — SQL semantics — unless
+    ``keep_empty=True`` (pandas ``explode``: they survive with a NULL
+    element). NULL elements INSIDE a list are kept either way.
+    ``pos_col`` adds the element's 0-based position within its list
+    (``UNNEST ... WITH ORDINALITY`` is 1-based — add 1 downstream).
+
+    Pure per-batch reshape — zero shuffle, zero driver state: the
+    flattened values come straight off the child array
+    (``pc.list_flatten``) and the row repeat is one ``take`` over
+    ``pc.list_parent_indices``. Output row count is bounded by the
+    batch's total element count, so size ``batch_size`` upstream by
+    elements, not rows, for wide lists."""
+    if out_col is None:
+        out_col = f"{list_col}_elem"
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = batch.column(list_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        t = col.type
+        if not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_fixed_size_list(t)):
+            raise TypeError(
+                f"explode: column {list_col!r} has type {t}, not a list"
+            )
+        parent = pc.list_parent_indices(col)
+        flat = pc.list_flatten(col)
+        other_names = [c for c in batch.column_names if c != list_col]
+        others = batch.select(other_names).take(parent)
+        cols = {}
+        for c in batch.column_names:
+            if c == list_col:
+                cols[out_col] = flat
+            else:
+                cols[c] = others.column(c)
+        if pos_col is not None:
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col), 0),
+                dtype=np.int64,
+            )
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = (np.arange(int(lens.sum()), dtype=np.int64)
+                   - np.repeat(starts, lens))
+            cols[pos_col] = pa.array(pos, pa.int64())
+        out = pa.table(cols)
+        if keep_empty:
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(col), 0),
+                dtype=np.int64,
+            )
+            empty_idx = np.flatnonzero(lens == 0)
+            if len(empty_idx):
+                rest = batch.select(other_names).take(
+                    pa.array(empty_idx, pa.int64())
+                )
+                add = {}
+                for c in batch.column_names:
+                    if c == list_col:
+                        add[out_col] = pa.nulls(len(empty_idx), flat.type)
+                    else:
+                        add[c] = rest.column(c)
+                if pos_col is not None:
+                    add[pos_col] = pa.nulls(len(empty_idx), pa.int64())
+                out = pa.concat_tables([out, pa.table(add)],
+                                       promote_options="none")
+        return out
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_ROLLUP_AGGS = ("sum", "count", "min", "max", "mean")
+
+
+def _merge_op(op: str) -> str:
+    """How a partial re-aggregates when its grouping coarsens."""
+    return "sum" if op in ("count", "count_all") else op
+
+
+def _level_exchange(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    parts: list[tuple[str, str]],
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Re-aggregate a (keys ∪ partial columns) dataset to a coarser
+    ``keys`` grouping: per-batch combiner (Arrow hash group-by over the
+    partials' merge ops), null-safe multi-key coarse bucket, ONE
+    ``groupby(__pk)``, vectorized per-bucket merge. ``keys == []`` is
+    the grand-total grouping set (everything lands in bucket 0 — by
+    then the input is an already-aggregated level, rows ≈ groups)."""
+
+    def agg_to(t: pa.Table) -> pa.Table:
+        from .bucketing import multi_bucket_hash
+
+        dummy = not keys
+        if dummy:
+            t = t.append_column(
+                "__all", pa.array(np.zeros(t.num_rows, np.int32))
+            )
+        gkeys = keys if keys else ["__all"]
+        if t.num_rows == 0:
+            out = {k: t.column(k) for k in keys}
+            for p, _ in parts:
+                out[p] = t.column(p)
+            out["__pk"] = pa.array([], pa.int32())
+            return pa.table(out)
+        g = t.group_by(gkeys).aggregate(
+            [(p, _merge_op(op)) for p, op in parts]
+        )
+        out = {k: g.column(k) for k in keys}
+        for p, op in parts:
+            out[p] = g.column(f"{p}_{_merge_op(op)}")
+        res = pa.table(out)
+        res = res.append_column(
+            "__pk", pa.array(multi_bucket_hash(res, keys, num_buckets))
+        )
+        return res
+
+    def comb(batch: pa.Table) -> pa.Table:
+        return agg_to(batch.select(keys + [p for p, _ in parts]))
+
+    def merge(group: pa.Table) -> pa.Table:
+        res = agg_to(group.select(keys + [p for p, _ in parts]))
+        return res.drop_columns(["__pk"])
+
+    return (
+        ds.map_batches(comb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def rollup(
+    ds: ray.data.Dataset,
+    by: list[str],
+    aggs: list[tuple[str | None, str]],
+    cube: bool = False,
+    grouping_col: str = "grouping_id",
+    num_buckets: int | None = None,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(by...)`` (or ``CUBE`` with ``cube=True``):
+    every grouping-set level in one result, key columns NULL where the
+    level aggregates them away, plus ``grouping_col`` = SQL's
+    ``GROUPING(by...)`` bitmask (bit ``2^(n-1-i)`` set when ``by[i]``
+    is rolled up — DuckDB/postgres bit order, so input-NULL keys stay
+    distinguishable from rollup NULLs exactly as in SQL).
+
+    ``aggs``: (column, agg) pairs with agg in sum/count/min/max/mean;
+    ``(None, "count")`` is ``COUNT(*)`` (output column ``n``, others
+    ``{agg}_{col}``). All five re-aggregate from partials (mean ships
+    sum+count), so the INPUT is read and shuffled exactly ONCE — the
+    finest level is the repo's standard combiner + one-exchange
+    aggregate, and every coarser level re-aggregates the previous
+    (already tiny) level's partials: the classic rollup cascade.
+    Coarser levels come from MATERIALIZED aggregate outputs (bounded
+    by group count, not input size) — branching a lazy Dataset would
+    re-execute the whole input scan per level instead.
+
+    Input NULL keys group together (Arrow group-by ≡ SQL GROUP BY).
+    """
+    if not by:
+        raise ValueError("by must be non-empty")
+    if not aggs:
+        raise ValueError("aggs must be non-empty")
+    for col, op in aggs:
+        if op not in _ROLLUP_AGGS:
+            raise ValueError(
+                f"agg must be one of {_ROLLUP_AGGS}, got {op!r}"
+            )
+        if col is None and op != "count":
+            raise ValueError("col=None is only valid for 'count'")
+    final_names = [("n" if c is None else f"{op}_{c}") for c, op in aggs]
+    if len(set(final_names)) != len(final_names):
+        raise ValueError(f"duplicate output columns: {final_names}")
+    if num_buckets is None:
+        from .bucketing import derive_num_buckets
+
+        num_buckets = derive_num_buckets(ds)
+
+    # one partial per distinct (col, op) need; mean needs two
+    need: dict[tuple[str | None, str], str] = {}
+    for col, op in aggs:
+        if op == "mean":
+            need.setdefault((col, "sum"), f"__g{len(need)}")
+            need.setdefault((col, "count"), f"__g{len(need)}")
+        elif col is None:
+            need.setdefault((None, "count_all"), f"__g{len(need)}")
+        else:
+            need.setdefault((col, op), f"__g{len(need)}")
+    parts = [(name, op) for (_, op), name in need.items()]
+
+    def initial(batch: pa.Table) -> pa.Table:
+        from .bucketing import multi_bucket_hash
+
+        val_cols = sorted({c for (c, _), _ in need.items() if c})
+        t = batch.select(by + [c for c in val_cols if c not in by])
+        specs, out_names = [], []
+        for (col, op), name in need.items():
+            specs.append(([], "count_all") if col is None else (col, op))
+            out_names.append(name)
+        g = t.group_by(by).aggregate(specs)
+        out = {k: g.column(k) for k in by}
+        for (col, op), name in need.items():
+            src = "count_all" if col is None else f"{col}_{op}"
+            out[name] = g.column(src)
+        res = pa.table(out)
+        return res.append_column(
+            "__pk", pa.array(multi_bucket_hash(res, by, num_buckets))
+        )
+
+    def merge_finest(group: pa.Table) -> pa.Table:
+        t = group.select(by + [p for p, _ in parts])
+        if t.num_rows == 0:
+            return t
+        g = t.group_by(by).aggregate(
+            [(p, _merge_op(op)) for p, op in parts]
+        )
+        out = {k: g.column(k) for k in by}
+        for p, op in parts:
+            out[p] = g.column(f"{p}_{_merge_op(op)}")
+        return pa.table(out)
+
+    finest = (
+        ds.map_batches(initial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("__pk")
+        .map_groups(merge_finest, batch_format="pyarrow")
+    ).materialize()
+    sch = finest.schema()
+    key_types = {n: t for n, t in zip(sch.names, sch.types)}
+
+    if cube:
+        n = len(by)
+        level_keys = sorted(
+            ([by[i] for i in range(n) if mask & (1 << (n - 1 - i))]
+             for mask in range(1 << n)),
+            key=len, reverse=True,
+        )
+    else:
+        level_keys = [by[:k] for k in range(len(by), -1, -1)]
+
+    def finalize(level: ray.data.Dataset, keys: list[str]):
+        gid = sum(
+            1 << (len(by) - 1 - i)
+            for i, c in enumerate(by) if c not in keys
+        )
+
+        def fin(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            nrows = batch.num_rows
+            out = {}
+            for c in by:
+                out[c] = (batch.column(c) if c in keys
+                          else pa.nulls(nrows, key_types[c]))
+            out[grouping_col] = pa.array(
+                np.full(nrows, gid, np.int64)
+            )
+            for (col, op), fname in zip(aggs, final_names):
+                if op == "mean":
+                    s = batch.column(need[(col, "sum")]).cast(pa.float64())
+                    c = batch.column(need[(col, "count")]).cast(
+                        pa.float64()
+                    )
+                    q = pc.divide(s, c)
+                    out[fname] = pc.if_else(pc.greater(c, 0.0), q,
+                                            pa.nulls(nrows, pa.float64()))
+                elif op == "count":
+                    p = need[(None, "count_all") if col is None
+                             else (col, "count")]
+                    out[fname] = batch.column(p).cast(pa.int64())
+                else:
+                    out[fname] = batch.column(need[(col, op)])
+            return pa.table(out)
+
+        return level.map_batches(fin, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    outs = []
+    prev = finest
+    for keys in level_keys:
+        if keys == by:
+            level = finest
+        else:
+            # rollup: cascade from the previous (immediately finer)
+            # level; cube: every subset re-aggregates the finest
+            src = finest if cube else prev
+            level = _level_exchange(
+                src, keys, parts,
+                num_buckets=max(1, num_buckets // 16),
+            ).materialize()
+            prev = level
+        outs.append(finalize(level, keys))
+    res = outs[0]
+    if len(outs) > 1:
+        res = res.union(*outs[1:])
+    return res

@@ -17,6 +17,9 @@ is kept — small test inputs behave exactly as before.
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
 import ray
 
 # ~1 GiB of (estimated in-memory) input per bucket task: comfortably
@@ -46,3 +49,71 @@ def derive_num_buckets(
     if not est or est <= 0:
         return lo
     return int(min(hi, max(lo, -(-est // target_bucket_bytes))))
+
+
+# A fixed 64-bit stamp standing in for NULL in the row hash below. Any
+# constant works — equal rows (incl. their null pattern) must land in
+# the same bucket; the exact value only shifts WHICH bucket.
+_NULL_HASH = np.uint64(0x9E3779B97F4A7C15)
+_MIX_PRIME = np.uint64(0x100000001B3)  # FNV-64 prime, odd → bijective mix
+_SEED = np.uint64(0x517CC1B727220A95)
+
+
+def col_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Null-safe vectorized 64-bit hash of one column (uint64 per row).
+
+    Equality-consistent with Arrow's hash group-by so it can ROUTE rows
+    for the set/rollup operators: nulls all hash to one stamp, floats
+    are canonicalized (-0.0 → +0.0, every NaN → one NaN bit pattern)
+    before hashing, temporals hash their epoch ticks. Types without a
+    fixed-width or byte representation (decimal, dictionary) hash their
+    canonical string form — routing only ever needs equal→equal, and
+    Arrow's cast is deterministic."""
+    import pyarrow.compute as pc
+
+    from ..functions.bloom import xxh64_bytes, xxh64_fixed
+    from ..functions.bytearray import arrow_strings_to_parts
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_nested(t):
+        raise TypeError(f"col_hash64: nested type {t} is not hashable here")
+    null_mask = np.asarray(pc.is_null(col)) if col.null_count else None
+    if (pa.types.is_string(t) or pa.types.is_large_string(t)
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t)
+            or pa.types.is_fixed_size_binary(t)):
+        filler = "" if (pa.types.is_string(t)
+                        or pa.types.is_large_string(t)) else b""
+        filled = pc.fill_null(col, filler) if col.null_count else col
+        lens, data = arrow_strings_to_parts(filled)
+        h = xxh64_bytes(lens, data)
+    elif (pa.types.is_integer(t) or pa.types.is_floating(t)
+            or pa.types.is_boolean(t) or pa.types.is_temporal(t)):
+        filled = (pc.fill_null(col, pa.scalar(0).cast(t))
+                  if col.null_count else col)
+        arr = filled.to_numpy(zero_copy_only=False)
+        if arr.dtype.kind == "f":
+            arr = np.where(arr == 0.0, 0.0, arr)          # -0.0 ≡ +0.0
+            arr = np.where(np.isnan(arr), np.nan, arr)    # one NaN pattern
+        h = xxh64_fixed(arr)
+    else:
+        return col_hash64(pc.cast(col, pa.string()))
+    if null_mask is not None:
+        h = np.where(null_mask, _NULL_HASH, h)
+    return h.astype(np.uint64, copy=False)
+
+
+def multi_bucket_hash(
+    table: pa.Table, cols: list[str], num_buckets: int
+) -> np.ndarray:
+    """Coarse-bucket ids (int32) from the combined null-safe hash of
+    ``cols`` — the multi-key analogue of ``ops.window._bucket_hash``.
+    With ``cols == []`` every row lands in bucket 0 (the grand-total
+    grouping set)."""
+    if not cols:
+        return np.zeros(table.num_rows, dtype=np.int32)
+    acc = np.full(table.num_rows, _SEED, dtype=np.uint64)
+    for c in cols:
+        acc = (acc * _MIX_PRIME) ^ col_hash64(table.column(c))
+    return (acc % np.uint64(num_buckets)).astype(np.int32)

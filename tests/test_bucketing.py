@@ -88,3 +88,64 @@ def test_unknown_size_falls_back_to_default(ray_session):
     # helper must never execute the plan to find out
     nb = derive_num_buckets(ds)
     assert nb >= DEFAULT_NUM_BUCKETS
+
+
+class TestColHash64:
+    """Null-safe whole-row routing hash (set_op / rollup exchanges)."""
+
+    def test_equality_consistent_across_types(self):
+        import pyarrow as pa
+        from parquet_go_ray.ops.bucketing import col_hash64
+
+        # equal values hash equal regardless of construction; nulls
+        # collapse to one stamp; -0.0 ≡ +0.0; NaN ≡ NaN
+        f = col_hash64(pa.array([0.0, -0.0, float("nan"), float("nan"),
+                                 None, None, 1.5]))
+        assert f[0] == f[1] and f[2] == f[3] and f[4] == f[5]
+        assert f[0] != f[6] and f[4] != f[0]
+
+        s = col_hash64(pa.array(["x", "x", None, ""]))
+        assert s[0] == s[1] and s[2] != s[3]  # null is NOT ""
+
+        import datetime
+        ts = pa.array(
+            [datetime.datetime(2024, 1, 1), None,
+             datetime.datetime(2024, 1, 1)],
+            pa.timestamp("us"),
+        )
+        h = col_hash64(ts)
+        assert h[0] == h[2] and h[1] != h[0]
+
+        import decimal
+        d = pa.array([decimal.Decimal("1.50"), None,
+                      decimal.Decimal("1.50")],
+                     pa.decimal128(10, 2))
+        hd = col_hash64(d)  # string-form fallback path
+        assert hd[0] == hd[2] and hd[1] != hd[0]
+
+    def test_nested_rejected(self):
+        import pyarrow as pa
+        import pytest
+        from parquet_go_ray.ops.bucketing import col_hash64
+
+        with pytest.raises(TypeError, match="nested"):
+            col_hash64(pa.array([[1], [2]], pa.list_(pa.int64())))
+
+    def test_multi_bucket_routing_stable(self, rng):
+        import pyarrow as pa
+        from parquet_go_ray.ops.bucketing import multi_bucket_hash
+
+        t = pa.table({
+            "a": pa.array(rng.integers(0, 50, 1000)),
+            "b": pa.array([f"s{i % 7}" for i in range(1000)]),
+        })
+        pk1 = multi_bucket_hash(t, ["a", "b"], 64)
+        pk2 = multi_bucket_hash(t, ["a", "b"], 64)
+        assert (pk1 == pk2).all()
+        # equal rows route to equal buckets: duplicate the table
+        import numpy as np
+        dup = pa.concat_tables([t, t])
+        pkd = multi_bucket_hash(dup, ["a", "b"], 64)
+        assert (pkd[:1000] == pkd[1000:]).all()
+        # [] keys → bucket 0 (grand total)
+        assert (multi_bucket_hash(t, [], 8) == 0).all()
