@@ -693,19 +693,40 @@ def _q_grouped_mode_events(sf_dir: str):
     return grouped_mode(ds, by="user_id", val_col="event_type")
 
 
-def _q_distinct_users(sf_dir: str):
-    """Distinct-count via batch-local pre-dedup + one small groupby."""
-    ds = _read(sf_dir, "events", columns=["user_id"])
+def _q_setop_json_events(sf_dir: str):
+    """Two r5 operators in one hash row: ``json_field``
+    (ops/jsonops.py — ONE RE2 ``pc.extract_regex`` kernel per batch
+    over the flat-JSON ``props`` column, typed int64) feeding
+    ``set_op`` (ops/setops.py): distinct (user_id, k) pairs seen on
+    'click' events EXCEPT pairs seen on 'purchase' events. Each side
+    pre-dedups its batches with Arrow's hash group-by, so the ONE
+    whole-row-bucket all-to-all ships (row, multiplicity) cells
+    bounded by distinct pairs, and NULLs compare equal like SQL.
+    Replaces the r4 ``distinct_users_events`` row — single-column
+    exact distinct stays covered by ``dedup_exact_documents`` (hash),
+    and this op's per-side combiner IS that row's batch-local
+    pre-dedup + one-groupby shape, now over two inputs."""
+    import pyarrow.compute as pc
 
-    def local_unique(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    from parquet_go_ray.ops.jsonops import json_field
+    from parquet_go_ray.ops.setops import set_op
 
-        return pa.table({"user_id": pc.unique(batch.column("user_id"))})
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "props"])
+    ds = json_field(ds, "props", "k", out_col="k", out_type="int64")
 
-    uniq = ds.map_batches(local_unique, batch_format="pyarrow").groupby(
-        "user_id"
-    ).count()
-    return pa.table({"n_users": pa.array([uniq.count()], pa.int64())})
+    def side(ev: str):
+        def f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("event_type"), ev)
+            return batch.filter(mask).select(["user_id", "k"])
+
+        return f
+
+    left = ds.map_batches(side("click"), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ds.map_batches(side("purchase"), batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return set_op(left, right, "except")
 
 
 def _q_broadcast_join(sf_dir: str):
@@ -1490,7 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_join_lineitem_orders": _q_shuffle_join_lineitem_orders,
         "semi_anti_join_lineitem_part": _q_semi_anti_join,
         "window_functions_events": _q_window_functions_events,
-        "distinct_users_events": _q_distinct_users,
+        "setop_json_events": _q_setop_json_events,
         "broadcast_join_lineitem_part": _q_broadcast_join,
         "dedup_planted_multi": _q_dedup_planted_multi,
         # no_oracle / rows-only (non-SQL-expressible), last on purpose:
@@ -1813,8 +1834,12 @@ def oracle_sql() -> dict[str, str]:
             "   COALESCE(array_to_string(list_transform(ls, e -> e.b),"
             "   ','), '') END AS b_cat FROM t"
         ),
-        "distinct_users_events": (
-            "SELECT count(DISTINCT user_id) AS n_users FROM events"
+        "setop_json_events": (
+            "SELECT user_id, CAST(props->>'k' AS BIGINT) AS k"
+            " FROM events WHERE event_type = 'click'"
+            " EXCEPT"
+            " SELECT user_id, CAST(props->>'k' AS BIGINT) AS k"
+            " FROM events WHERE event_type = 'purchase'"
         ),
         "broadcast_join_lineitem_part": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_name"

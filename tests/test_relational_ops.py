@@ -269,3 +269,133 @@ class TestRollup:
             rollup(ds, ["k1"], [(None, "sum")])
         with pytest.raises(ValueError, match="duplicate"):
             rollup(ds, ["k1"], [("v", "sum"), ("v", "sum")])
+
+
+def _json_table():
+    rows = [
+        '{"k": 42, "s": "plain", "f": 1.5, "b": true}',
+        '{"k": -7, "s": "quo\\"te", "f": -2e3, "b": false}',
+        '{"s": "sl\\/ash\\nnl", "f": 0.25}',          # k missing
+        '{"k": null, "s": null, "b": null}',           # JSON nulls
+        '{"k": 3.5, "s": 7, "b": "true"}',             # type mismatches
+        None,                                           # null row
+        '{"k": 1000000007, "s": "", "f": 12, "b": true}',
+        '{"s": "uni\\u00e9code"}',                     # \u → null (boundary)
+    ]
+    return pa.table({"id": pa.array(range(len(rows)), pa.int64()),
+                     "props": pa.array(rows, pa.string())})
+
+
+class TestJsonField:
+    def _extract(self, ray_session, key, out_type):
+        from parquet_go_ray.ops.jsonops import json_field
+
+        ds = ray.data.from_arrow(_json_table())
+        out = _df(json_field(ds, "props", key, out_col="v",
+                             out_type=out_type))
+        return [None if pd.isna(x) else x
+                for x in out.sort_values("id")["v"].tolist()]
+
+    def test_int64_vs_duckdb(self, ray_session):
+        got = self._extract(ray_session, "k", "int64")
+        con = duckdb.connect()
+        con.register("t", _json_table())
+        ref = con.sql(
+            "SELECT id, CASE WHEN props->>'k' ~ '^-?\\d+$'"
+            " THEN CAST(props->>'k' AS BIGINT) END AS v"
+            " FROM t ORDER BY id"
+        ).df()["v"].tolist()
+        assert [(x if not pd.isna(x) else None) for x in ref] == got
+
+    def test_double_vs_duckdb(self, ray_session):
+        got = self._extract(ray_session, "f", "double")
+        con = duckdb.connect()
+        con.register("t", _json_table())
+        ref = con.sql(
+            "SELECT id, CAST(props->>'f' AS DOUBLE) AS v FROM t ORDER BY id"
+        ).df()["v"].tolist()
+        for g, r in zip(got, ref):
+            if pd.isna(r):
+                assert g is None
+            else:
+                assert abs(g - r) < 1e-12
+
+    def test_string_vs_duckdb(self, ray_session):
+        got = self._extract(ray_session, "s", "string")
+        con = duckdb.connect()
+        con.register("t", _json_table())
+        ref = con.sql(
+            "SELECT id, json_extract_string(props, 's') AS v"
+            " FROM t ORDER BY id"
+        ).df()["v"].tolist()
+        for i, (g, r) in enumerate(zip(got, ref)):
+            if i == 4:   # "s": 7 — number, not a string: we null, duckdb stringifies
+                assert g is None
+                continue
+            if i == 7:   # \u escape: documented null boundary
+                assert g is None
+                continue
+            assert g == (None if pd.isna(r) else r), i
+
+    def test_bool(self, ray_session):
+        got = self._extract(ray_session, "b", "bool")
+        assert got == [True, False, None, None, None, None, True, None]
+
+    def test_raw_and_replace_existing(self, ray_session):
+        from parquet_go_ray.ops.jsonops import json_field
+
+        ds = ray.data.from_arrow(_json_table())
+        out = _df(json_field(ds, "props", "k", out_col="props",
+                             out_type="raw"))
+        assert list(out.columns) == ["id", "props"]
+        assert out.sort_values("id")["props"].tolist()[0] == "42"
+
+    def test_bad_type(self, ray_session):
+        from parquet_go_ray.ops.jsonops import json_field
+
+        with pytest.raises(ValueError, match="out_type"):
+            json_field(ray.data.from_arrow(_json_table()),
+                       "props", "k", out_type="decimal")
+
+
+class TestSetOpProperty:
+    """Hypothesis: random same-schema tables (dup rows, nulls, empty
+    sides, disjoint and identical inputs) through every set-op mode
+    == DuckDB."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 5)),
+                           st.sampled_from(["x", "y", "z"])),
+                 max_size=50),
+        st.lists(st.tuples(st.one_of(st.none(), st.integers(3, 8)),
+                           st.sampled_from(["x", "y", "w"])),
+                 max_size=40),
+        st.sampled_from([("intersect", False), ("intersect", True),
+                         ("except", False), ("except", True),
+                         ("union", False)]),
+    )
+    def test_random_tables_match_duckdb(self, ray_session, l, r, mode):
+        op, use_all = mode
+        lt = pa.table({
+            "a": pa.array([x for x, _ in l], pa.int64()),
+            "s": pa.array([s for _, s in l], pa.string()),
+        })
+        rt = pa.table({
+            "a": pa.array([x for x, _ in r], pa.int64()),
+            "s": pa.array([s for _, s in r], pa.string()),
+        })
+        out = _df(set_op(ray.data.from_arrow(lt),
+                         ray.data.from_arrow(rt),
+                         op, all=use_all, num_buckets=3))
+        con = duckdb.connect()
+        con.register("t1", lt)
+        con.register("t2", rt)
+        ref = con.sql(SETOP_SQL[(op, use_all)]).df()
+        if len(ref) == 0:
+            assert len(out) == 0
+            return
+        _assert_same(out, ref)
