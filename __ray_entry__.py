@@ -943,21 +943,34 @@ def _q_doc_frequency(sf_dir: str):
 
 
 def _q_window_functions_events(sf_dir: str):
-    """The whole window-function family in ONE shuffle (ops/window.py
-    window_multi — r5): rolling MAX/COUNT over a 3-row frame, running
-    SUM (expanding frame), LAG/LEAD (type-preserving, the LEAD here
-    shifts a STRING column), ROW_NUMBER, RANK, NTILE(4) and
-    FIRST_VALUE — all over the shared ``PARTITION BY user_id ORDER BY
-    ts, event_id`` spec, resolved with one coarse-bucket all-to-all
-    and one lexsort per bucket (adding a function to the spec costs
-    zero extra shuffles — the real-engine shape). Subsumes r4's
-    ``rolling_max_events`` row (the MAX spec is identical)."""
+    """The whole window-function family (ops/window.py window_multi —
+    r5), two frame modes united under a ``frame`` column, each half
+    hash-compared value-for-value:
+
+    - ``frame='rows'``: rolling MAX/COUNT over a 3-row frame, running
+      SUM (expanding frame), LAG/LEAD (type-preserving, the LEAD here
+      shifts a STRING column), ROW_NUMBER, RANK, NTILE(4) and
+      FIRST_VALUE over the shared ``PARTITION BY user_id ORDER BY ts,
+      event_id`` spec — ONE coarse-bucket all-to-all, one lexsort per
+      bucket (adding a function to a spec costs zero extra shuffles).
+      Subsumes r4's ``rolling_max_events`` row (identical MAX spec).
+    - ``frame='range'``: SQL ``RANGE BETWEEN INTERVAL 1 HOUR
+      PRECEDING AND CURRENT ROW`` (single ORDER BY key, the SQL
+      rule): time-windowed SUM of exact cents / COUNT / MAX — frame
+      starts from ONE extra merged lexsort per bucket, current-row
+      PEERS included per the standard, variable-width MAX via a
+      sparse table. Exercises the r5 ``range_window`` spec field
+      end-to-end in the gate."""
+    import datetime
+
+    import pyarrow.compute as pc
+
     from parquet_go_ray.ops.window import WindowSpec, window_multi
 
     ds = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_id", "value",
                         "event_type"])
-    specs = [
+    rows_specs = [
         WindowSpec("max", val_col="value", window=3,
                    out_col="rolling_max"),
         WindowSpec("count", val_col="value", window=3,
@@ -974,8 +987,84 @@ def _q_window_functions_events(sf_dir: str):
         WindowSpec("first_value", val_col="event_type",
                    out_col="first_event_type"),
     ]
-    return window_multi(ds, by="user_id", order_cols=["ts", "event_id"],
-                        specs=specs)
+    rows_half = window_multi(ds, by="user_id",
+                             order_cols=["ts", "event_id"],
+                             specs=rows_specs)
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        # exact-int range SUM (float frames re-associate): cents
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("value"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "ts": batch.column("ts"),
+            "value": batch.column("value"),
+            "cents": cents,
+        })
+
+    hour = datetime.timedelta(hours=1)
+    range_specs = [
+        WindowSpec("sum", val_col="cents", range_window=hour,
+                   out_col="range_sum_cents"),
+        WindowSpec("count", val_col="cents", range_window=hour,
+                   out_col="range_count"),
+        WindowSpec("max", val_col="value", range_window=hour,
+                   out_col="range_max"),
+    ]
+    range_half = window_multi(
+        ds.map_batches(to_cents, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        by="user_id", order_cols=["ts"], specs=range_specs,
+    )
+
+    rows_out = ["rolling_max", "rolling_count", "running_sum_eid",
+                "lag1_value", "lead1_event_type", "rn", "rnk",
+                "ntile4", "first_event_type"]
+    range_out = ["range_sum_cents", "range_count", "range_max"]
+
+    def shape_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"frame": _const_str(n, "rows"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "value": batch.column("value"),
+                "event_type": batch.column("event_type")}
+        for c in rows_out:
+            cols[c] = batch.column(c)
+        cols["range_sum_cents"] = pa.nulls(n, pa.int64())
+        cols["range_count"] = pa.nulls(n, pa.int64())
+        cols["range_max"] = pa.nulls(n, pa.float64())
+        return pa.table(cols)
+
+    def shape_range(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {"frame": _const_str(n, "range"),
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": pa.nulls(n, pa.int64()),
+                "value": batch.column("value"),
+                "event_type": pa.nulls(n, pa.string())}
+        cols["rolling_max"] = pa.nulls(n, pa.float64())
+        cols["rolling_count"] = pa.nulls(n, pa.int64())
+        cols["running_sum_eid"] = pa.nulls(n, pa.int64())
+        cols["lag1_value"] = pa.nulls(n, pa.float64())
+        cols["lead1_event_type"] = pa.nulls(n, pa.string())
+        cols["rn"] = pa.nulls(n, pa.int64())
+        cols["rnk"] = pa.nulls(n, pa.int64())
+        cols["ntile4"] = pa.nulls(n, pa.int64())
+        cols["first_event_type"] = pa.nulls(n, pa.string())
+        for c in range_out:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    return rows_half.map_batches(
+        shape_rows, batch_format="pyarrow"
+    ).union(range_half.map_batches(
+        shape_range, batch_format="pyarrow"
+    ))
 
 
 def _q_semi_join_lineitem_part(sf_dir: str):
@@ -1724,7 +1813,8 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "window_functions_events": (
-            "SELECT user_id, ts, event_id, value, event_type,"
+            "SELECT 'rows' AS frame, user_id, ts, event_id, value,"
+            " event_type,"
             " MAX(value) OVER w3 AS rolling_max,"
             " COUNT(value) OVER w3 AS rolling_count,"
             " CAST(SUM(event_id) OVER w AS BIGINT) AS running_sum_eid,"
@@ -1733,12 +1823,36 @@ def oracle_sql() -> dict[str, str]:
             " ROW_NUMBER() OVER w AS rn,"
             " RANK() OVER w AS rnk,"
             " NTILE(4) OVER w AS ntile4,"
-            " FIRST_VALUE(event_type) OVER w AS first_event_type"
+            " FIRST_VALUE(event_type) OVER w AS first_event_type,"
+            " CAST(NULL AS BIGINT) AS range_sum_cents,"
+            " CAST(NULL AS BIGINT) AS range_count,"
+            " CAST(NULL AS DOUBLE) AS range_max"
             " FROM events"
             " WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),"
             " w3 AS (PARTITION BY user_id ORDER BY ts, event_id"
             " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+            " UNION ALL"
+            " SELECT 'range' AS frame, user_id, ts,"
+            " CAST(NULL AS BIGINT) AS event_id, value,"
+            " CAST(NULL AS VARCHAR) AS event_type,"
+            " CAST(NULL AS DOUBLE) AS rolling_max,"
+            " CAST(NULL AS BIGINT) AS rolling_count,"
+            " CAST(NULL AS BIGINT) AS running_sum_eid,"
+            " CAST(NULL AS DOUBLE) AS lag1_value,"
+            " CAST(NULL AS VARCHAR) AS lead1_event_type,"
+            " CAST(NULL AS BIGINT) AS rn,"
+            " CAST(NULL AS BIGINT) AS rnk,"
+            " CAST(NULL AS BIGINT) AS ntile4,"
+            " CAST(NULL AS VARCHAR) AS first_event_type,"
+            " CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) OVER wr"
+            "   AS BIGINT) AS range_sum_cents,"
+            " COUNT(value) OVER wr AS range_count,"
+            " MAX(value) OVER wr AS range_max"
+            " FROM events"
+            " WINDOW wr AS (PARTITION BY user_id ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 1 HOUR PRECEDING"
+            " AND CURRENT ROW)"
         ),
         "redact_pii_documents": _redact_pii_sql(),
         "semi_anti_join_lineitem_part": (

@@ -72,7 +72,15 @@ class WindowSpec:
     rows ending at the current row, ``window=None`` = expanding),
     lag/lead (``periods`` rows, type-preserving), row_number / rank /
     dense_rank / ntile (``n`` buckets) / percent_rank / cume_dist,
-    first_value (partition-start value, type-preserving)."""
+    first_value (partition-start value, type-preserving).
+
+    range_window (frame aggregates only, exclusive with ``window``):
+    SQL ``RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW`` — the
+    frame is every partition row whose ORDER value is within ``delta``
+    of the current row's (requires exactly ONE order column, non-null
+    values). ``delta``: a ``datetime.timedelta`` for timestamp order
+    columns, or a number in the column's own units (raw ticks for
+    temporals). ``delta=0`` is the SQL peers-only frame."""
 
     kind: str
     val_col: str | None = None
@@ -80,11 +88,14 @@ class WindowSpec:
     periods: int = 1
     n: int | None = None
     out_col: str | None = None
+    range_window: object = None
 
     def resolved_out_col(self) -> str:
         if self.out_col is not None:
             return self.out_col
         if self.kind in _FRAME_AGGS:
+            if self.range_window is not None:
+                return f"range_{self.kind}"
             return f"rolling_{self.kind}"
         if self.kind == "lag":
             return f"lag{self.periods}_{self.val_col}"
@@ -104,16 +115,27 @@ class WindowSpec:
         if self.kind in _FRAME_AGGS:
             if self.val_col is None:
                 raise ValueError(f"{self.kind} needs val_col")
-            if self.window is None:
+            if self.range_window is not None and self.window is not None:
+                raise ValueError(
+                    "window (ROWS frame) and range_window (RANGE "
+                    "frame) are mutually exclusive"
+                )
+            if self.window is None and self.range_window is None:
                 if self.kind in ("max", "min"):
                     raise ValueError(
                         f"expanding {self.kind} needs an O(frame) pass "
-                        "per row; give an explicit window"
+                        "per row; give an explicit window or "
+                        "range_window"
                     )
-            elif self.window < 1:
+            elif self.window is not None and self.window < 1:
                 raise ValueError(
                     f"window must be >= 1, got {self.window}"
                 )
+        elif self.range_window is not None:
+            raise ValueError(
+                f"range_window is only valid for frame aggregates "
+                f"{_FRAME_AGGS}, not {self.kind!r}"
+            )
         elif self.kind in _SHIFTS:
             if self.val_col is None:
                 raise ValueError(f"{self.kind} needs val_col")
@@ -128,6 +150,113 @@ class WindowSpec:
                 raise ValueError(f"ntile needs n >= 1, got {self.n}")
         elif self.kind == "first_value" and self.val_col is None:
             raise ValueError("first_value needs val_col")
+
+
+def _range_ticks(delta, arrow_type) -> int | float:
+    """Resolve a RANGE delta to the order column's own units."""
+    import datetime
+
+    if isinstance(delta, datetime.timedelta):
+        if not pa.types.is_timestamp(arrow_type):
+            raise TypeError(
+                f"timedelta range_window needs a timestamp order "
+                f"column, got {arrow_type}"
+            )
+        us = (delta.days * 86_400_000_000
+              + delta.seconds * 1_000_000 + delta.microseconds)
+        unit = arrow_type.unit
+        if unit == "ns":
+            ticks = us * 1000
+        elif unit == "us":
+            ticks = us
+        else:
+            per = 1_000 if unit == "ms" else 1_000_000
+            if us % per:
+                raise ValueError(
+                    f"range_window {delta!r} is not representable in "
+                    f"the order column's {unit} resolution"
+                )
+            ticks = us // per
+    elif isinstance(delta, (bool, np.bool_)):
+        raise TypeError(f"range_window must be numeric, got {delta!r}")
+    elif isinstance(delta, (int, np.integer)):
+        ticks = int(delta)
+    elif isinstance(delta, (float, np.floating)):
+        ticks = float(delta)
+    else:
+        raise TypeError(
+            f"range_window must be a number or datetime.timedelta, "
+            f"got {type(delta).__name__}"
+        )
+    if ticks < 0:
+        raise ValueError(f"range_window must be >= 0, got {delta!r}")
+    return ticks
+
+
+def _range_frame_starts(
+    ov: np.ndarray, seg: np.ndarray, ticks
+) -> np.ndarray:
+    """Sorted-domain frame-start index per row for ``RANGE ticks
+    PRECEDING``: the first row of the current row's segment whose
+    order value >= ov[i] - ticks.
+
+    Vectorized by MERGING the data values with the shifted query
+    values in one segment-major lexsort and counting data elements
+    before each query (queries tag-sort BEFORE equal data values, so
+    equal-valued rows are inside the frame — SQL's inclusive bound).
+    Costs one extra lexsort per delta per bucket, the same complexity
+    class as the spec's shared ordering sort."""
+    n = len(ov)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    q = ov - ticks
+    if ov.dtype.kind in "iu" and ticks > 0:
+        # underflow wrap near the domain minimum clamps to -inf
+        wrapped = q > ov
+        if wrapped.any():
+            q[wrapped] = np.iinfo(ov.dtype).min
+    tag2 = np.concatenate(
+        (np.ones(n, np.int8), np.zeros(n, np.int8))
+    )
+    m = np.lexsort([
+        tag2,
+        np.concatenate((ov, q)),
+        np.concatenate((seg, seg)),
+    ])
+    pos = np.empty(2 * n, dtype=np.int64)
+    pos[m] = np.arange(2 * n, dtype=np.int64)
+    cum_data = np.cumsum(tag2[m].astype(np.int64))
+    # merged order is segment-major, so the count of data elements
+    # before q[i] is exactly (rows in earlier segments) + (rows in
+    # this segment with value < q[i]) = the global frame start
+    return cum_data[pos[n:]]
+
+
+def _range_minmax(
+    vals: np.ndarray, start: np.ndarray, idx: np.ndarray, op
+) -> np.ndarray:
+    """Exact min/max over per-row variable-width frames [start, idx]
+    via a sparse table: log2(max frame) doubling levels, then each
+    row reads two overlapping power-of-two blocks. NaN marks SQL NULL
+    (``op`` is np.fmin/np.fmax, which skip single NaNs)."""
+    n = len(vals)
+    if n == 0:
+        return vals
+    L = idx - start + 1
+    max_l = int(L.max())
+    levels = [vals]
+    while (1 << len(levels)) <= max_l:
+        half = 1 << (len(levels) - 1)
+        prev = levels[-1]
+        levels.append(op(prev[:-half], prev[half:]))
+    k_of = np.frexp(L.astype(np.float64))[1] - 1  # floor(log2(L))
+    res = np.empty(n, dtype=vals.dtype)
+    for kv in np.unique(k_of):
+        rows = np.flatnonzero(k_of == kv)
+        size = 1 << int(kv)
+        sp = levels[int(kv)]
+        res[rows] = op(sp[start[rows]], sp[idx[rows] - size + 1])
+    return res
 
 
 def rolling_max(
@@ -229,6 +358,12 @@ def window_multi(
         s.kind in ("rank", "dense_rank", "percent_rank", "cume_dist")
         for s in specs
     )
+    has_range = any(s.range_window is not None for s in specs)
+    if has_range and len(order_cols) != 1:
+        raise ValueError(
+            "RANGE frames need exactly one ORDER BY column, got "
+            f"{order_cols}"
+        )
     if num_buckets is None:
         from .bucketing import derive_num_buckets
 
@@ -326,6 +461,40 @@ def window_multi(
                     np.append(bounds, n)
                 ))
 
+        range_starts: dict[object, np.ndarray] = {}
+        if has_range:
+            ocol = group.column(order_cols[0])
+            if isinstance(ocol, pa.ChunkedArray):
+                ocol = ocol.combine_chunks()
+            if ocol.null_count:
+                raise ValueError(
+                    "RANGE frames need non-null order values in "
+                    f"{order_cols[0]!r}"
+                )
+            ov_sorted = sorted_order_vals[order_cols[0]][order]
+            if ov_sorted.dtype.kind == "f" and np.isnan(ov_sorted).any():
+                raise ValueError(
+                    "RANGE frames cannot order by NaN values"
+                )
+            order_arrow_type = ocol.type
+            # SQL RANGE ... AND CURRENT ROW ends at the current row's
+            # LAST PEER (rows with equal order value after it included)
+            peer_start = new_seg.copy()
+            peer_start[1:] |= ov_sorted[1:] != ov_sorted[:-1]
+            pbounds = np.flatnonzero(peer_start)
+            pends = np.append(pbounds[1:], n) - 1
+            range_end = np.repeat(
+                pends, np.diff(np.append(pbounds, n))
+            )
+
+        def range_start_of(s: "WindowSpec") -> np.ndarray:
+            ticks = _range_ticks(s.range_window, order_arrow_type)
+            if ticks not in range_starts:
+                range_starts[ticks] = _range_frame_starts(
+                    ov_sorted, seg, ticks
+                )
+            return range_starts[ticks]
+
         # cache per-val-col sorted state shared across specs
         sorted_f64: dict[str, np.ndarray] = {}
         prefix_cnt: dict[str, np.ndarray] = {}
@@ -373,13 +542,19 @@ def window_multi(
                 vcol = vcol_of(s.val_col)
                 vals = f64_sorted(s.val_col)
                 # NaN marks SQL NULL; fmax/fmin ignore NaN unless both
-                acc = vals.copy()
                 op = np.fmax if s.kind == "max" else np.fmin
-                for sh in range(1, s.window):
-                    same = seg[sh:] == seg[:-sh]
-                    acc[sh:] = np.where(
-                        same, op(acc[sh:], vals[:-sh]), acc[sh:]
+                if s.range_window is not None:
+                    # variable-width frames: sparse-table range query
+                    acc = _range_minmax(
+                        vals, range_start_of(s), range_end, op
                     )
+                else:
+                    acc = vals.copy()
+                    for sh in range(1, s.window):
+                        same = seg[sh:] == seg[:-sh]
+                        acc[sh:] = np.where(
+                            same, op(acc[sh:], vals[:-sh]), acc[sh:]
+                        )
                 res = acc[inv]
                 mask = np.isnan(res) if vcol.null_count else None
                 t[oc] = pa.array(res, pa.float64(), mask=mask)
@@ -393,15 +568,22 @@ def window_multi(
                         "frames re-associate); cast explicitly if "
                         "approximate is acceptable"
                     )
-                start = (first if s.window is None
-                         else np.maximum(first, idx - s.window + 1))
+                if s.range_window is not None:
+                    start = range_start_of(s)
+                    hi = range_end
+                elif s.window is None:
+                    start = first
+                    hi = idx
+                else:
+                    start = np.maximum(first, idx - s.window + 1)
+                    hi = idx
                 C = cnt_prefix(s.val_col)
-                fcnt = C[idx + 1] - C[start]
+                fcnt = C[hi + 1] - C[start]
                 if s.kind == "count":
                     t[oc] = pa.array(fcnt[inv], pa.int64())
                 else:
                     S = sum_prefix(s.val_col)
-                    fsum = S[idx + 1] - S[start]
+                    fsum = S[hi + 1] - S[start]
                     empty = fcnt == 0
                     if s.kind == "sum":
                         res = fsum[inv]

@@ -2700,3 +2700,173 @@ class TestReviewFixesR5b:
             ivf_build(ray.data.from_arrow(t), p, n_clusters=2,
                       sample_rows=32)
         assert IvfIndex(p).meta["rows_total"] == rows_before
+
+
+class TestRangeFrames:
+    """SQL RANGE BETWEEN <delta> PRECEDING AND CURRENT ROW frames
+    (window_multi range_window) == DuckDB, incl. the standard's
+    current-row-PEERS frame end and duplicate order values."""
+
+    def _table(self, rng, n=800):
+        import datetime
+
+        base = datetime.datetime(2024, 3, 1)
+        ks = rng.integers(0, 6, size=n)
+        # duplicate timestamps on purpose: peers must share frames
+        offs = np.sort(rng.integers(0, 4000, size=n)) * 60
+        ts = [base + datetime.timedelta(seconds=int(o)) for o in offs]
+        v = rng.integers(-50, 200, size=n).astype(object)
+        v[rng.random(n) < 0.1] = None
+        return pa.table({
+            "k": pa.array([f"u{int(x)}" for x in ks]),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "v": pa.array(list(v), pa.int64()),
+        })
+
+    def _run(self, t, specs):
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        return window_multi(
+            ray.data.from_arrow(t), "k", ["ts"],
+            [WindowSpec(**s) for s in specs], num_buckets=3,
+        ).to_pandas()
+
+    def test_timestamp_interval_vs_duckdb(self, ray_session, rng):
+        import datetime
+
+        import duckdb
+
+        t = self._table(rng)
+        delta = datetime.timedelta(minutes=30)
+        out = self._run(t, [
+            dict(kind="sum", val_col="v", range_window=delta,
+                 out_col="r_sum"),
+            dict(kind="count", val_col="v", range_window=delta,
+                 out_col="r_cnt"),
+            dict(kind="mean", val_col="v", range_window=delta,
+                 out_col="r_mean"),
+            dict(kind="max", val_col="v", range_window=delta,
+                 out_col="r_max"),
+            dict(kind="min", val_col="v", range_window=delta,
+                 out_col="r_min"),
+        ])
+        con = duckdb.connect()
+        con.register("t", t)
+        ref = con.sql(
+            "SELECT k, ts, v,"
+            " CAST(SUM(v) OVER w AS BIGINT) AS r_sum,"
+            " COUNT(v) OVER w AS r_cnt,"
+            " AVG(v) OVER w AS r_mean,"
+            " CAST(MAX(v) OVER w AS DOUBLE) AS r_max,"
+            " CAST(MIN(v) OVER w AS DOUBLE) AS r_min"
+            " FROM t WINDOW w AS (PARTITION BY k ORDER BY ts"
+            " RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING"
+            " AND CURRENT ROW)"
+        ).df()
+        key = ["k", "ts", "v"]
+        a = out.sort_values(key, na_position="last").reset_index(drop=True)
+        b = ref.sort_values(key, na_position="last").reset_index(drop=True)
+        assert len(a) == len(b)
+        for c in ("r_sum", "r_cnt", "r_mean", "r_max", "r_min"):
+            av = a[c].astype("float64").fillna(-1e18)
+            bv = b[c].astype("float64").fillna(-1e18)
+            assert np.allclose(av, bv), c
+
+    def test_numeric_range_and_peers(self, ray_session):
+        import duckdb
+
+        t = pa.table({
+            "k": pa.array(["a"] * 6),
+            "ts": pa.array([10, 10, 11, 13, 13, 20], pa.int64()),
+            "v": pa.array([1, 2, 4, 8, 16, 32], pa.int64()),
+        })
+        out = self._run(t, [
+            dict(kind="sum", val_col="v", range_window=1,
+                 out_col="r_sum"),
+            dict(kind="sum", val_col="v", range_window=0,
+                 out_col="peer_sum"),
+        ])
+        con = duckdb.connect()
+        con.register("t", t)
+        ref = con.sql(
+            "SELECT k, ts, v,"
+            " CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE"
+            "  BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            "  AS r_sum,"
+            " CAST(SUM(v) OVER (PARTITION BY k ORDER BY ts RANGE"
+            "  BETWEEN 0 PRECEDING AND CURRENT ROW) AS BIGINT)"
+            "  AS peer_sum"
+            " FROM t"
+        ).df()
+        key = ["k", "ts", "v"]
+        a = out.sort_values(key).reset_index(drop=True)
+        b = ref.sort_values(key).reset_index(drop=True)
+        assert a["r_sum"].tolist() == b["r_sum"].tolist()
+        assert a["peer_sum"].tolist() == b["peer_sum"].tolist()
+        # peers share frames: rows at ts=10 both see 1+2
+        assert a.loc[a.ts == 10, "peer_sum"].tolist() == [3, 3]
+
+    def test_validation(self, ray_session):
+        import datetime
+
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            WindowSpec(kind="sum", val_col="v", window=3,
+                       range_window=5).validate()
+        with pytest.raises(ValueError, match="only valid for frame"):
+            WindowSpec(kind="lag", val_col="v",
+                       range_window=5).validate()
+        t = pa.table({
+            "k": pa.array(["a", "a"]),
+            "o1": pa.array([1, 2], pa.int64()),
+            "o2": pa.array([1, 2], pa.int64()),
+            "v": pa.array([1, 2], pa.int64()),
+        })
+        with pytest.raises(ValueError, match="exactly one ORDER BY"):
+            window_multi(
+                ray.data.from_arrow(t), "k", ["o1", "o2"],
+                [WindowSpec(kind="sum", val_col="v", range_window=1)],
+            )
+        tn = pa.table({
+            "k": pa.array(["a", "a"]),
+            "ts": pa.array([1, None], pa.int64()),
+            "v": pa.array([1, 2], pa.int64()),
+        })
+        with pytest.raises(Exception, match="non-null order"):
+            window_multi(
+                ray.data.from_arrow(tn), "k", ["ts"],
+                [WindowSpec(kind="sum", val_col="v", range_window=1)],
+            ).to_pandas()
+        with pytest.raises(Exception, match="timestamp order"):
+            window_multi(
+                ray.data.from_arrow(t.drop_columns(["o2"])), "k", ["o1"],
+                [WindowSpec(kind="sum", val_col="v",
+                            range_window=datetime.timedelta(minutes=1))],
+            ).to_pandas()
+
+    def test_range_min_max_expanding_equivalent(self, ray_session, rng):
+        # a range wider than the whole partition == expanding frame
+        t = self._table(rng, n=300)
+        out = self._run(t, [
+            dict(kind="max", val_col="v", range_window=10**15,
+                 out_col="r_max"),
+        ])
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("t", t)
+        ref = con.sql(
+            "SELECT k, ts, v, CAST(MAX(v) OVER (PARTITION BY k"
+            " ORDER BY ts) AS DOUBLE) AS r_max FROM t"
+        ).df()
+        key = ["k", "ts", "v"]
+        a = out.sort_values(key, na_position="last").reset_index(drop=True)
+        b = ref.sort_values(key, na_position="last").reset_index(drop=True)
+        av = a["r_max"].astype("float64").fillna(-1e18)
+        bv = b["r_max"].astype("float64").fillna(-1e18)
+        assert np.allclose(av, bv)
