@@ -485,6 +485,16 @@ def explode(
         parent = pc.list_parent_indices(col)
         flat = pc.list_flatten(col)
         other_names = [c for c in batch.column_names if c != list_col]
+        if out_col in other_names:
+            raise ValueError(
+                f"explode: out_col {out_col!r} collides with an "
+                "existing column; pass a distinct out_col"
+            )
+        if pos_col is not None and pos_col in (*other_names, out_col):
+            raise ValueError(
+                f"explode: pos_col {pos_col!r} collides with an "
+                "existing column"
+            )
         others = batch.select(other_names).take(parent)
         cols = {}
         for c in batch.column_names:
@@ -497,7 +507,8 @@ def explode(
                 pc.fill_null(pc.list_value_length(col), 0),
                 dtype=np.int64,
             )
-            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            ends = np.cumsum(lens)
+            starts = ends - lens  # shape matches lens even when empty
             pos = (np.arange(int(lens.sum()), dtype=np.int64)
                    - np.repeat(starts, lens))
             cols[pos_col] = pa.array(pos, pa.int64())
@@ -631,6 +642,13 @@ def rollup(
     final_names = [("n" if c is None else f"{op}_{c}") for c, op in aggs]
     if len(set(final_names)) != len(final_names):
         raise ValueError(f"duplicate output columns: {final_names}")
+    clash = set(final_names + [grouping_col]) & set(by)
+    if clash or grouping_col in final_names:
+        raise ValueError(
+            f"rollup: output column name(s) "
+            f"{sorted(clash) or [grouping_col]} collide with the "
+            "grouping keys; rename grouping_col or the aggregate"
+        )
     if num_buckets is None:
         from .bucketing import derive_num_buckets
 

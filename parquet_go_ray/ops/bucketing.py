@@ -79,6 +79,11 @@ def col_hash64(col: pa.Array | pa.ChunkedArray) -> np.ndarray:
     t = col.type
     if pa.types.is_nested(t):
         raise TypeError(f"col_hash64: nested type {t} is not hashable here")
+    if pa.types.is_temporal(t) and not pa.types.is_interval(t):
+        # hash the epoch ticks: date32/time32 → int32, the rest int64
+        # (pa.scalar(0).cast(date32) in the fill below would raise)
+        col = pc.cast(col, pa.int32() if t.bit_width == 32 else pa.int64())
+        t = col.type
     null_mask = np.asarray(pc.is_null(col)) if col.null_count else None
     if (pa.types.is_string(t) or pa.types.is_large_string(t)
             or pa.types.is_binary(t) or pa.types.is_large_binary(t)

@@ -39,10 +39,19 @@ _SCALAR = (
     r"|true|false|null"
 )
 
+# Applied AFTER escaped backslashes are swapped to _BS_SENTINEL, so a
+# pair like ``\\b`` can't be half-eaten by the ``\b`` rule. The
+# sentinel is NUL: valid JSON must escape every control char, so a raw
+# NUL byte cannot appear inside a string value.
+_BS_SENTINEL = "\x00"
 _UNESCAPES = [
     ("\\\"", "\""), ("\\/", "/"), ("\\n", "\n"), ("\\t", "\t"),
     ("\\r", "\r"), ("\\b", "\b"), ("\\f", "\f"),
 ]
+
+# int64 bounds as digit strings for the vectorized overflow gate
+_I64_POS = "9223372036854775807"
+_I64_NEG = "9223372036854775808"
 
 
 def json_field(
@@ -82,9 +91,15 @@ def json_field(
         elif out_type == "string":
             is_str = pc.match_substring_regex(tok, r'^"')
             body = pc.utf8_slice_codeunits(tok, 1, stop=-1)
+            # escaped backslashes out of the way FIRST, so the \u
+            # probe and the single-char rules below see only real
+            # escape introducers (``\\u`` is literal-backslash + u,
+            # not a unicode escape)
+            body = pc.replace_substring(body, "\\\\", _BS_SENTINEL)
             has_u = pc.match_substring_regex(body, r"\\u")
             for esc, rep in _UNESCAPES:
                 body = pc.replace_substring(body, esc, rep)
+            body = pc.replace_substring(body, _BS_SENTINEL, "\\")
             ok = pc.and_(is_str, pc.invert(has_u))
             out = pc.if_else(pc.fill_null(ok, False), body,
                              pa.nulls(len(tok), pa.string()))
@@ -94,9 +109,24 @@ def json_field(
             is_num = pc.fill_null(
                 pc.match_substring_regex(tok, num_pat), False)
             safe = pc.if_else(is_num, tok, pa.nulls(len(tok), tok.type))
-            out = pc.cast(
-                safe, pa.int64() if out_type == "int64" else pa.float64()
-            )
+            if out_type == "int64":
+                # overflow gate: tokens past ±2^63 are nulls (the
+                # module contract), not an ArrowInvalid killing the
+                # batch. Valid JSON bans leading zeros, so digit
+                # length + one lexicographic compare is exact.
+                mag = pc.utf8_ltrim(safe, "-")
+                dlen = pc.utf8_length(mag)
+                lim = pc.if_else(
+                    pc.starts_with(safe, "-"), _I64_NEG, _I64_POS)
+                fits = pc.or_(
+                    pc.less(dlen, 19),
+                    pc.and_(pc.equal(dlen, 19), pc.less_equal(mag, lim)),
+                )
+                safe = pc.if_else(pc.fill_null(fits, False), safe,
+                                  pa.nulls(len(tok), tok.type))
+                out = pc.cast(safe, pa.int64())
+            else:
+                out = pc.cast(safe, pa.float64())
         else:  # bool
             is_b = pc.fill_null(pc.is_in(
                 tok, value_set=pa.array(["true", "false"])), False)

@@ -68,6 +68,21 @@ def set_op(
         cols = list(left.schema().names)
     if not cols:
         raise ValueError("cols must be non-empty")
+    # the row hash is width-sensitive (an int32 3 and an int64 3 hash
+    # differently), so a silent type mismatch would mis-route equal
+    # rows into different buckets — make it a loud error instead
+    lsch, rsch = left.schema(), right.schema()
+    for c in cols:
+        if c not in lsch.names or c not in rsch.names:
+            side = "left" if c not in lsch.names else "right"
+            raise ValueError(f"set_op: column {c!r} missing on {side}")
+        lt = lsch.types[lsch.names.index(c)]
+        rt = rsch.types[rsch.names.index(c)]
+        if lt != rt:
+            raise TypeError(
+                f"set_op: column {c!r} types differ (left {lt}, right "
+                f"{rt}); cast both sides to one type upstream"
+            )
     if num_buckets is None:
         num_buckets = max(derive_num_buckets(left),
                           derive_num_buckets(right))

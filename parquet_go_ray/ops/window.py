@@ -209,6 +209,14 @@ def _range_frame_starts(
     n = len(ov)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    if ov.dtype.kind in "iu" and not isinstance(ticks, (int, np.integer)):
+        # integer order values: v >= ov - t  <=>  v >= ov - floor(t),
+        # so flooring the delta keeps frames EXACT while avoiding the
+        # float64 promotion of ov - ticks (ns-epoch timestamps exceed
+        # 2^53 and would collapse adjacent values)
+        import math
+
+        ticks = min(int(math.floor(ticks)), int(np.iinfo(ov.dtype).max))
     q = ov - ticks
     if ov.dtype.kind in "iu" and ticks > 0:
         # underflow wrap near the domain minimum clamps to -inf

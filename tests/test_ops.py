@@ -2870,3 +2870,140 @@ class TestRangeFrames:
         av = a["r_max"].astype("float64").fillna(-1e18)
         bv = b["r_max"].astype("float64").fillna(-1e18)
         assert np.allclose(av, bv)
+
+
+class TestReviewFixesR5c:
+    """Third self-review round (3a682a2..HEAD), regressions pinned."""
+
+    def test_json_string_backslash_unescape(self, ray_session):
+        import json
+
+        import ray
+
+        from parquet_go_ray.ops.jsonops import json_field
+
+        vals = ["a\\b", "C:\\temp", "x\\\\y", "tab\there", "q\"uote"]
+        docs = [json.dumps({"s": v}) for v in vals] + ['{"s": 1}', None]
+        t = pa.table({"j": pa.array(docs, pa.string())})
+        got = json_field(
+            ray.data.from_arrow(t), "j", "s", out_type="string"
+        ).to_pandas()["s"].tolist()
+        assert got[:5] == vals          # exact round-trip incl. \\
+        assert got[5] is None and got[6] is None
+
+    def test_json_int64_overflow_is_null(self, ray_session):
+        import pandas as pd
+
+        import ray
+
+        from parquet_go_ray.ops.jsonops import json_field
+
+        docs = [
+            '{"k": 99999999999999999999999}',       # > 2^63: null
+            '{"k": 9223372036854775807}',           # max: kept
+            '{"k": -9223372036854775808}',          # min: kept
+            '{"k": 9223372036854775808}',           # max+1: null
+            '{"k": -9223372036854775809}',          # min-1: null
+            '{"k": 42}',
+        ]
+        t = pa.table({"j": pa.array(docs, pa.string())})
+        rows = json_field(
+            ray.data.from_arrow(t), "j", "k", out_type="int64"
+        ).take_all()  # arrow rows: int64 survives (pandas would
+        got = [r["k"] for r in rows]  # promote the nullable col to f64)
+        assert got == [None, 9223372036854775807, -9223372036854775808,
+                       None, None, 42]
+
+    def test_explode_pos_col_empty_block(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import explode
+
+        t = pa.table({
+            "id": pa.array([1, 2], pa.int64()),
+            "vals": pa.array([[1, 2], [3]], pa.list_(pa.int64())),
+        })
+        ds = ray.data.from_arrow(t).filter(lambda r: r["id"] > 99)
+        got = explode(ds, "vals", pos_col="pos").to_pandas()
+        assert len(got) == 0
+
+    def test_explode_out_col_collision_raises(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import explode
+
+        t = pa.table({
+            "id": pa.array([1], pa.int64()),
+            "vals": pa.array([[1, 2]], pa.list_(pa.int64())),
+        })
+        with pytest.raises(Exception, match="collides"):
+            explode(ray.data.from_arrow(t), "vals",
+                    out_col="id").materialize()
+        with pytest.raises(Exception, match="collides"):
+            explode(ray.data.from_arrow(t), "vals",
+                    pos_col="id").materialize()
+
+    def test_col_hash64_nullable_dates(self):
+        from parquet_go_ray.ops.bucketing import col_hash64
+
+        a = pa.array([1, 2, None], pa.date32())
+        h = col_hash64(a)
+        assert len(h) == 3
+        # same epoch ticks in a different temporal width still routes
+        # nulls consistently and distinct values distinctly
+        assert h[0] != h[1]
+        b = pa.array([1, None], pa.date64())
+        h2 = col_hash64(b)
+        assert len(h2) == 2
+        ts = pa.array([1, None], pa.timestamp("ns"))
+        assert len(col_hash64(ts)) == 2
+
+    def test_set_op_type_mismatch_raises(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.setops import set_op
+
+        left = ray.data.from_arrow(
+            pa.table({"a": pa.array([1, 2], pa.int32())}))
+        right = ray.data.from_arrow(
+            pa.table({"a": pa.array([1, 2], pa.int64())}))
+        with pytest.raises(TypeError, match="types differ"):
+            set_op(left, right, "intersect")
+
+    def test_rollup_name_collision_raises(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.agg import rollup
+
+        ds = ray.data.from_arrow(pa.table({
+            "sum_v": pa.array([1], pa.int64()),
+            "v": pa.array([2], pa.int64()),
+        }))
+        with pytest.raises(ValueError, match="collide"):
+            rollup(ds, by=["sum_v"], aggs=[("v", "sum")])
+        with pytest.raises(ValueError, match="collide"):
+            rollup(ds, by=["v"], aggs=[("v", "sum")],
+                   grouping_col="v")
+
+    def test_range_window_int_order_float_delta_exact(self, ray_session):
+        """Float delta on an integer order column must not promote the
+        merge arrays to float64 (frames stay exact; floor(t) semantics
+        identical on an integer domain)."""
+        import ray
+
+        from parquet_go_ray.ops.window import WindowSpec, window_multi
+
+        # values near 2^63 would collapse under a float64 round-trip
+        base = 9_223_372_036_854_770_000
+        t = pa.table({
+            "k": pa.array(["a"] * 4),
+            "o": pa.array([base + i for i in range(4)], pa.int64()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        })
+        got = window_multi(
+            ray.data.from_arrow(t), by="k", order_cols=["o"],
+            specs=[WindowSpec(kind="sum", val_col="v", out_col="s",
+                              range_window=1.5)],
+        ).to_pandas().sort_values("o")
+        # floor(1.5)=1 → frame = rows within 1 tick back
+        assert got["s"].tolist() == [1, 3, 5, 7]
