@@ -53,6 +53,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.block import decompress
+from .iosrc import is_remote, open_source, stat_source
 from ..functions.bytearray import (
     delta_length_decode,
     delta_prefix_decode,
@@ -618,13 +619,13 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
         # storage — at 100 TB this turns a whole-chunk fetch into two
         # small range requests instead of filtering after the fact.
         prefix_end, win_start, win_stop, row0 = window
-        with open(path, "rb") as f:
+        with open_source(path) as f:
             f.seek(start)
             buf = f.read(prefix_end - start)
             f.seek(win_start)
             buf += f.read(win_stop - win_start)
     else:
-        with open(path, "rb") as f:
+        with open_source(path) as f:
             f.seek(start)
             buf = f.read(md.total_compressed_size)
     rdr = _ChunkReader(
@@ -682,9 +683,19 @@ def _read_chunk(pf: pq.ParquetFile, path: str, row_group: int, column: int,
     return arr, defs
 
 
+def _parquet_file(path: str) -> pq.ParquetFile:
+    """``pq.ParquetFile`` over any registered byte source: local paths
+    go straight to pyarrow (mmap-friendly); remote uris (http/mem/…)
+    hand pyarrow the seekable range reader, so the footer walk costs
+    range requests, not a whole-object download."""
+    if is_remote(path):
+        return pq.ParquetFile(open_source(path))
+    return pq.ParquetFile(path)
+
+
 @_functools.lru_cache(maxsize=16)
-def _footer_struct_at(path: str, _mtime_ns: int, _size: int) -> dict:
-    with open(path, "rb") as f:
+def _footer_struct_at(path: str, _version: int, _size: int) -> dict:
+    with open_source(path) as f:
         f.seek(-8, 2)
         flen = int.from_bytes(f.read(4), "little")
         f.seek(-8 - flen, 2)
@@ -692,10 +703,12 @@ def _footer_struct_at(path: str, _mtime_ns: int, _size: int) -> dict:
 
 
 def _footer_struct(path: str) -> dict:
-    """Engine-parsed FileMetaData, cached per (path, mtime, size) so a
-    row-group task touching many columns parses the footer once."""
-    st = _os.stat(path)
-    return _footer_struct_at(path, st.st_mtime_ns, st.st_size)
+    """Engine-parsed FileMetaData, cached per (path, version, size) so a
+    row-group task touching many columns parses the footer once. The
+    version token is mtime_ns locally, ETag/Last-Modified over HTTP, a
+    generation counter for mem:// (see ``iosrc.stat_source``)."""
+    size, version = stat_source(path)
+    return _footer_struct_at(path, version, size)
 
 
 def read_page_index(path: str, row_group: int = 0,
@@ -708,7 +721,7 @@ def read_page_index(path: str, row_group: int = 0,
     """
     md = _footer_struct(path)
     col = md[4][row_group][1][column]  # FileMetaData.row_groups[].columns[]
-    with open(path, "rb") as f:
+    with open_source(path) as f:
         out: dict = {}
         if 6 in col:  # column_index_offset / _length (ColumnChunk 6/7)
             f.seek(col[6])
@@ -748,7 +761,7 @@ def read_bloom_filter(path: str, row_group: int = 0, column: int = 0):
     meta = col.get(3)
     if not meta or 14 not in meta:
         return None
-    with open(path, "rb") as f:
+    with open_source(path) as f:
         f.seek(meta[14])
         if 15 in meta:
             raw = f.read(meta[15])
@@ -875,7 +888,7 @@ def read_column_chunk(path: str, row_group: int, column: int) -> pa.Array:
     """Read one column chunk of a real Parquet file through the engine's
     page/wire decoders. Returns the physical-typed array (logical-type
     casts are the caller's concern)."""
-    return _read_chunk(pq.ParquetFile(path), path, row_group, column)[0]
+    return _read_chunk(_parquet_file(path), path, row_group, column)[0]
 
 
 def _assemble_struct(pf: pq.ParquetFile, path: str, row_group: int,
@@ -916,7 +929,7 @@ def read_row_group_native(path: str, row_group: int,
     ``pq.read_table`` for flat schemas. ``row_range=(start, stop)``
     reads only that row window: flat/struct chunks skip non-overlapping
     pages without decompressing; list chunks decode and slice rows."""
-    pf = pq.ParquetFile(path)
+    pf = _parquet_file(path)
     arrow_schema = pf.schema_arrow
     md = pf.metadata.row_group(row_group)
     if row_range is not None:
@@ -1067,7 +1080,7 @@ def read_parquet_native(paths, columns: list[str] | None = None,
         # fans out across the cluster.
         out_p, out_g, out_a, out_b = [], [], [], []
         for p in batch.column("path").to_pylist():
-            md = pq.ParquetFile(p).metadata
+            md = _parquet_file(p).metadata
             n2i = {
                 md.row_group(0).column(i).path_in_schema.split(".")[0]: i
                 for i in range(md.num_columns)
