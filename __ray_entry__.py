@@ -184,12 +184,52 @@ def _q_dedup_exact(sf_dir: str):
     return dedup_exact(_read(sf_dir, "documents"))
 
 
-def _q_token_count(sf_dir: str):
-    from parquet_go_ray.ops.text import apply, token_count_batch
+def _q_token_fingerprint(sf_dir: str):
+    """Token counting + document fingerprinting in one hash-oracled
+    row (r5 gate consolidation — same per-doc grain; both were
+    separate rows through r4 and stay hash-compared value-for-value
+    inside the union of columns). The freed slot drives the n-gram
+    decontamination operator."""
+    from parquet_go_ray.ops.text import (
+        apply,
+        fingerprint_batch,
+        token_count_batch,
+    )
 
     ds = apply(_read(sf_dir, "documents"), token_count_batch)
+    ds = apply(ds, fingerprint_batch)
     return ds.map_batches(
-        lambda b: b.select(["doc_id", "n_tokens"]), batch_format="pyarrow"
+        lambda b: b.select(["doc_id", "n_tokens", "fingerprint"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_decontam(sf_dir: str):
+    """Benchmark decontamination over the documents corpus: the
+    "benchmark" is the deterministic doc_id % 41 == 0 slice of the
+    corpus itself, so planted overlap is guaranteed (every benchmark
+    doc self-matches) and cross-doc 3-gram overlap is exercised on
+    real text. Engine counts gram POSITIONS whose 3-gram appears in
+    the benchmark set; the oracle replays the same definition in SQL
+    (string_split + list slicing)."""
+    import numpy as np
+
+    from parquet_go_ray.ops.decontam import decontaminate
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_slice(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 41 == 0))
+
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .map_batches(bench_slice, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    out = decontaminate(docs, bench, n=3, lower=True)
+    return out.map_batches(
+        lambda b: b.select(
+            ["doc_id", "contaminated_ngrams", "is_contaminated"]),
+        batch_format="pyarrow",
     )
 
 
@@ -219,15 +259,6 @@ def _q_quality_normalize(sf_dir: str):
 
     return ds.map_batches(
         add_norm, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-
-def _q_fingerprint(sf_dir: str):
-    from parquet_go_ray.ops.text import apply, fingerprint_batch
-
-    ds = apply(_read(sf_dir, "documents"), fingerprint_batch)
-    return ds.map_batches(
-        lambda b: b.select(["doc_id", "fingerprint"]), batch_format="pyarrow"
     )
 
 
@@ -1568,9 +1599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_stats_lineitem": _q_column_stats_lineitem,
         "dict_cardinality_documents": _q_dict_cardinality_documents,
         "dedup_exact_documents": _q_dedup_exact,
-        "token_count_documents": _q_token_count,
+        "token_fingerprint_documents": _q_token_fingerprint,
         "quality_normalize_documents": _q_quality_normalize,
-        "fingerprint_documents": _q_fingerprint,
+        "decontam_documents": _q_decontam,
         "groupby_agg_multi": _q_groupby_agg_multi,
         "outer_join_customer_orders": _q_outer_join_customer_orders,
         "pivot_events": _q_pivot_events,
@@ -1695,9 +1726,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_documents": (
             "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
         ),
-        "token_count_documents": (
+        "token_fingerprint_documents": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)"
-            " AS n_tokens FROM documents"
+            " AS n_tokens, md5(text) AS fingerprint FROM documents"
+        ),
+        "decontam_documents": (
+            # token 3-grams via list slicing; benchmark = doc_id%41=0
+            # slice; contaminated_ngrams counts gram POSITIONS whose
+            # gram appears in the benchmark's distinct gram set
+            "WITH tok AS (SELECT doc_id,"
+            " string_split(lower(text), ' ') AS ts FROM documents),"
+            " grams AS (SELECT doc_id,"
+            " ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g"
+            " FROM (SELECT doc_id, ts,"
+            " unnest(generate_series(1, len(ts) - 2)) AS i FROM tok)),"
+            " bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 41 = 0),"
+            " hits AS (SELECT grams.doc_id, count(*) AS c FROM grams"
+            " JOIN bench USING (g) GROUP BY grams.doc_id)"
+            " SELECT d.doc_id,"
+            " COALESCE(h.c, 0) AS contaminated_ngrams,"
+            " COALESCE(h.c, 0) >= 1 AS is_contaminated"
+            " FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
         ),
         "quality_normalize_documents": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
@@ -1706,9 +1755,6 @@ def oracle_sql() -> dict[str, str]:
             " AS chars_per_token,"
             " trim(regexp_replace(lower(nfc_normalize(text)),"
             " '\\s+', ' ', 'g')) AS text_norm FROM documents"
-        ),
-        "fingerprint_documents": (
-            "SELECT doc_id, md5(text) AS fingerprint FROM documents"
         ),
         "sampling_multi": (
             "SELECT 'documents' AS src, doc_id AS id,"

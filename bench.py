@@ -228,7 +228,8 @@ def bench_queries(sf_dir: str) -> tuple[dict, dict]:
         "roundtrip_lineitem",
         "dedup_exact_documents",
         "dedup_minhash_documents",
-        "token_count_documents",
+        "token_fingerprint_documents",
+        "decontam_documents",
         "quality_normalize_documents",
         "langid_documents",
         "ann_cosine_embeddings",
