@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 import ray
 
+from ..functions.bytearray import const_string_array
 from .bucketing import col_hash64, derive_num_buckets
 
 __all__ = ["mix_datasets", "pack_sequences"]
@@ -115,9 +116,8 @@ def _tag_and_sample(
         h = h * np.uint64(0xBF58476D1CE4E5B9)
         h = h ^ (h >> np.uint64(32))
         kept = batch.filter(pa.array(h < thresh)) if rate < 1.0 else batch
-        n = kept.num_rows
         return kept.append_column(
-            source_col, pa.array([name] * n, pa.string())
+            source_col, const_string_array(kept.num_rows, name)
         )
 
     return ds.map_batches(keep, batch_format="pyarrow",
