@@ -1,9 +1,10 @@
-"""Training-corpus assembly: deterministic domain mixing and
-fixed-token-budget sequence packing.
+"""Training-corpus assembly: deterministic domain mixing,
+fixed-token-budget sequence packing, and document chunking.
 
-Two ops every large-scale pretraining pipeline runs downstream of
+Ops every large-scale pretraining pipeline runs downstream of
 curation (The Pile / Llama-style domain re-weighting; GPT-style
-sequence packing), neither expressible as a single SQL query:
+sequence packing; RAG/embedding chunking), none expressible as a
+single SQL query:
 
 - :func:`mix_datasets` downsamples each source to hit target mixture
   proportions by deterministic id-hash coin flips — no shuffle, no
@@ -35,7 +36,7 @@ import ray
 from ..functions.bytearray import const_string_array
 from .bucketing import col_hash64, derive_num_buckets
 
-__all__ = ["mix_datasets", "pack_sequences"]
+__all__ = ["mix_datasets", "pack_sequences", "chunk_documents"]
 
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -234,3 +235,78 @@ def pack_sequences(
         .groupby("rk")
         .map_groups(pack, batch_format="pyarrow")
     )
+
+
+def chunk_documents(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> ray.data.Dataset:
+    """Split each document into chunks of ≤ ``max_tokens`` whitespace
+    tokens with ``overlap`` tokens of context carried between
+    consecutive chunks — the dual of :func:`pack_sequences` (that op
+    packs short docs up; this one cuts long docs down, the standard
+    pre-embedding / RAG-indexing step). Returns one row per chunk:
+    ``(id_col, chunk_idx, text, n_tokens)``.
+
+    Pure per-batch flat-map — zero shuffle, order-independent. The
+    whole batch is tokenized with ONE Arrow ``split_pattern`` kernel;
+    chunk token ranges are computed vectorized and their text
+    reassembles via one ``take`` + ``binary_join`` (split-on-space /
+    join-with-space are exact inverses, empty tokens included, so an
+    overlap-0 chunking concatenates back to the original text
+    byte-identically — pinned in tests).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens), got {overlap}"
+        )
+    step = max_tokens - overlap
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        m = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        m = m.astype(np.int64)
+        doc_off = np.concatenate(([0], np.cumsum(m)))[:-1]
+        # chunks per doc: 1 covers m <= max_tokens; each further step
+        # tokens need one more chunk
+        c = np.maximum(
+            1, -(-(m - max_tokens) // step) + 1
+        ).astype(np.int64)
+        c[m == 0] = 1  # split never yields 0 tokens, but be explicit
+        n_chunks = int(c.sum())
+        doc_of = np.repeat(np.arange(len(m), dtype=np.int64), c)
+        coff = np.concatenate(([0], np.cumsum(c)))[:-1]
+        cidx = np.arange(n_chunks, dtype=np.int64) - np.repeat(coff, c)
+        starts = cidx * step
+        stops = np.minimum(starts + max_tokens, m[doc_of])
+        lens = stops - starts
+        # flat token positions of every chunk token (overlap re-reads)
+        choff = np.concatenate(([0], np.cumsum(lens)))
+        pos = (
+            np.arange(int(choff[-1]), dtype=np.int64)
+            - np.repeat(choff[:-1], lens)
+            + np.repeat(doc_off[doc_of] + starts, lens)
+        )
+        flat = toks.flatten()
+        text = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(choff, pa.int32()), flat.take(pa.array(pos))
+            ),
+            " ",
+        )
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(doc_of)),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "text": text,
+            "n_tokens": pa.array(lens, pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          zero_copy_batch=True)

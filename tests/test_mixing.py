@@ -175,3 +175,72 @@ class TestPackSequences:
         out = self._run(ray, t, max_tokens=12, tokens_col="n_tok",
                         num_buckets=1)
         assert len(out) == 1 and out.iloc[0]["n_tokens"] == 12
+
+
+class TestChunkDocuments:
+    def _run(self, ray, table, **kw):
+        from parquet_go_ray.ops.mixing import chunk_documents
+
+        return chunk_documents(
+            ray.data.from_arrow(table).repartition(3), **kw
+        ).to_pandas()
+
+    @staticmethod
+    def _scalar_ref(text, max_tokens, overlap):
+        toks = text.split(" ")
+        step = max_tokens - overlap
+        out, i = [], 0
+        while True:
+            chunk = toks[i : i + max_tokens]
+            out.append(" ".join(chunk))
+            if i + max_tokens >= len(toks):
+                return out
+            i += step
+
+    @pytest.mark.parametrize("overlap", [0, 7])
+    def test_matches_scalar_reference(self, ray_session, overlap):
+        import ray
+
+        rng = np.random.default_rng(21)
+        texts = [
+            " ".join(f"w{int(x)}"
+                     for x in rng.integers(0, 100, int(n)))
+            for n in rng.integers(1, 200, 50)
+        ] + ["", "one", "a  b"]  # empty / single / repeated-space
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+        out = self._run(ray, t, max_tokens=32, overlap=overlap)
+        got = {
+            i: g.sort_values("chunk_idx")["text"].tolist()
+            for i, g in out.groupby("doc_id")
+        }
+        for i, text in enumerate(texts):
+            assert got[i] == self._scalar_ref(text, 32, overlap), i
+        assert (out["n_tokens"] <= 32).all()
+
+    def test_overlap_zero_reconstructs_exactly(self, ray_session):
+        import ray
+
+        texts = ["x " * 500 + "tail", "a  b   c", ""]
+        t = pa.table({
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts),
+        })
+        out = self._run(ray, t, max_tokens=64, overlap=0)
+        for i, text in enumerate(texts):
+            g = out[out.doc_id == i].sort_values("chunk_idx")
+            assert " ".join(g["text"]) == text, i
+
+    def test_bad_overlap(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.mixing import chunk_documents
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"])})
+        )
+        with pytest.raises(ValueError, match="overlap"):
+            chunk_documents(ds, max_tokens=8, overlap=8)
