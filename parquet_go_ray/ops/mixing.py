@@ -156,10 +156,15 @@ def pack_sequences(
 
     def project(batch: pa.Table) -> pa.Table:
         if tokens_col is not None:
-            ntok = batch.column(tokens_col).cast(pa.int64())
-        else:
+            ntok = pc.fill_null(
+                batch.column(tokens_col).cast(pa.int64()), 0
+            )
+        else:  # null text counts as an empty doc (1 empty token)
             ntok = pc.list_value_length(
-                pc.split_pattern(batch.column(text_col), pattern=" ")
+                pc.split_pattern(
+                    pc.fill_null(batch.column(text_col), ""),
+                    pattern=" ",
+                )
             ).cast(pa.int64())
         cols = {
             "rk": (col_hash64(batch.column(id_col))
@@ -168,7 +173,7 @@ def pack_sequences(
             "__ntok": ntok,
         }
         if want_text:
-            cols[text_col] = batch.column(text_col)
+            cols[text_col] = pc.fill_null(batch.column(text_col), "")
         return pa.table(cols)
 
     def pack(group: pa.Table) -> pa.Table:
@@ -268,7 +273,10 @@ def chunk_documents(
     step = max_tokens - overlap
 
     def chunk(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(batch.column(text_col), pattern=" ")
+        # null text chunks as an empty doc (one empty chunk)
+        toks = pc.split_pattern(
+            pc.fill_null(batch.column(text_col), ""), pattern=" "
+        )
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
         m = pc.list_value_length(toks).to_numpy(zero_copy_only=False)

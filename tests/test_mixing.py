@@ -244,3 +244,25 @@ class TestChunkDocuments:
         )
         with pytest.raises(ValueError, match="overlap"):
             chunk_documents(ds, max_tokens=8, overlap=8)
+
+
+class TestNullText:
+    def test_null_text_pack_and_chunk(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.mixing import (chunk_documents,
+                                               pack_sequences)
+
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", None, "d e"]),
+        })
+        ds = ray.data.from_arrow(t)
+        packed = pack_sequences(ds, max_tokens=10, concat_text=True,
+                                num_buckets=1).to_pandas()
+        assert sorted(i for ids in packed["doc_ids"] for i in ids) == \
+            [1, 2, 3]
+        assert packed["text"].notna().all()
+        chunks = chunk_documents(ds, max_tokens=4).to_pandas()
+        assert sorted(chunks["doc_id"]) == [1, 2, 3]
+        assert chunks[chunks.doc_id == 2]["text"].tolist() == [""]
