@@ -139,6 +139,15 @@ def bottom_k_sample(
         out = batch.select(proj).take(pa.array(idx, pa.int64()))
         return out.append_column("__pri", pa.array(pri[idx]))
 
+    return _fold_bottom_k(ds, local_bottom, proj, k)
+
+
+def _fold_bottom_k(
+    ds: ray.data.Dataset, local_bottom, proj: list[str], k: int
+) -> pa.Table:
+    """Driver fold shared by the priority samplers: the global
+    bottom-k of per-block bottom-ks IS the exact global bottom-k.
+    Driver memory O(k + one candidate batch); one pass; no shuffle."""
     cand = ds.map_batches(
         local_bottom, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -162,6 +171,109 @@ def bottom_k_sample(
     kk = min(k, pool.num_rows)
     keep = np.sort(np.argpartition(pri, kk - 1)[:kk]) if kk else []
     return pool.take(pa.array(keep, pa.int64())).drop_columns(["__pri"])
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> pa.Table:
+    """Sample ``k`` rows WITHOUT replacement with inclusion tilted by
+    ``weight_col`` — the quality-weighted corpus-sampling primitive
+    (keep high-quality docs preferentially without hard thresholds).
+
+    Efraimidis–Spirakis A-ES (2006, public): each row draws priority
+    ``e = -ln(u) / w`` with ``u`` a deterministic id-hash uniform; the
+    global bottom-k by ``e`` is exactly the sequential
+    weighted-without-replacement draw. Same execution shape as
+    :func:`bottom_k_sample` (per-block bottom-k, driver fold, no
+    shuffle) and the same determinism contract: identical for any
+    partitioning, reproducible given (id, seed). Rows with null,
+    zero, negative or NaN weight are EXCLUDED (they'd need w→0⁺
+    limit semantics; filter or clamp upstream to keep them)."""
+    from ..ops.text import _mix64
+
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) & ((1 << 64) - 1))
+    proj = list(dict.fromkeys([id_col] + cols))
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column(id_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
+        w = (
+            pc.fill_null(batch.column(weight_col), 0.0)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        u = (_mix64(ids ^ sd) >> np.uint64(11)).astype(
+            np.float64
+        ) * (2.0**-53)
+        ok = (w > 0) & np.isfinite(w)
+        # u in (0, 1]: shift the open end so log(0) can't happen
+        pri = np.full(len(u), np.inf)
+        pri[ok] = -np.log1p(-u[ok] * (1 - 2e-16)) / w[ok]
+        kk = min(k, int(ok.sum()))
+        if kk:
+            cand_idx = np.flatnonzero(ok)
+            sub = np.argpartition(pri[cand_idx], kk - 1)[:kk]
+            idx = np.sort(cand_idx[sub])
+        else:
+            idx = np.arange(0)
+        out = batch.select(proj).take(pa.array(idx, pa.int64()))
+        return out.append_column("__pri", pa.array(pri[idx]))
+
+    return _fold_bottom_k(ds, local_bottom, proj, k)
+
+
+def split_dataset(
+    ds: ray.data.Dataset,
+    fractions: dict[str, float],
+    by: str = "doc_id",
+    seed: int = 0,
+) -> dict[str, ray.data.Dataset]:
+    """Deterministic train/valid/test split: every row lands in
+    EXACTLY one split by a seeded hash of ``by`` mapped onto adjacent
+    fraction intervals. Splitting ``by`` a GROUP key (conv_id, URL
+    domain) keeps whole groups together — the leakage-safe form.
+    Fractions must sum to 1 (±1e-9); each returned dataset is a lazy
+    per-batch filter, so downstream pipelines stream as usual and the
+    same row set comes back on any partitioning or rerun."""
+    from .bucketing import col_hash64
+    from .text import _mix64
+
+    if not fractions:
+        raise ValueError("need at least one split")
+    tot = float(sum(fractions.values()))
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {tot}")
+    names = list(fractions)
+    edges = np.cumsum([fractions[n] for n in names])
+    edges[-1] = 1.0  # close FP drift so the last interval is [.., 1]
+    bounds = np.concatenate(([0.0], edges))
+    sd = np.uint64((seed * 0x9E3779B97F4A7C15 + 5) & ((1 << 64) - 1))
+
+    def make_filter(lo: float, hi: float, last: bool):
+        def keep(batch: pa.Table) -> pa.Table:
+            u = (_mix64(col_hash64(batch.column(by)) ^ sd)
+                 >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+            m = (u >= lo) & ((u <= hi) if last else (u < hi))
+            return batch.filter(pa.array(m))
+
+        return keep
+
+    return {
+        n: ds.map_batches(
+            make_filter(bounds[i], bounds[i + 1], i == len(names) - 1),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        for i, n in enumerate(names)
+    }
 
 
 def approx_quantiles_sampled(
