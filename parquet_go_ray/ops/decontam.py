@@ -40,6 +40,8 @@ __all__ = [
     "ngram_hashes",
     "build_ngram_set",
     "decontaminate",
+    "collect_benchmark_embeddings",
+    "decontaminate_embeddings",
 ]
 
 
@@ -174,6 +176,104 @@ def decontaminate(
         fn_constructor_kwargs={
             "set_ref": set_ref, "text_col": text_col, "n": n,
             "lower": lower, "mode": mode, "min_hits": min_hits,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space decontamination
+
+def collect_benchmark_embeddings(
+    ds: ray.data.Dataset, emb_col: str = "embedding"
+) -> "np.ndarray":
+    """One streaming pass over the (small by construction) benchmark →
+    its L2-normalized embedding matrix on the driver. Same contract as
+    :func:`build_ngram_set`: the BENCHMARK side is an eval set, a few
+    thousand rows; a benchmark too large to broadcast is outside this
+    op's contract."""
+    from .ann import _emb_matrix, _normalize
+
+    mats = [
+        _normalize(_emb_matrix(pa.table(b), emb_col))
+        for b in ds.iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not mats:
+        return np.zeros((0, 0))
+    return np.concatenate(mats, axis=0)
+
+
+class _EmbDecontaminator:
+    """Actor-pool stage: fetch the broadcast benchmark matrix once per
+    actor; per batch ONE matmul + row-max."""
+
+    def __init__(self, mat_ref, emb_col: str, threshold: float,
+                 mode: str):
+        self.bench = (ray.get(mat_ref)
+                      if not isinstance(mat_ref, np.ndarray)
+                      else mat_ref)
+        self.emb_col = emb_col
+        self.threshold = threshold
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _emb_matrix, _normalize
+
+        if self.bench.size:
+            emb = _normalize(_emb_matrix(batch, self.emb_col))
+            sim = (emb @ self.bench.T).max(axis=1)
+        else:
+            sim = np.zeros(len(batch))
+        hit = sim >= self.threshold
+        if self.mode == "drop":
+            return batch.filter(pa.array(~hit))
+        batch = batch.append_column(
+            "benchmark_similarity", pa.array(sim, pa.float64()))
+        return batch.append_column(
+            "is_contaminated", pa.array(hit, pa.bool_()))
+
+
+def decontaminate_embeddings(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset | None = None,
+    *,
+    bench_matrix: "np.ndarray | None" = None,
+    emb_col: str = "embedding",
+    benchmark_emb_col: str | None = None,
+    threshold: float = 0.95,
+    mode: str = "flag",
+    concurrency=(1, 8),
+) -> ray.data.Dataset:
+    """Semantic decontamination: flag (``mode='flag'``: appends
+    ``benchmark_similarity`` = max cosine vs any benchmark embedding,
+    and ``is_contaminated``) or drop corpus rows whose embedding is
+    within cosine ``threshold`` of the benchmark — the paraphrase-
+    robust complement to token n-gram :func:`decontaminate` (surface
+    rewrites evade n-grams; embeddings don't). Same 100-TB shape: the
+    benchmark matrix is collected once, ``ray.put`` broadcast, probed
+    per batch with one matmul; no shuffle, corpus touched once. Pass
+    a precomputed ``bench_matrix`` (from
+    :func:`collect_benchmark_embeddings`) to reuse across runs."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode {mode!r}: expected 'flag' or 'drop'")
+    if bench_matrix is None:
+        if benchmark is None:
+            raise ValueError(
+                "need a benchmark dataset or a bench_matrix"
+            )
+        bench_matrix = collect_benchmark_embeddings(
+            benchmark, benchmark_emb_col or emb_col
+        )
+    mat_ref = ray.put(np.ascontiguousarray(bench_matrix))
+    return corpus.map_batches(
+        _EmbDecontaminator,
+        fn_constructor_kwargs={
+            "mat_ref": mat_ref, "emb_col": emb_col,
+            "threshold": threshold, "mode": mode,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -166,3 +166,74 @@ class TestDecontaminate:
                 if _ref_hits(docs[i], bench_texts, 13, True) >= 1]
         assert flagged == want
         assert set(planted) <= set(flagged)  # every plant found
+
+
+class TestEmbeddingDecontam:
+    def _tables(self):
+        rng = np.random.default_rng(47)
+        bench = rng.normal(size=(20, 16))
+        # corpus: 10 exact benchmark vectors, 10 slightly-perturbed
+        # (cos > 0.99), 30 random (cos ~ 0)
+        near = bench[:10] + rng.normal(scale=0.01, size=(10, 16))
+        rest = rng.normal(size=(30, 16))
+        corpus = np.concatenate((bench[:10], near, rest))
+        def tbl(m, ids):
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1).astype(np.float32)), 16
+                ),
+            })
+        return tbl(corpus, range(50)), tbl(bench, range(1000, 1020)), \
+            corpus, bench
+
+    def test_flag_matches_numpy(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.decontam import decontaminate_embeddings
+
+        corpus_t, bench_t, corpus, bench = self._tables()
+        out = (
+            decontaminate_embeddings(
+                ray.data.from_arrow(corpus_t).repartition(4),
+                ray.data.from_arrow(bench_t).repartition(2),
+                threshold=0.95,
+            ).to_pandas().sort_values("doc_id")
+        )
+        cn = corpus / np.linalg.norm(corpus, axis=1, keepdims=True)
+        bn = bench / np.linalg.norm(bench, axis=1, keepdims=True)
+        sim = (cn @ bn.T).max(axis=1)
+        assert np.allclose(out["benchmark_similarity"], sim, atol=1e-6)
+        assert (out["is_contaminated"].to_numpy() == (sim >= 0.95)).all()
+        # the planted structure fires as designed
+        assert out["is_contaminated"][:20].all()
+        assert not out["is_contaminated"][20:].any()
+
+    def test_drop_and_reuse_matrix(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.decontam import (
+            collect_benchmark_embeddings, decontaminate_embeddings)
+
+        corpus_t, bench_t, *_ = self._tables()
+        mat = collect_benchmark_embeddings(
+            ray.data.from_arrow(bench_t)
+        )
+        assert mat.shape == (20, 16)
+        kept = decontaminate_embeddings(
+            ray.data.from_arrow(corpus_t),
+            bench_matrix=mat, threshold=0.95, mode="drop",
+        ).to_pandas()
+        assert sorted(kept["doc_id"]) == list(range(20, 50))
+
+    def test_empty_benchmark(self, ray_session):
+        import ray
+
+        from parquet_go_ray.ops.decontam import decontaminate_embeddings
+
+        corpus_t, _, *_ = self._tables()
+        out = decontaminate_embeddings(
+            ray.data.from_arrow(corpus_t),
+            bench_matrix=np.zeros((0, 0)),
+        ).to_pandas()
+        assert not out["is_contaminated"].any()
