@@ -71,6 +71,29 @@ class NgramLM:
         self.alpha = float(alpha)
         self.vocab_guess = int(vocab_guess)
 
+    def save(self, path: str) -> None:
+        """Persist to one ``.npz`` (atomic rename) so rolling ingest
+        runs re-score against a fixed reference model instead of
+        retraining per shard."""
+        import os
+
+        tmp = path + ".tmp"
+        np.savez_compressed(
+            tmp, uni=self.uni, bi=self.bi,
+            meta=np.array([self.total, self.vocab_guess], np.int64),
+            params=np.array([self.lam, self.alpha], np.float64),
+        )
+        os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp,
+                   path)
+
+    @staticmethod
+    def load(path: str) -> "NgramLM":
+        with np.load(path) as z:
+            total, vocab = (int(x) for x in z["meta"])
+            lam, alpha = (float(x) for x in z["params"])
+            return NgramLM(z["uni"].copy(), z["bi"].copy(), total,
+                           lam, alpha, vocab)
+
     def _lookup(self, cms: np.ndarray, h: np.ndarray) -> np.ndarray:
         depth, width = cms.shape
         pos = _cms_positions(h, depth, width)

@@ -93,3 +93,26 @@ class TestLmScore:
         # the real sentence scores lower than the single word
         assert a["lm_bits_per_token"].iloc[3] < \
             a["lm_bits_per_token"].iloc[1]
+
+    def test_save_load_roundtrip(self, ray_session, tmp_path):
+        import ray
+
+        from parquet_go_ray.ops.lm_score import (NgramLM, lm_perplexity,
+                                                 train_ngram_lm)
+
+        rng = np.random.default_rng(71)
+        ref = ray.data.from_arrow(pa.table({
+            "text": pa.array(_ref_texts(rng, 30)),
+        }))
+        lm = train_ngram_lm(ref)
+        p = str(tmp_path / "lm.npz")
+        lm.save(p)
+        back = NgramLM.load(p)
+        corpus = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["the cat eats food"]),
+        }))
+        a = lm_perplexity(corpus, lm).to_pandas()["lm_bits_per_token"]
+        b = lm_perplexity(corpus, back).to_pandas()["lm_bits_per_token"]
+        assert np.array_equal(a.to_numpy(), b.to_numpy())
+        assert back.total == lm.total and back.lam == lm.lam
