@@ -123,3 +123,37 @@ class TestKllDistributed:
         )
         out = approx_quantiles_kll(ds, "x", qs=(0.5,), k=512)
         assert out.column("value")[0].as_py() == 199.0  # exact under k
+
+
+class TestKllProperties:
+    def test_merge_order_error_invariant(self):
+        """Any merge tree over the same data keeps the rank-error
+        band — the property the nondeterministic Ray merge order
+        relies on."""
+        from parquet_go_ray.ops.sketch import KllSketch
+
+        rng = np.random.default_rng(29)
+        chunks = [rng.normal(size=5000) for _ in range(8)]
+        v = np.sort(np.concatenate(chunks))
+
+        def build(order, pairing):
+            sks = [KllSketch(k=256).add_array(chunks[i]) for i in order]
+            while len(sks) > 1:
+                if pairing == "linear":
+                    sks = [sks[0].merge(sks[1])] + sks[2:]
+                else:  # balanced tree
+                    sks = [
+                        sks[i].merge(sks[i + 1])
+                        if i + 1 < len(sks) else sks[i]
+                        for i in range(0, len(sks), 2)
+                    ]
+            return sks[0]
+
+        for order, pairing in [
+            (range(8), "linear"), (reversed(range(8)), "linear"),
+            (range(8), "tree"), ([3, 1, 7, 0, 5, 2, 6, 4], "tree"),
+        ]:
+            sk = build(list(order), pairing)
+            assert sk.count == 40_000
+            for q in (0.05, 0.5, 0.95):
+                assert _rank_err(v, sk.quantiles([q])[0], q) < 0.025
