@@ -41,6 +41,23 @@ __all__ = ["line_df_sketch", "remove_boilerplate_lines"]
 _HASH_PREFIX = 1024  # bytes of each line fed to the hash sweep
 
 
+def derive_cms_width(ds: ray.data.Dataset, divisor: int = 16) -> int:
+    """Default CMS width from the input's metadata-estimated bytes:
+    roughly one counter per ``divisor`` input bytes (≈ a few counters
+    per distinct line), clamped to [2^16, 2^24] and rounded to a
+    power of two. A fixed 2^20 meant every partial shipped 32 MB even
+    for a 2 MB corpus — the aggregate's cost was ALL sketch movement
+    (measured: kernels 50 ms, pass 6.4 s). At true scale pass
+    ``width`` explicitly if the corpus outgrows the 2^24 cap."""
+    from .bucketing import estimated_size_bytes
+
+    est = estimated_size_bytes(ds)
+    if est is None:
+        return 1 << 20
+    want = max(1 << 16, min(1 << 24, est // max(divisor, 1)))
+    return 1 << int(np.ceil(np.log2(want)))
+
+
 def _line_hashes(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """(flat line hashes, per-doc line counts, flat line strings) for
     newline-split docs; hashing runs off the Arrow buffers (one
@@ -74,32 +91,44 @@ def _line_hashes(col) -> tuple[np.ndarray, np.ndarray, pa.Array]:
 def _ragged_poly_hash(
     flat_bytes: np.ndarray, starts: np.ndarray, lens: np.ndarray
 ) -> np.ndarray:
-    """FNV-style polynomial hash per segment via np.*.reduceat-free
-    column sweep: iterate over BYTE POSITIONS WITHIN a line (bounded
-    by the longest line, typically < 1k), each step a full-width
-    vector op — never a per-line Python loop."""
+    """FNV-style polynomial hash per segment via a length-sorted
+    prefix sweep: lines sort by length descending, so the lines still
+    live at byte position ``j`` are a contiguous PREFIX and each step
+    is one slice op over exactly the live lines — total work is
+    proportional to the hashed bytes (the boolean-mask form cost
+    O(n_lines) per step regardless of how many were live)."""
     n = len(lens)
     h = np.zeros(n, dtype=np.uint64)
     base = np.uint64(0x100000001B3)
     if n == 0 or lens.max(initial=0) == 0:
         return h
-    max_len = int(lens.max())
-    for j in range(max_len):
-        live = lens > j
-        h[live] = h[live] * base + flat_bytes[starts[live] + j]
+    order = np.argsort(-lens, kind="stable")
+    sl = lens[order]
+    ss = starts[order]
+    sl_asc = sl[::-1]
+    hs = np.zeros(n, dtype=np.uint64)
+    for j in range(int(sl[0])):
+        lc = n - int(np.searchsorted(sl_asc, j, side="right"))
+        if lc == 0:
+            break
+        hs[:lc] = hs[:lc] * base + flat_bytes[ss[:lc] + j]
+    h[order] = hs
     return h
 
 
 def line_df_sketch(
     ds: ray.data.Dataset,
     text_col: str = "text",
-    width: int = 1 << 20,
+    width: int | None = None,
     depth: int = 4,
 ) -> np.ndarray:
     """Pass 1: count-min of per-doc-distinct line hashes. Returns the
-    ``(depth, width)`` int64 counter matrix (8·depth·width bytes —
-    32 MB at defaults, sized for ~10^8 distinct (doc, line) pairs per
-    the module docstring; scale ``width`` with the corpus)."""
+    ``(depth, width)`` int64 counter matrix (8·depth·width bytes).
+    ``width`` defaults to :func:`derive_cms_width` (input-sized,
+    capped 2^24 ≈ 512 MB of counters — pass it explicitly past that;
+    the probe side reads the width back off the matrix shape)."""
+    if width is None:
+        width = derive_cms_width(ds)
 
     def accumulate(acc: np.ndarray, block: pa.Table) -> np.ndarray:
         h, counts, _ = _line_hashes(block.column(text_col))
@@ -196,7 +225,7 @@ def remove_boilerplate_lines(
     text_col: str = "text",
     min_docs: int = 10,
     cms: np.ndarray | None = None,
-    width: int = 1 << 20,
+    width: int | None = None,
     depth: int = 4,
     max_line_chars: int = 500,
     keep_blank: bool = True,

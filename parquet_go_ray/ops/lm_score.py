@@ -140,13 +140,20 @@ def train_ngram_lm(
     reference: ray.data.Dataset,
     text_col: str = "text",
     lower: bool = True,
-    width: int = 1 << 20,
+    width: int | None = None,
     depth: int = 4,
     lam: float = 0.8,
     alpha: float = 1.0,
 ) -> NgramLM:
     """One streaming pass over the reference corpus → a broadcastable
-    :class:`NgramLM` (two CMS matrices + total count)."""
+    :class:`NgramLM` (two CMS matrices + total count). ``width``
+    defaults to the reference's size via
+    :func:`..ops.boilerplate.derive_cms_width` — the scoring side
+    reads width back off the matrix shapes."""
+    if width is None:
+        from .boilerplate import derive_cms_width
+
+        width = derive_cms_width(reference)
 
     def accumulate(acc, block: pa.Table):
         uni, bi, tot = acc
