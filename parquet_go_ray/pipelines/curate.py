@@ -28,7 +28,7 @@ from ..ops.lm_score import lm_perplexity, train_ngram_lm
 from ..ops.mixing import pack_sequences
 from ..ops.profile import profile_corpus
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_shard"]
 
 
 def curate_corpus(
@@ -136,3 +136,65 @@ def curate_corpus(
             report["before"]["docs"] - report["after"]["docs"]
         )
     return out
+
+
+def curate_shard(
+    shard: ray.data.Dataset,
+    *,
+    exact_store=None,
+    near_store=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    near_dup_threshold: float = 0.8,
+    append: bool = True,
+) -> dict:
+    """Rolling-ingest curation: dedup ONE new shard against corpus
+    HISTORY via the persisted stores, without touching the corpus.
+
+    Order matters and is the cheap-to-expensive order: intra-shard
+    exact dedup (one hash groupby over the shard), intra-shard
+    near-dup (LSH over the shard), then history probes —
+    ``exact_store.filter_new`` (one id-sized exchange against the
+    16 B/doc fingerprint parts) and ``near_store.filter_new`` (band
+    envelopes against the LSH band parts). With ``append=True`` the
+    SURVIVORS' fingerprints/bands are merged into the stores
+    (single-writer contract — serialize shards). Returns
+    ``{"dataset": survivors, "report": {...}}``; the dataset is
+    materialized (the append must observe the final survivor set,
+    and the probes consume the stream multiple times)."""
+    from ..ops.join import shuffle_join
+
+    report: dict = {"shard_docs": shard.count()}
+    cur = shard.materialize()
+
+    cur = shuffle_join(
+        cur, dedup_exact(cur, text_col, id_col), on=id_col
+    ).materialize()
+    near_surv = dedup_minhash(
+        cur, text_col, id_col, threshold=near_dup_threshold
+    ).map_batches(
+        lambda b: b.select([id_col]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cur = shuffle_join(cur, near_surv, on=id_col).materialize()
+    report["after_intra_shard"] = cur.count()
+
+    if exact_store is not None:
+        ids = exact_store.filter_new(cur, text_col, id_col)
+        cur = shuffle_join(cur, ids, on=id_col).materialize()
+        report["after_exact_history"] = cur.count()
+    if near_store is not None:
+        ids = near_store.filter_new(cur, text_col, id_col)
+        cur = shuffle_join(cur, ids, on=id_col).materialize()
+        report["after_near_history"] = cur.count()
+
+    if append:
+        if exact_store is not None:
+            report["exact_appended"] = exact_store.append(
+                cur, text_col
+            )["added"]
+        if near_store is not None:
+            report["near_appended"] = near_store.append(
+                cur, text_col
+            )["added"]
+    return {"dataset": cur, "report": report}

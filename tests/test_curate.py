@@ -101,3 +101,56 @@ class TestCuratePipeline:
         assert sorted(res["doc_id"]) == list(range(6))  # dups gone
         assert out["report"] == {}
         assert "packed" not in out
+
+
+class TestCurateShard:
+    def test_rolling_ingest(self, ray_session, tmp_path):
+        import ray
+
+        from parquet_go_ray.ops.dedup import ExactDedupStore
+        from parquet_go_ray.ops.neardup_store import MinHashDedupStore
+        from parquet_go_ray.pipelines.curate import curate_shard
+
+        rng = np.random.default_rng(79)
+        mk = lambda: " ".join(
+            f"w{int(x)}" for x in rng.integers(0, 5000, 40)
+        )
+        history = [mk() for _ in range(30)]
+        hist_ds = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(history),
+        }))
+        ep = str(tmp_path / "exact")
+        npth = str(tmp_path / "near")
+        es = ExactDedupStore.build(hist_ds, ep, num_parts=4)
+        ns = MinHashDedupStore.build(hist_ds, npth, num_parts=4)
+
+        # shard: 3 copies of history docs, 2 near-copies, 4 fresh
+        # (one duplicated within the shard)
+        fresh = [mk() for _ in range(3)]
+        shard_texts = (
+            history[:3]
+            + [history[5].replace("w", "x", 1),
+               history[6].replace("w", "x", 1)]
+            + fresh + [fresh[0]]
+        )
+        shard = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array(range(100, 100 + len(shard_texts)),
+                               pa.int64()),
+            "text": pa.array(shard_texts),
+        })).repartition(3)
+
+        out = curate_shard(shard, exact_store=es, near_store=ns,
+                           near_dup_threshold=0.7)
+        rep = out["report"]
+        surv = sorted(out["dataset"].to_pandas()["doc_id"])
+        assert rep["shard_docs"] == 9
+        assert rep["after_intra_shard"] == 8      # intra-shard dup gone
+        assert rep["after_exact_history"] == 5    # 3 exact copies gone
+        assert rep["after_near_history"] == 3     # 2 near copies gone
+        assert surv == [105, 106, 107]            # the fresh docs
+        assert rep["exact_appended"] == 3
+        # a re-ingest of the same shard yields nothing new
+        again = curate_shard(shard, exact_store=es, near_store=ns,
+                             near_dup_threshold=0.7, append=False)
+        assert again["dataset"].count() == 0
