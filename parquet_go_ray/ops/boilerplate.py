@@ -229,7 +229,7 @@ def remove_boilerplate_lines(
     depth: int = 4,
     max_line_chars: int = 500,
     keep_blank: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Drop every line appearing in ≥ ``min_docs`` documents (by CMS
     estimate — overcounts only, so errors drop extra boilerplate) and
@@ -241,16 +241,11 @@ def remove_boilerplate_lines(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     if cms is None:
         cms = line_df_sketch(ds, text_col, width=width, depth=depth)
-    cms_ref = ray.put(np.ascontiguousarray(cms))
-    return ds.map_batches(
-        _BoilerplateRemover,
-        fn_constructor_kwargs={
-            "cms_ref": cms_ref, "text_col": text_col,
-            "min_docs": min_docs, "max_line_chars": max_line_chars,
-            "keep_blank": keep_blank,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
+    cms = np.ascontiguousarray(cms)
+    from ._broadcast import broadcast_map_batches
+
+    return broadcast_map_batches(
+        ds, _BoilerplateRemover, "cms_ref", cms, cms.nbytes,
+        concurrency, text_col=text_col, min_docs=min_docs,
+        max_line_chars=max_line_chars, keep_blank=keep_blank,
     )

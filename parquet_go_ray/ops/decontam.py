@@ -154,7 +154,7 @@ def decontaminate(
     lower: bool = True,
     mode: str = "flag",
     min_hits: int = 1,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Flag (``mode="flag"``: appends ``contaminated_ngrams`` — the
     number of gram POSITIONS in the doc whose gram appears in the
@@ -170,17 +170,13 @@ def decontaminate(
             raise ValueError("need a benchmark dataset or a gram_set")
         gram_set = build_ngram_set(
             benchmark, benchmark_text_col or text_col, n, lower)
-    set_ref = ray.put(np.asarray(gram_set, dtype=np.uint64))
-    return corpus.map_batches(
-        _Decontaminator,
-        fn_constructor_kwargs={
-            "set_ref": set_ref, "text_col": text_col, "n": n,
-            "lower": lower, "mode": mode, "min_hits": min_hits,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
+    gram_set = np.asarray(gram_set, dtype=np.uint64)
+    from ._broadcast import broadcast_map_batches
+
+    return broadcast_map_batches(
+        corpus, _Decontaminator, "set_ref", gram_set, gram_set.nbytes,
+        concurrency, text_col=text_col, n=n, lower=lower, mode=mode,
+        min_hits=min_hits,
     )
 
 
@@ -246,7 +242,7 @@ def decontaminate_embeddings(
     benchmark_emb_col: str | None = None,
     threshold: float = 0.95,
     mode: str = "flag",
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Semantic decontamination: flag (``mode='flag'``: appends
     ``benchmark_similarity`` = max cosine vs any benchmark embedding,
@@ -268,15 +264,11 @@ def decontaminate_embeddings(
         bench_matrix = collect_benchmark_embeddings(
             benchmark, benchmark_emb_col or emb_col
         )
-    mat_ref = ray.put(np.ascontiguousarray(bench_matrix))
-    return corpus.map_batches(
-        _EmbDecontaminator,
-        fn_constructor_kwargs={
-            "mat_ref": mat_ref, "emb_col": emb_col,
-            "threshold": threshold, "mode": mode,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
+    bench_matrix = np.ascontiguousarray(bench_matrix)
+    from ._broadcast import broadcast_map_batches
+
+    return broadcast_map_batches(
+        corpus, _EmbDecontaminator, "mat_ref", bench_matrix,
+        bench_matrix.nbytes, concurrency, emb_col=emb_col,
+        threshold=threshold, mode=mode,
     )

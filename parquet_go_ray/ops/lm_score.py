@@ -214,19 +214,15 @@ def lm_perplexity(
     lm: NgramLM,
     text_col: str = "text",
     lower: bool = True,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> ray.data.Dataset:
     """Append ``lm_bits_per_token`` (log2 perplexity under ``lm``) to
     each corpus row — threshold or stratify on it downstream (CCNet
     kept the low-perplexity head/middle of the distribution)."""
-    lm_ref = ray.put(lm)
-    return corpus.map_batches(
-        _LmScorer,
-        fn_constructor_kwargs={
-            "lm_ref": lm_ref, "text_col": text_col, "lower": lower,
-        },
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        num_cpus=1,
+    from ._broadcast import broadcast_map_batches
+
+    return broadcast_map_batches(
+        corpus, _LmScorer, "lm_ref", lm,
+        lm.uni.nbytes + lm.bi.nbytes, concurrency,
+        text_col=text_col, lower=lower,
     )

@@ -107,3 +107,40 @@ class TestRemoveBoilerplate:
         )
         with pytest.raises(ValueError, match="min_docs"):
             remove_boilerplate_lines(ds, min_docs=1)
+
+
+class TestBroadcastDispatch:
+    def test_task_and_actor_paths_identical(self, ray_session):
+        """The auto (stateless-task) path and a forced actor pool
+        produce identical output for every broadcast-probe op."""
+        import ray
+
+        from parquet_go_ray.ops.boilerplate import (
+            line_df_sketch, remove_boilerplate_lines)
+        from parquet_go_ray.ops.lm_score import (lm_perplexity,
+                                                 train_ngram_lm)
+
+        texts = _corpus(20)
+        t = pa.table({
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(texts),
+        })
+        ds = ray.data.from_arrow(t).repartition(3)
+        cms = line_df_sketch(ds)
+        auto = remove_boilerplate_lines(
+            ds, cms=cms, min_docs=10
+        ).to_pandas().sort_values("doc_id")
+        forced = remove_boilerplate_lines(
+            ds, cms=cms, min_docs=10, concurrency=(1, 2)
+        ).to_pandas().sort_values("doc_id")
+        assert auto["text"].tolist() == forced["text"].tolist()
+
+        lm = train_ngram_lm(ds)
+        a = lm_perplexity(ds, lm).to_pandas().sort_values("doc_id")
+        b = lm_perplexity(
+            ds, lm, concurrency=(1, 2)
+        ).to_pandas().sort_values("doc_id")
+        assert np.array_equal(
+            a["lm_bits_per_token"].to_numpy(),
+            b["lm_bits_per_token"].to_numpy(),
+        )
