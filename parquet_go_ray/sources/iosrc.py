@@ -328,3 +328,52 @@ def _http_stat(uri: str) -> tuple[int, int]:
 
 register_scheme("http", _http_open, _http_stat)
 register_scheme("https", _http_open, _http_stat)
+
+
+# ------------------------------------------------------- multipart upload
+
+def open_multipart(body: bytes, content_type: str,
+                   field: str | None = None) -> BinaryIO:
+    """Seekable reader over a file part of a ``multipart/form-data``
+    request body — the reference's HTTP-upload source
+    (``/root/reference/source/http/http.go:9-38`` wraps Go's
+    ``multipart.FileHeader.Open`` into its seekable-reader interface;
+    here the parsed part lands in memory and serves seeks directly,
+    the same contract). ``content_type`` is the request's
+    ``Content-Type`` header carrying the boundary; ``field`` picks a
+    named form field (default: the first part that has a filename,
+    else the first part). Raises ``ValueError`` on a missing boundary
+    / field / malformed body."""
+    import email.parser
+    import email.policy
+
+    if "boundary=" not in content_type:
+        raise ValueError(f"no boundary in Content-Type {content_type!r}")
+    head = (f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n"
+            "\r\n").encode()
+    msg = email.parser.BytesParser(
+        policy=email.policy.HTTP
+    ).parsebytes(head + body)
+    if not msg.is_multipart():
+        raise ValueError("body did not parse as multipart")
+    parts = list(msg.iter_parts())
+    chosen = None
+    for p in parts:
+        name = p.get_param("name", header="content-disposition")
+        if field is not None:
+            if name == field:
+                chosen = p
+                break
+        elif p.get_filename():
+            chosen = p
+            break
+    if chosen is None:
+        if field is not None:
+            raise ValueError(f"no part named {field!r}")
+        if not parts:
+            raise ValueError("empty multipart body")
+        chosen = parts[0]
+    payload = chosen.get_payload(decode=True)
+    if payload is None:
+        raise ValueError("file part has no payload")
+    return io.BytesIO(payload)

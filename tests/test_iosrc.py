@@ -240,3 +240,63 @@ class TestReadParquetNativeHttpRay:
         want = pq.read_table(p, columns=["id", "v"])
         want = want.filter(pa.compute.less(want.column("v"), 10))
         assert got.sort_by("id").equals(want.sort_by("id"))
+
+
+class TestMultipart:
+    """HTTP-upload (multipart/form-data) source — the reference's
+    source/http/http.go re-expressed over the mem:// seam."""
+
+    @staticmethod
+    def _body(parts):
+        b = "pgrbound7"
+        out = []
+        for name, filename, data in parts:
+            disp = f'form-data; name="{name}"'
+            if filename:
+                disp += f'; filename="{filename}"'
+            out.append(
+                f"--{b}\r\nContent-Disposition: {disp}\r\n"
+                f"Content-Type: application/octet-stream\r\n\r\n"
+                .encode() + data + b"\r\n"
+            )
+        out.append(f"--{b}--\r\n".encode())
+        return b"".join(out), f"multipart/form-data; boundary={b}"
+
+    def test_parquet_through_multipart(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from parquet_go_ray.sources.iosrc import open_multipart
+
+        t = pa.table({"x": pa.array(range(100), pa.int64())})
+        p = str(tmp_path / "f.parquet")
+        pq.write_table(t, p)
+        raw = open(p, "rb").read()
+        body, ctype = self._body([
+            ("note", None, b"metadata field"),
+            ("file", "f.parquet", raw),
+        ])
+        f = open_multipart(body, ctype)
+        assert f.read() == raw
+        # seekable per the reference's Reader contract
+        f.seek(-8, 2)
+        assert f.read(4) == raw[-8:-4]
+        # and the whole native reader works on the extracted part
+        back = pq.read_table(io_like := open_multipart(body, ctype))
+        assert back.equals(t)
+
+    def test_field_selection_and_errors(self):
+        from parquet_go_ray.sources.iosrc import open_multipart
+
+        body, ctype = self._body([
+            ("a", "a.bin", b"AAA"),
+            ("b", "b.bin", b"BBB"),
+        ])
+        assert open_multipart(body, ctype, field="b").read() == b"BBB"
+        # default: first part with a filename
+        assert open_multipart(body, ctype).read() == b"AAA"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="no part named"):
+            open_multipart(body, ctype, field="zzz")
+        with _pytest.raises(ValueError, match="boundary"):
+            open_multipart(body, "text/plain")
