@@ -8,6 +8,8 @@
     python -m parquet_go_ray.cli export --input /data/in --out /data/std_parquet
     python -m parquet_go_ray.cli scan --input /data/std_parquet/*.parquet \
         --filter value '>' 75.0 --out /data/filtered
+    python -m parquet_go_ray.cli curate --input /data/corpus \
+        --out /data/curated --benchmark /data/evals --pack-tokens 2048
 
 Re-running ``encode`` against an existing checkpoint resumes: completed
 partitions are skipped before the shuffle. This module owns its Ray
@@ -77,6 +79,27 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--out", default=None,
                     help="write result to parquet; default prints a summary")
 
+    pc = sub.add_parser(
+        "curate",
+        help="run the curation stack (boilerplate -> dedup -> "
+        "decontam -> LM quality -> optional packing) over a corpus",
+    )
+    pc.add_argument("--input", required=True,
+                    help="parquet file/dir with (doc_id, text)")
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--benchmark", default=None,
+                    help="parquet of benchmark docs for n-gram decontam")
+    pc.add_argument("--reference", default=None,
+                    help="parquet of reference docs for the LM filter")
+    pc.add_argument("--max-bits-per-token", type=float, default=None)
+    pc.add_argument("--near-dup-threshold", type=float, default=0.8)
+    pc.add_argument("--boilerplate-min-docs", type=int, default=10)
+    pc.add_argument("--decontam-n", type=int, default=13)
+    pc.add_argument("--pack-tokens", type=int, default=None,
+                    help="also write packed sequences to OUT/packed")
+
     args = p.parse_args(argv)
 
     if args.cmd == "manifest":  # no Ray needed
@@ -138,6 +161,27 @@ def main(argv: list[str] | None = None) -> int:
                 "bytes": int(sum(r["bytes"] for r in manifest)),
                 "out": args.out,
             }))
+        elif args.cmd == "curate":
+            from .pipelines.curate import curate_corpus
+
+            out = curate_corpus(
+                ray.data.read_parquet(args.input),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                benchmark=(ray.data.read_parquet(args.benchmark)
+                           if args.benchmark else None),
+                reference=(ray.data.read_parquet(args.reference)
+                           if args.reference else None),
+                boilerplate_min_docs=args.boilerplate_min_docs,
+                near_dup_threshold=args.near_dup_threshold,
+                max_bits_per_token=args.max_bits_per_token,
+                decontam_n=args.decontam_n,
+                pack_tokens=args.pack_tokens,
+            )
+            out["dataset"].write_parquet(f"local://{args.out}")
+            if "packed" in out:
+                out["packed"].write_parquet(f"local://{args.out}/packed")
+            print(json.dumps(out["report"]))
         elif args.cmd == "scan":
             from .sources.parquet_pages import read_parquet_native
 
